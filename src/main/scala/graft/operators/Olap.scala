@@ -1,0 +1,458 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** The OLAP surface — the analytical role Greenplum plays in the reference
+  * (`/root/reference/README.md:14-16`: MySQL replicas are maintained in
+  * Greenplum precisely so it can serve "complex, analytical queries" over
+  * them). TPC-H-flavored queries over the driver testdata.
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame plan —
+  * Catalyst pushes filters/projections into the parquet scan, dims are
+  * broadcast (region/nation/customer stay << 8 GB even at SF100k), fact
+  * aggregations are partial (map-side combine) before their single shuffle,
+  * and window queries reuse the exchange introduced by their own
+  * partitioning key.
+  */
+object Olap {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  /** TPC-H Q1 flavor: big scan, partial-agg groupBy on two low-cardinality keys. */
+  val q1PricingSummary: QueryDef = QueryDef(
+    "q1_pricing_summary",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q3 flavor: selective dim filter, two fact joins, grouped top-k. */
+  val q3ShippingPriority: QueryDef = QueryDef(
+    "q3_shipping_priority",
+    (s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = ord(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = li(s, d)
+        .filter(col("l_shipdate") > lit("1998-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(
+          col("l_orderkey"),
+          col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority")
+        )
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_orderpriority
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15'
+        AND l_shipdate  > TIMESTAMP '1998-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q5 flavor: star join through the region/nation dims. */
+  val q5LocalVolume: QueryDef = QueryDef(
+    "q5_local_volume",
+    (s, d) => {
+      val dims = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val o = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey")
+      li(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q6 flavor: pure pushdown showcase — the whole WHERE lands in
+    * `PushedFilters`, only 4 columns are read. */
+  val q6ForecastRevenue: QueryDef = QueryDef(
+    "q6_forecast_revenue",
+    (s, d) =>
+      li(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 25
+        )
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"), count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25
+    """.stripMargin.trim)
+  )
+
+  /** Top-k per group: window rank, one shuffle on the partition key. */
+  val qTopCustomers: QueryDef = QueryDef(
+    "q_top_customers",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("o_custkey"), col("rnk"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rnk
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders)
+      WHERE rnk <= 3
+      ORDER BY o_custkey, rnk
+    """.stripMargin.trim)
+  )
+
+  /** Hierarchical ROLLUP; grouping nulls are labeled so both engines sort identically. */
+  val qRollup: QueryDef = QueryDef(
+    "q_rollup",
+    (s, d) =>
+      ord(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+          col("n_orders"),
+          col("total_price")
+        )
+        .orderBy(col("orderstatus"), col("orderpriority")),
+    Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+             coalesce(o_orderpriority, '(all)') AS orderpriority,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY orderstatus, orderpriority
+    """.stripMargin.trim)
+  )
+
+  /** Left-semi join (EXISTS). */
+  val qSemiJoin: QueryDef = QueryDef(
+    "q_semi_join",
+    (s, d) => {
+      val big = ord(s, d).filter(col("o_totalprice") > 450000).select("o_custkey")
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      ORDER BY c_custkey
+    """.stripMargin.trim)
+  )
+
+  /** Left-anti join (NOT EXISTS). */
+  val qAntiJoin: QueryDef = QueryDef(
+    "q_anti_join",
+    (s, d) => {
+      val recent = ord(s, d).filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey")
+      Tables.customer(s, d)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+      ORDER BY c_custkey
+    """.stripMargin.trim)
+  )
+
+  /** Running total per key — explicit ROWS frame so both engines agree. */
+  val qWindowRunning: QueryDef = QueryDef(
+    "q_window_running",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """.stripMargin.trim)
+  )
+
+  /** Pivot event_type into columns (conditional aggregation — the shape
+    * `groupBy().pivot()` compiles to, written explicitly so the oracle matches). */
+  val qPivotEvents: QueryDef = QueryDef(
+    "q_pivot_events",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0)), 2).as("purchase_value")
+        )
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
+  /** Gap-based sessionization: 30-minute inactivity closes a session.
+    * lag + cumulative flag sum — one shuffle on user_id, reused by both windows. */
+  val qSessionize: QueryDef = QueryDef(
+    "q_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn(
+          "new_sess",
+          when(col("prev_ts").isNull || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1).otherwise(0)
+        )
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sess_value"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+      )
+      SELECT user_id, sess_id, count(*) AS n_events, round(sum(value), 2) AS sess_value
+      FROM sessions
+      GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_id
+    """.stripMargin.trim)
+  )
+
+  /** Ordered funnel: users whose first signup < first view < first purchase. */
+  val qFunnel: QueryDef = QueryDef(
+    "q_funnel",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase")
+        )
+        .filter(col("t_signup") < col("t_view") && col("t_view") < col("t_purchase"))
+        .select(
+          col("user_id"),
+          unix_micros(col("t_signup")).as("signup_us"),
+          unix_micros(col("t_view")).as("view_us"),
+          unix_micros(col("t_purchase")).as("purchase_us")
+        )
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             epoch_us(t_signup) AS signup_us,
+             epoch_us(t_view) AS view_us,
+             epoch_us(t_purchase) AS purchase_us
+      FROM (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id)
+      WHERE t_signup < t_view AND t_view < t_purchase
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
+  /** As-of join: each purchase matched to the latest preceding click of the
+    * same user. Implemented as union + running max (ts is monotone in the
+    * window order, so max == last) — ONE shuffle on user_id, no point-lookups,
+    * no crossJoin; this survives 100 TB where a per-row subquery would not. */
+  val qAsofJoin: QueryDef = QueryDef(
+    "q_asof_join",
+    (s, d) => {
+      val cum = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("last_click_ts", max(when(col("event_type") === "click", col("ts"))).over(cum))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("last_click_ts")).as("click_us"),
+          round(col("value"), 2).as("purchase_value")
+        )
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(ts) AS purchase_us,
+             epoch_us(last_click_ts) AS click_us,
+             round(value, 2) AS purchase_value
+      FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               max(CASE WHEN event_type = 'click' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM events
+        WHERE event_type IN ('click', 'purchase'))
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """.stripMargin.trim)
+  )
+
+  /** Exact interpolated percentiles per group. */
+  val qPercentile: QueryDef = QueryDef(
+    "q_percentile",
+    (s, d) =>
+      ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n_orders")
+        )
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim)
+  )
+
+  /** Time-bucketed aggregation (`date_trunc`) — the partition-pruned scan
+    * shape for the month-partitioned event archive. */
+  val qHourlyEvents: QueryDef = QueryDef(
+    "q_hourly_events",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour"), col("event_type")),
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour, event_type
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, q3ShippingPriority, q5LocalVolume, q6ForecastRevenue,
+    qTopCustomers, qRollup, qSemiJoin, qAntiJoin, qWindowRunning,
+    qPivotEvents, qSessionize, qFunnel, qAsofJoin, qPercentile, qHourlyEvents
+  )
+}

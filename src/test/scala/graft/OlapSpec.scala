@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Olap
+
+class OlapSpec extends SparkSpec {
+
+  test("every OLAP query runs and is non-empty at sf0.001") {
+    Olap.all.foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q1 aggregates are consistent with raw lineitem") {
+    val rows = Olap.q1PricingSummary.fn(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val raw = Tables.lineitem(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <= "1998-09-02").count()
+    assert(total == raw)
+  }
+
+  test("q6 filter is pushed to the parquet scan") {
+    val plan = Olap.q6ForecastRevenue.fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), s"no pushdown in:\n$plan")
+  }
+
+  test("q3 broadcast-joins the filtered customer dim") {
+    val plan = Olap.q3ShippingPriority.fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("sessionize: session count per user equals number of >30min gaps + 1") {
+    import org.apache.spark.sql.functions._
+    val sess = Olap.qSessionize.fn(spark, sfDir)
+      .groupBy("user_id").agg(max("sess_id").as("n_sess"))
+    val gaps = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .withColumn("gap", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .groupBy("user_id")
+        .agg((sum(when(col("gap") > 1800000000L, 1).otherwise(0)) + 1).as("expect"))
+    }
+    val joined = sess.join(gaps, "user_id")
+      .filter(col("n_sess") =!= col("expect"))
+    assert(joined.count() == 0)
+  }
+}
