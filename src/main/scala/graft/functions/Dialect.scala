@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MySQL to ANSI dialect translation, re-expressing the reference's
+  * `translate_sql` + `add_schema_name` plpython functions
+  * (`/root/reference/cdc_plpgsql_functions.sql:8-57`) as pure Catalyst
+  * expression chains (fully codegen'd, no UDFs) so translation of a DDL
+  * column distributes across executors for free.
+  *
+  * Semantics preserved from the reference:
+  *   - the statement is upper-cased first;
+  *   - `ENGINE=<x>` storage specs are stripped;
+  *   - backticks are stripped;
+  *   - `TINYINT(1)->SMALLINT`, `DOUBLE->FLOAT8`, `DATETIME->TIMESTAMP`,
+  *     `LONGBLOB->BYTEA`, `LONGTEXT->TEXT`;
+  *   - `(CREATE|DROP|ALTER) TABLE [IF EXISTS] <t>` is qualified with the
+  *     originating database as schema.
+  */
+object Dialect {
+
+  private val typeMap: Seq[(String, String)] = Seq(
+    "TINYINT\\(1\\)" -> "SMALLINT",
+    "DOUBLE" -> "FLOAT8",
+    "DATETIME" -> "TIMESTAMP",
+    "LONGBLOB" -> "BYTEA",
+    "LONGTEXT" -> "TEXT"
+  )
+
+  /** `translate_sql` analog (cdc_plpgsql_functions.sql:21-57). */
+  def translateSql(sql: Column): Column = {
+    val upperd = upper(sql)
+    val noEngine = regexp_replace(upperd, "\\bENGINE\\s*=\\s*\\S+", "")
+    val noTicks = regexp_replace(noEngine, "`", "")
+    typeMap.foldLeft(noTicks) { case (c, (from, to)) => regexp_replace(c, from, to) }
+  }
+
+  private val ddlTarget = "((?:CREATE|DROP|ALTER)\\s+TABLE(?:\\s+IF EXISTS)?)\\s+(\\w+)"
+
+  /** `add_schema_name` analog (cdc_plpgsql_functions.sql:8-18). Expects the
+    * already-upper-cased output of [[translateSql]]; `schema` is a column so
+    * the originating database can vary per row, as in the reference. */
+  def addSchemaName(schema: Column, sql: Column): Column =
+    regexp_replace(sql, lit(ddlTarget), concat(lit("$1 "), upper(schema), lit(".$2")))
+
+  /** Full pipeline: translate the dialect, then schema-qualify. */
+  def toAnsi(schema: Column, sql: Column): Column =
+    addSchemaName(schema, translateSql(sql))
+}

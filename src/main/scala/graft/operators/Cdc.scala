@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Dialect
+
+/** Batch CDC core — the reference's event model and `process_events()`
+  * replay semantics (`/root/reference/cdc_plpgsql_functions.sql:103-241`,
+  * `/root/reference/cdc_periodic_load.sql`) re-expressed as declarative
+  * Spark plans over the `events` table.
+  *
+  * Event model mapping (Maxwell-style op classification): `signup` rows act
+  * as INSERT, `error` rows as DELETE tombstones, everything else as UPDATE;
+  * `user_id` is the primary key, `(ts, event_id)` is the total event order,
+  * matching the reference's `ORDER BY ts ASC` replay with a deterministic
+  * tie-break the reference lacks.
+  *
+  * Scale notes: every keyed operator here shuffles ONCE on the primary key
+  * and expresses replay as a window/aggregation over that single exchange;
+  * at 100 TB the replica materialization is a linear scan + hash exchange,
+  * never a driver-side loop like the reference's row-at-a-time plpgsql.
+  */
+object Cdc {
+
+  /** Maxwell `type` classification (INSERT/UPDATE/DELETE). */
+  def opOf(eventType: Column): Column =
+    when(eventType === "signup", "insert")
+      .when(eventType === "error", "delete")
+      .otherwise("update")
+
+  private val opSql =
+    "CASE WHEN event_type = 'signup' THEN 'insert' WHEN event_type = 'error' THEN 'delete' ELSE 'update' END"
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Maxwell-style event parsing: JSON payload extraction plus the
+    * reference's sec-vs-ms timestamp normalization
+    * (`cdc_periodic_load.sql:5` checks length 13 and divides by 1000).
+    * Even event ids arrive as epoch-millis, odd ones as epoch-seconds; the
+    * normalizer recovers epoch-seconds for both. */
+  val cdcParse: QueryDef = QueryDef(
+    "cdc_parse",
+    (s, d) =>
+      ev(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          opOf(col("event_type")).as("op"),
+          when(col("event_id") % 2 === 0, unix_millis(col("ts")))
+            .otherwise(expr("unix_millis(ts) div 1000")).as("raw_ts")
+        , get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        .withColumn(
+          "ts_sec",
+          when(col("raw_ts") >= 100000000000L, expr("raw_ts div 1000")).otherwise(col("raw_ts"))
+        )
+        .select("event_id", "user_id", "op", "ts_sec", "prop_k")
+        .orderBy("event_id"),
+    Some(s"""
+      SELECT event_id, user_id,
+             $opSql AS op,
+             CASE WHEN raw_ts >= 100000000000 THEN raw_ts // 1000 ELSE raw_ts END AS ts_sec,
+             json_extract_string(props, '$$.k')::INT AS prop_k
+      FROM (
+        SELECT *,
+               CASE WHEN event_id % 2 = 0 THEN epoch_us(ts) // 1000
+                    ELSE epoch_us(ts) // 1000000 END AS raw_ts
+        FROM events)
+      ORDER BY event_id
+    """.stripMargin.trim)
+  )
+
+  /** events -> ordered changelog rows (seq, pk, op, ts, payload). */
+  val cdcChangelog: QueryDef = QueryDef(
+    "cdc_changelog",
+    (s, d) =>
+      ev(s, d)
+        .select(
+          col("event_id").as("seq"),
+          col("user_id").as("pk"),
+          opOf(col("event_type")).as("op"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value"), 2).as("payload_value")
+        )
+        .orderBy("seq"),
+    Some(s"""
+      SELECT event_id AS seq, user_id AS pk,
+             $opSql AS op,
+             epoch_us(ts) AS ts_us,
+             round(value, 2) AS payload_value
+      FROM events
+      ORDER BY seq
+    """.stripMargin.trim)
+  )
+
+  /** Event-archive rollup per (day, op) — the query shape served by the
+    * reference's month-partitioned `maxwell_event` archive
+    * (`maxwell_gpdb.sql:25-31`). */
+  val cdcArchiveStats: QueryDef = QueryDef(
+    "cdc_archive_stats",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          opOf(col("event_type")).as("op")
+        )
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("day", "op"),
+    Some(s"""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             $opSql AS op,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, op
+    """.stripMargin.trim)
+  )
+
+  /** The replica: latest state per primary key after replaying
+    * insert/update/delete in event order; keys whose final op is a DELETE
+    * tombstone vanish — exactly what `process_events()` leaves behind. */
+  val cdcSnapshot: QueryDef = QueryDef(
+    "cdc_snapshot",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && opOf(col("event_type")) =!= "delete")
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          opOf(col("event_type")).as("last_op"),
+          unix_micros(col("ts")).as("last_ts_us"),
+          round(col("value"), 2).as("last_value")
+        )
+        .orderBy("user_id")
+    },
+    Some(s"""
+      SELECT user_id, event_id AS last_event_id,
+             $opSql AS last_op,
+             epoch_us(ts) AS last_ts_us,
+             round(value, 2) AS last_value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
+  /** Partial-update merge: the reference's UPDATE only touches columns
+    * present in the event's `old` field (cdc_plpgsql_functions.sql:128-144).
+    * Model: `purchase` events carry column A, `click` events carry column B;
+    * the replica holds, per key, the most recent value of EACH column
+    * independently. One shuffle: filter to carriers, rank per (pk, column),
+    * pivot the rank-1 rows. */
+  val cdcSnapshotMerge: QueryDef = QueryDef(
+    "cdc_snapshot_merge",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val latestPerCol = ev(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("user_id"))
+        .agg(
+          round(max(when(col("event_type") === "purchase", col("value"))), 2).as("last_purchase_value"),
+          round(max(when(col("event_type") === "click", col("value"))), 2).as("last_click_value")
+        )
+      ev(s, d)
+        .select(col("user_id")).distinct()
+        .join(latestPerCol, Seq("user_id"), "left")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+      ), latest AS (
+        SELECT user_id,
+               round(max(CASE WHEN event_type = 'purchase' THEN value END), 2) AS last_purchase_value,
+               round(max(CASE WHEN event_type = 'click' THEN value END), 2) AS last_click_value
+        FROM ranked WHERE rn = 1 GROUP BY user_id
+      )
+      SELECT u.user_id, last_purchase_value, last_click_value
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN latest USING (user_id)
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
+  /** SCD type-2 history: every event becomes a version row with a
+    * [valid_from, valid_to) interval per key. */
+  val cdcScd2: QueryDef = QueryDef(
+    "cdc_scd2",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          opOf(col("event_type")).as("op"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"),
+          round(col("value"), 2).as("value")
+        )
+        .orderBy("user_id", "valid_from_us", "event_id")
+    },
+    Some(s"""
+      SELECT user_id, event_id,
+             $opSql AS op,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us,
+             round(value, 2) AS value
+      FROM events
+      ORDER BY user_id, valid_from_us, event_id
+    """.stripMargin.trim)
+  )
+
+  /** Audit: op mix + activity bounds per key. */
+  val cdcOpCounts: QueryDef = QueryDef(
+    "cdc_op_counts",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(opOf(col("event_type")) === "insert", 1).otherwise(0)).as("n_insert"),
+          sum(when(opOf(col("event_type")) === "update", 1).otherwise(0)).as("n_update"),
+          sum(when(opOf(col("event_type")) === "delete", 1).otherwise(0)).as("n_delete"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us")
+        )
+        .orderBy("user_id"),
+    Some(s"""
+      SELECT user_id,
+             sum(CASE WHEN $opSql = 'insert' THEN 1 ELSE 0 END) AS n_insert,
+             sum(CASE WHEN $opSql = 'update' THEN 1 ELSE 0 END) AS n_update,
+             sum(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS n_delete,
+             min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
+  /** Exactly-once repair: duplicate deliveries (at-least-once transport,
+    * like the reference's un-acked RabbitMQ redelivery) collapse by event
+    * identity. Simulated by doubling the stream. */
+  val cdcDedupEvents: QueryDef = QueryDef(
+    "cdc_dedup_events",
+    (s, d) => {
+      val e = ev(s, d).select("event_id", "user_id", "event_type")
+      e.unionAll(e)
+        .dropDuplicates("event_id")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT DISTINCT event_id, user_id, event_type
+      FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+      ORDER BY event_id
+    """.stripMargin.trim)
+  )
+
+  /** DDL translation: MySQL statements (CREATE/ALTER/DROP, as the reference
+    * handles in its TABLE-CREATE/ALTER/DROP branches) rendered per part row,
+    * then translated + schema-qualified via [[graft.functions.Dialect]]. */
+  val translateDdl: QueryDef = QueryDef(
+    "translate_ddl",
+    (s, d) => {
+      val ddl = when(
+        col("p_partkey") % 3 === 0,
+        concat(
+          lit("CREATE TABLE `part_"), col("p_partkey"),
+          lit("` (id INT, name LONGTEXT, price DOUBLE, created DATETIME, flag TINYINT(1), img LONGBLOB) ENGINE=InnoDB")
+        )
+      ).when(
+        col("p_partkey") % 3 === 1,
+        concat(lit("ALTER TABLE `part_"), col("p_partkey"), lit("` ADD COLUMN price DOUBLE"))
+      ).otherwise(concat(lit("DROP TABLE IF EXISTS `part_"), col("p_partkey"), lit("`")))
+      Tables.part(s, d)
+        .select(col("p_partkey"), ddl.as("mysql_ddl"))
+        .withColumn("ansi_ddl", Dialect.toAnsi(lit("music"), col("mysql_ddl")))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      WITH src AS (
+        SELECT p_partkey,
+               CASE
+                 WHEN p_partkey % 3 = 0 THEN 'CREATE TABLE `part_' || p_partkey ||
+                   '` (id INT, name LONGTEXT, price DOUBLE, created DATETIME, flag TINYINT(1), img LONGBLOB) ENGINE=InnoDB'
+                 WHEN p_partkey % 3 = 1 THEN 'ALTER TABLE `part_' || p_partkey || '` ADD COLUMN price DOUBLE'
+                 ELSE 'DROP TABLE IF EXISTS `part_' || p_partkey || '`'
+               END AS mysql_ddl
+        FROM part
+      ), translated AS (
+        SELECT p_partkey, mysql_ddl,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(upper(mysql_ddl), '\bENGINE\s*=\s*\S+', '', 'g'),
+                           '`', '', 'g'),
+                         'TINYINT\(1\)', 'SMALLINT', 'g'),
+                       'DOUBLE', 'FLOAT8', 'g'),
+                     'DATETIME', 'TIMESTAMP', 'g'),
+                   'LONGBLOB', 'BYTEA', 'g'),
+                 'LONGTEXT', 'TEXT', 'g') AS step1
+        FROM src
+      )
+      SELECT p_partkey, mysql_ddl,
+             regexp_replace(step1,
+               '((?:CREATE|DROP|ALTER)\s+TABLE(?:\s+IF EXISTS)?)\s+(\w+)',
+               '\1 MUSIC.\2') AS ansi_ddl
+      FROM translated
+      ORDER BY p_partkey
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
+    cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl
+  )
+}
