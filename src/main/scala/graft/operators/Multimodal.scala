@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns plus typed metadata. The real decode libraries are not
+  * in this container, so the decode step is a clearly-marked deterministic
+  * STUB — but the Spark-side plumbing (schema, typed Dataset, partition-wise
+  * batched processing, feature-vector output shape) is real and tested.
+  *
+  * `documents.text` re-cast to binary stands in for the payload column.
+  *
+  * Scale notes: [[mmFeatureStub]] uses `mapPartitions` with an internal
+  * batch loop — the Scala analog of `mapInPandas` batches — so a real
+  * decoder would amortize model/codec init per PARTITION, not per row; the
+  * operator is a narrow map (no shuffle) and streams batches of bounded
+  * size, which is exactly the shape needed for GPU/codec feeding at 100 TB.
+  */
+object Multimodal {
+
+  /** Typed record for the batched feature path. */
+  final case class MmRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Opaque payload + typed metadata (byte length, content digest, sniffed
+    * "magic" prefix digest) — the ingestion-side table layout for
+    * multimodal corpora. */
+  val mmBinaryMeta: QueryDef = QueryDef(
+    "mm_binary_meta",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("text").cast("binary").as("payload")
+        )
+        .select(
+          col("doc_id"),
+          col("source"),
+          length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("content_sha256"),
+          md5(substring(col("payload"), 1, 4)).as("magic_md5")
+        )
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, source,
+             octet_length(text::BLOB) AS byte_len,
+             sha256(text) AS content_sha256,
+             md5(substr(text, 1, 4)) AS magic_md5
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  /** Batch "decode -> feature extraction" over binary payloads.
+    *
+    * STUB DECODER: a real implementation would decode image/audio bytes
+    * here (e.g. JPEG -> pixels -> embedding); this container has no codec
+    * libraries, so the decoder computes deterministic byte statistics with
+    * the same signature a real decoder would have: Iterator[batch of
+    * records] -> Iterator[feature rows]. */
+  val mmFeatureStub: QueryDef = QueryDef(
+    "mm_feature_stub",
+    (s, d) => {
+      import s.implicits._
+      val ds: Dataset[MmRecord] = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[MmRecord]
+      val batchSize = 64
+      ds.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // --- stubbed decode: one call per BATCH, as a codec/model would be
+          batch.iterator.map { r =>
+            val codes = r.payload.map(b => (b & 0xff).toLong)
+            val n = codes.length
+            val mean = if (n == 0) 0.0 else codes.sum.toDouble / n
+            (r.doc_id, n.toLong,
+              BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              if (n == 0) 0L else codes.min,
+              if (n == 0) 0L else codes.max)
+          }
+        }
+      }.toDF("doc_id", "n_bytes", "mean_byte", "min_byte", "max_byte")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             octet_length(text::BLOB) AS n_bytes,
+             round(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::DOUBLE
+                   / octet_length(text::BLOB), 4) AS mean_byte,
+             list_min(list_transform(string_split(text, ''), c -> ascii(c)))::BIGINT AS min_byte,
+             list_max(list_transform(string_split(text, ''), c -> ascii(c)))::BIGINT AS max_byte
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub)
+}

