@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming CDC: the reference pipeline
+  * (Maxwell JSON -> RabbitMQ -> `maxwell_event` archive -> `process_events()`
+  * replica maintenance, `/root/reference/cdc_periodic_load.sql`) re-expressed
+  * as one continuous streaming plan instead of a poll loop.
+  *
+  * Scale notes: parsing is a narrow map; the replica state store shuffles
+  * once on the (database, table, pk) key and holds ONLY the latest row per
+  * key in the state store (bounded by live-key cardinality, not stream
+  * length); the archive sink partitions by event month exactly like the
+  * reference's range-partitioned `maxwell_event` table so time-ranged scans
+  * prune.
+  */
+object MaxwellStream {
+
+  /** Maxwell envelope schema (maxwell_gpdb.sql:15-22 pulls out ts/database/
+    * table/type and keeps the full JSON; `data`/`old` stay maps here).
+    * Maxwell `ts` is epoch-seconds for DML but epoch-millis for DDL
+    * (cdc_periodic_load.sql:5). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("ts", LongType),
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("type", StringType),
+    StructField("data", MapType(StringType, StringType)),
+    StructField("old", MapType(StringType, StringType)),
+    StructField("sql", StringType)
+  ))
+
+  /** Parse raw Maxwell JSON lines (batch or streaming DataFrame with a
+    * `value` string column) into the typed event columns. Mirrors the
+    * reference consumer's `[\t\r\n]+ -> space` scrub (rabbitmq.go:39,181)
+    * and the sec/ms timestamp normalization. */
+  def parse(lines: DataFrame): DataFrame = {
+    val cleaned = regexp_replace(col("value"), "[\\t\\r\\n]+", " ")
+    lines
+      .select(from_json(cleaned, eventSchema).as("e"))
+      .filter(col("e").isNotNull && col("e.ts").isNotNull)
+      .select(
+        timestamp_seconds(
+          when(col("e.ts") >= 100000000000L, expr("e.ts div 1000")).otherwise(col("e.ts"))
+        ).as("ts"),
+        col("e.database").as("database_name"),
+        col("e.table").as("table_name"),
+        lower(col("e.type")).as("op"),
+        col("e.data").as("data"),
+        col("e.old").as("old"),
+        col("e.sql").as("sql")
+      )
+  }
+
+  /** One parsed CDC record. */
+  final case class CdcRecord(
+      ts: java.sql.Timestamp,
+      database_name: String,
+      table_name: String,
+      op: String,
+      data: Map[String, String],
+      old: Map[String, String])
+
+  /** A replica state transition emitted by [[replicaChangelog]]. */
+  final case class StateChange(
+      database_name: String,
+      table_name: String,
+      pk: String,
+      op: String, // upsert | tombstone
+      state: Map[String, String],
+      ts: java.sql.Timestamp)
+
+  /** The `process_events()` replay as a streaming stateful operator:
+    * per (database, table, pk) the store holds the current row; INSERTs
+    * replace it, UPDATEs merge only the changed columns onto it (the
+    * reference applies only the keys present in `old`,
+    * cdc_plpgsql_functions.sql:128-144), DELETEs emit a tombstone and clear
+    * state. Emits the post-image changelog. */
+  def replicaChangelog(parsed: DataFrame, pkColumn: String = "id"): Dataset[StateChange] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .select("ts", "database_name", "table_name", "op", "data", "old")
+      .as[CdcRecord]
+      .filter(r => r.data != null && r.data.contains(pkColumn) &&
+        (r.op == "insert" || r.op == "update" || r.op == "delete"))
+      .groupByKey(r => (r.database_name, r.table_name, r.data(pkColumn)))
+      .flatMapGroupsWithState[Map[String, String], StateChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((db, table, pk), records, state) =>
+          // Events within a micro-batch are applied in ts order (the
+          // reference replays `ORDER BY ts ASC`).
+          val ordered = records.toSeq.sortBy(r => (r.ts.getTime, r.op))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StateChange]
+          var cur = state.getOption.getOrElse(Map.empty[String, String])
+          ordered.foreach { r =>
+            r.op match {
+              case "insert" =>
+                cur = r.data
+                out += StateChange(db, table, pk, "upsert", cur, r.ts)
+              case "update" =>
+                val changedKeys: Set[String] =
+                  if (r.old != null && r.old.nonEmpty) r.old.keySet else r.data.keySet
+                cur = cur ++ r.data.view.filterKeys(changedKeys).toMap
+                out += StateChange(db, table, pk, "upsert", cur, r.ts)
+              case "delete" =>
+                cur = Map.empty
+                out += StateChange(db, table, pk, "tombstone", Map.empty[String, String], r.ts)
+            }
+          }
+          if (cur.isEmpty) state.remove() else state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** The event archive: append-mode parquet sink partitioned by event month,
+    * the analog of the reference's month-range-partitioned `maxwell_event`
+    * (maxwell_gpdb.sql:25-31). Returns the started query. */
+  def startArchive(parsed: DataFrame, outDir: String, checkpointDir: String) =
+    parsed
+      .withColumn("event_month", date_format(col("ts"), "yyyy-MM"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_month")
+      .outputMode(OutputMode.Append())
+
+  /** Watermarked tumbling-window op counts over the CDC stream — the
+    * monitoring query the reference approximates with poll scripts. */
+  def windowedOpCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("database_name"), col("table_name"), col("op"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("database_name"), col("table_name"), col("op"), col("n_events")
+      )
+
+  /** Idempotent replica maintenance via foreachBatch: each micro-batch of
+    * state changes is de-duplicated per key (latest wins) and merged into a
+    * parquet replica directory. At scale the same foreachBatch body targets
+    * a MERGE-capable table format; plain parquet is rewritten per batch
+    * here. */
+  def applyBatchToReplica(batch: Dataset[StateChange], replicaDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val latest = batch
+      .groupByKey(c => (c.database_name, c.table_name, c.pk))
+      .reduceGroups((a, b) => if (a.ts.compareTo(b.ts) >= 0) a else b)
+      .map(_._2)
+    val existing =
+      try spark.read.parquet(replicaDir).as[StateChange]
+      catch { case _: Exception => spark.emptyDataset[StateChange] }
+    val merged = existing
+      .union(latest)
+      .groupByKey(c => (c.database_name, c.table_name, c.pk))
+      .reduceGroups((a, b) => if (a.ts.compareTo(b.ts) >= 0) a else b)
+      .map(_._2)
+      .filter(c => c.op != "tombstone")
+      .cache()
+    merged.count() // materialize before overwrite reads the old files
+    merged.write.mode("overwrite").parquet(replicaDir + ".tmp")
+    merged.unpersist()
+    // atomic-ish swap: re-point by rewriting the target
+    val tmp = spark.read.parquet(replicaDir + ".tmp")
+    tmp.write.mode("overwrite").parquet(replicaDir)
+  }
+}

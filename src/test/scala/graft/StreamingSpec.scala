@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.MaxwellStream
+
+class StreamingSpec extends SparkSpec {
+
+  private def jsonEvents: Seq[String] = Seq(
+    """{"database":"music","table":"album","type":"insert","ts":1522558000,"data":{"id":1,"title":"Nevermind","artist":"Nirvana"}}""",
+    """{"database":"music","table":"album","type":"insert","ts":1522558010,"data":{"id":2,"title":"In Utero","artist":"Nirvana"}}""",
+    "\t{\"database\":\"music\",\"table\":\"album\",\"type\":\"update\",\"ts\":1522558020,\"data\":{\"id\":1,\"title\":\"Nevermind (Remastered)\",\"artist\":\"Nirvana\"},\"old\":{\"title\":\"Nevermind\"}}",
+    // DDL event: millisecond ts (cdc_periodic_load.sql:5)
+    """{"database":"music","table":"album","type":"table-alter","ts":1522558030000,"sql":"ALTER TABLE album ADD COLUMN price DOUBLE"}""",
+    """{"database":"music","table":"album","type":"delete","ts":1522558040,"data":{"id":2,"title":"In Utero","artist":"Nirvana"}}"""
+  )
+
+  test("parse: Maxwell envelope, tab scrub, sec/ms ts normalization") {
+    import spark.implicits._
+    val parsed = MaxwellStream.parse(jsonEvents.toDF("value")).collect()
+    assert(parsed.length == 5)
+    val ddl = parsed.find(_.getAs[String]("op") == "table-alter").get
+    // ms ts normalized to the same second scale as the DML events
+    assert(ddl.getAs[java.sql.Timestamp]("ts").getTime == 1522558030000L)
+    val ins = parsed.find(r => r.getAs[String]("op") == "insert").get
+    assert(ins.getAs[Map[String, String]]("data")("title") == "Nevermind")
+    assert(ins.getAs[Map[String, String]]("data")("id") == "1")
+  }
+
+  test("replicaChangelog: insert/partial-update/delete replay via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val changes = MaxwellStream.replicaChangelog(MaxwellStream.parse(mem.toDF().toDF("value")))
+    val q = changes.writeStream.format("memory").queryName("changes").outputMode("append").start()
+    try {
+      mem.addData(jsonEvents.take(3): _*) // two inserts + one partial update
+      q.processAllAvailable()
+      mem.addData(jsonEvents.drop(3): _*) // ddl (ignored) + delete of id=2
+      q.processAllAvailable()
+      val rows = spark.table("changes").collect()
+      // 2 inserts + 1 update + 1 tombstone; the DDL row carries no data/pk
+      assert(rows.length == 4)
+      val upd = rows.filter(r => r.getAs[String]("op") == "upsert" && r.getAs[String]("pk") == "1")
+        .maxBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+      val merged = upd.getAs[Map[String, String]]("state")
+      assert(merged("title") == "Nevermind (Remastered)")
+      assert(merged("artist") == "Nirvana") // untouched column survives the partial update
+      val tomb = rows.filter(_.getAs[String]("op") == "tombstone")
+      assert(tomb.length == 1 && tomb.head.getAs[String]("pk") == "2")
+    } finally q.stop()
+  }
+
+  test("state store carries replica across micro-batches (update before insert batch boundary)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val changes = MaxwellStream.replicaChangelog(MaxwellStream.parse(mem.toDF().toDF("value")))
+    val q = changes.writeStream.format("memory").queryName("changes2").outputMode("append").start()
+    try {
+      mem.addData("""{"database":"d","table":"t","type":"insert","ts":100,"data":{"id":"7","a":"1","b":"x"}}""")
+      q.processAllAvailable()
+      mem.addData("""{"database":"d","table":"t","type":"update","ts":200,"data":{"id":"7","a":"2","b":"x"},"old":{"a":"1"}}""")
+      q.processAllAvailable()
+      val last = spark.table("changes2").collect().maxBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+      val st = last.getAs[Map[String, String]]("state")
+      assert(st("a") == "2" && st("b") == "x")
+    } finally q.stop()
+  }
+
+  test("windowedOpCounts aggregates ops per hour window with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = MaxwellStream.windowedOpCounts(MaxwellStream.parse(mem.toDF().toDF("value")))
+    val q = agg.writeStream.format("memory").queryName("opcounts").outputMode("complete").start()
+    try {
+      mem.addData(jsonEvents: _*)
+      q.processAllAvailable()
+      val rows = spark.table("opcounts").collect()
+      val inserts = rows.find(_.getAs[String]("op") == "insert").get
+      assert(inserts.getAs[Long]("n_events") == 2)
+    } finally q.stop()
+  }
+
+  test("archive sink partitions by event month; replica merge is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_archive").toString
+    val mem = MemoryStream[String]
+    val q = MaxwellStream
+      .startArchive(MaxwellStream.parse(mem.toDF().toDF("value")), s"$dir/data", s"$dir/ckpt")
+      .start()
+    try {
+      mem.addData(jsonEvents: _*)
+      q.processAllAvailable()
+      val written = spark.read.parquet(s"$dir/data")
+      assert(written.count() == 5)
+      assert(written.columns.contains("event_month"))
+    } finally q.stop()
+
+    // replica merge: applying the same state-change batch twice is a no-op
+    val replicaDir = s"$dir/replica"
+    val batch = Seq(
+      MaxwellStream.StateChange("d", "t", "1", "upsert", Map("id" -> "1", "v" -> "a"),
+        new java.sql.Timestamp(1000)),
+      MaxwellStream.StateChange("d", "t", "2", "upsert", Map("id" -> "2", "v" -> "b"),
+        new java.sql.Timestamp(2000))
+    ).toDS()
+    MaxwellStream.applyBatchToReplica(batch, replicaDir)
+    MaxwellStream.applyBatchToReplica(batch, replicaDir)
+    val replica = spark.read.parquet(replicaDir)
+    assert(replica.count() == 2)
+    val tomb = Seq(MaxwellStream.StateChange("d", "t", "1", "tombstone",
+      Map.empty[String, String], new java.sql.Timestamp(3000))).toDS()
+    MaxwellStream.applyBatchToReplica(tomb, replicaDir)
+    assert(spark.read.parquet(replicaDir).count() == 1)
+  }
+}
