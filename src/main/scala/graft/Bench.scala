@@ -9,10 +9,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // collect_set aggregations fall back to sort-based after 128 keys by
+      // default; our set-building groupBys have thousands of small groups.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated filter for profiling individual queries.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      selected.foreach { case (n, fn) =>
+        println(s"=== $n"); fn(spark, sfDir).explain("formatted")
+      }
+    val results = selected.map { case (name, fn) =>
+      System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

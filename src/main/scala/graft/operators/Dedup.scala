@@ -13,14 +13,19 @@ import graft.{QueryDef, Tables}
   * are degenerate (most long docs contain the whole vocabulary); 3-gram
   * shingles keep word order and are discriminative.
   *
-  * Shared deterministic token hash H(t) = first 8 hex chars of md5(t) as a
-  * uint32 — reproducible across engines and runs (no Random), which is what
-  * makes MinHash signatures stable under retries/speculative execution.
+  * Shared deterministic token hashes derived from md5 prefixes —
+  * reproducible across engines and runs (no Random), which is what makes
+  * MinHash signatures stable under retries/speculative execution. Set
+  * similarity is computed over 60-bit shingle hashes instead of the shingle
+  * strings themselves: both engines hash identically (so oracle parity
+  * holds exactly), and the pair-wise set operations move/compare 8-byte
+  * longs instead of ~40-byte strings.
   *
   * Scale notes: exact dedup is a hash-aggregate (one shuffle). MinHash
-  * signatures are per-row collection expressions (no shuffle, codegen'd);
-  * LSH banding turns pair discovery into an equi-join on (band, key) — never
-  * O(n^2). The blocked variants bound their block sizes by construction.
+  * signatures are a codegen'd explode + 64 partial min-aggregates; LSH
+  * banding turns pair discovery into an id-only equi-join on (band, key) —
+  * never O(n^2) and never shuffling payload arrays. The blocked variants
+  * bound their block sizes by construction.
   */
 object Dedup {
 
@@ -40,12 +45,80 @@ object Dedup {
     ).otherwise(array().cast("array<string>"))
   }
 
-  /** H(t): first 8 md5 hex chars as uint32 (0 .. 2^32-1). */
+  /** H32(t): first 8 md5 hex chars as uint32. Used where the hash VALUE is
+    * part of the operator's output contract (SimHash) and must therefore be
+    * reproducible in the oracle engine. */
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")
 
+  /** Fast 31-bit positive token hash for INTERNAL MinHash permutations —
+    * native codegen'd xxhash64 (~10x cheaper than md5+conv). Never appears
+    * in output: LSH candidate generation only needs determinism, not
+    * cross-engine reproducibility. */
+  def tokenHashFast(t: Column): Column =
+    xxhash64(t).bitwiseAND(lit(0x7FFFFFFFL))
+
+  /** DuckDB rendering of a hashed shingle set of `text`: md5-prefix 60-bit
+    * identities. The Spark side hashes with xxhash64 instead — Jaccard over
+    * hashed sets equals Jaccard over the string sets for ANY collision-free
+    * hash, and collision odds (~n^2/2^61 per pair) are negligible, so the
+    * two engines agree on every jac value. */
+  private val duckShingleHashes =
+    """list_distinct(list_transform(
+      |  list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |    i -> t[i] || '_' || t[i+1] || '_' || t[i+2])),
+      |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))""".stripMargin
+
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"), shingles(col("text")).as("sh"))
+
+  /** The (doc_id, shingle) token stream as a typed flatMap.
+    *
+    * NOT `explode(shingles(text))`: Spark's Generate re-evaluates the
+    * generator child expression once per OUTPUT row, turning shingle
+    * construction into an O(tokens^2)-per-doc blowup (measured 15 s vs
+    * 0.2 s on sf0.1, and no Project/Exchange barrier stops the re-inline
+    * because column pruning prefers shuffling the smaller `text`). The
+    * typed flatMap runs the shingle loop exactly once per document.
+    * Semantics match [[shingles]]: lower-case, single-space split with
+    * trailing empties kept, distinct 3-grams joined by '_'. */
+  private def shingleTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        if (toks.length < 3) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i <= toks.length - 3) {
+            seen += (toks(i) + "_" + toks(i + 1) + "_" + toks(i + 2))
+            i += 1
+          }
+          seen.iterator.map(t => (id, t))
+        }
+      }
+      .toDF("doc_id", "tok")
+  }
+
+  /** (doc_id, lang, source, hsh): xxhash64 shingle-set identities.
+    *
+    * Built from the flatMap token stream + `collect_set`, NOT
+    * `transform(sh, xxhash64)`: higher-order functions evaluate
+    * interpreted (~1us/element), which costs seconds per corpus pass,
+    * while the token stream + hash + set-aggregate path is codegen'd
+    * end-to-end (one shuffle of 8-byte hashes). */
+  private def docHashedShingles(s: SparkSession, d: String): DataFrame = {
+    val sets = shingleTokens(s, d)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hsh"))
+    sets.join(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+      "doc_id")
+  }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -73,22 +146,23 @@ object Dedup {
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => {
-      val a = docShingles(s, d).select(col("lang"), col("source"), col("doc_id").as("id1"), col("sh").as("sh1"))
-      val b = docShingles(s, d).select(col("lang"), col("source"), col("doc_id").as("id2"), col("sh").as("sh2"))
+      val a = docHashedShingles(s, d).select(col("lang"), col("source"), col("doc_id").as("id1"), col("hsh").as("h1"))
+      val b = docHashedShingles(s, d).select(col("lang"), col("source"), col("doc_id").as("id2"), col("hsh").as("h2"))
       val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("jac").desc, col("id1"), col("id2"))
       a.join(b, Seq("lang", "source"))
         .filter(col("id1") < col("id2"))
-        .withColumn("jac", jaccard(col("sh1"), col("sh2")))
+        .withColumn("jac", jaccard(col("h1"), col("h2")))
+        // project the hash arrays away BEFORE the window: otherwise the
+        // rank sort buffers ~3.5 KB of arrays per pair
+        .select(col("lang"), col("source"), col("id1"), col("id2"), col("jac"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("lang"), col("source"), col("id1"), col("id2"), round(col("jac"), 6).as("jac"), col("rn"))
         .orderBy("lang", "source", "rn")
     },
-    Some("""
+    Some(s"""
       WITH sh AS (
-        SELECT doc_id, lang, source,
-               list_distinct(list_transform(generate_series(1, len(t) - 2),
-                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS s
+        SELECT doc_id, lang, source, $duckShingleHashes AS s
         FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM documents)
       ), pairs AS (
         SELECT a.lang, a.source, a.doc_id AS id1, b.doc_id AS id2,
@@ -105,13 +179,17 @@ object Dedup {
 
   /** MinHash signature + LSH banding + exact-Jaccard confirmation.
     *
-    * sig[i] = min over shingles of (a_i*H(t)+b_i mod P); 16 bands of 4 rows
-    * hashed to band keys; docs sharing any band key become candidate pairs;
-    * candidates are confirmed by exact Jaccard >= 0.8. At tau=0.8 the miss
-    * probability per true pair is (1-0.8^4)^16 ~ 2e-4 (0 for exact dups),
-    * so the confirmed output equals the brute-force oracle. The oracle IS
-    * brute force — the whole point of LSH is reproducing it without the
-    * O(n^2) join. */
+    * sig[i] = min over shingles of (a_i*H32(t)+b_i mod P); 16 bands of 4
+    * rows hashed to band keys; docs sharing any band key become candidate
+    * pairs; candidates are confirmed by exact Jaccard >= 0.8 over the
+    * hashed shingle sets. At tau=0.8 the per-pair miss probability is
+    * (1-0.8^4)^16 ~ 2e-4 (0 for exact dups), so the confirmed output equals
+    * the brute-force oracle. The oracle IS brute force — the whole point of
+    * LSH is reproducing it without the O(n^2) join.
+    *
+    * Plan shape: explode(shingles) -> 64 partial min-aggregates (codegen'd,
+    * map-side combined) -> 16 id-only band rows per doc -> equi-join on
+    * (band, key) -> distinct id pairs -> re-join hashed sets -> confirm. */
   val dedupMinhashLsh: QueryDef = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => {
@@ -121,40 +199,38 @@ object Dedup {
       def aCoef(i: Int): Long = ((i.toLong * 2654435761L + 1L) % (P - 1)) + 1 // in [1, P-1]
       def bCoef(i: Int): Long = (i.toLong * 40503L + 7L) % P
 
-      val sigCols: Column = array((0 until nHashes).map { i =>
-        array_min(transform(col("sh"), t => (lit(aCoef(i)) * tokenHash(t) + lit(bCoef(i))) % P))
-      }: _*)
+      val tokenRows = shingleTokens(s, d)
+        .select(col("doc_id"), tokenHashFast(col("tok")).as("h"))
+      val minAggs = (0 until nHashes).map(i => min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P).as(s"m$i"))
+      val sig = tokenRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
 
-      val withSig = docShingles(s, d)
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("sh"), sigCols.as("sig"))
-
-      val bands = withSig.select(
+      val bands = sig.select(
         col("doc_id"),
-        col("sh"),
         posexplode(
           array((0 until nBands).map { bIdx =>
-            md5(concat_ws(",", (0 until bandRows).map(r => element_at(col("sig"), bIdx * bandRows + r + 1)): _*))
+            md5(concat_ws(",", (0 until bandRows).map(r => col(s"m${bIdx * bandRows + r}")): _*))
           }: _*)
         ).as(Seq("band_idx", "band_key"))
       )
 
-      val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id1"), col("sh").as("sh1"))
-      val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id2"), col("sh").as("sh2"))
-      a.join(b, Seq("band_idx", "band_key"))
+      val candidates = bands.as("a")
+        .join(bands.as("b"), Seq("band_idx", "band_key"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .filter(col("id1") < col("id2"))
-        .select("id1", "id2", "sh1", "sh2")
         .dropDuplicates("id1", "id2")
-        .withColumn("jac", jaccard(col("sh1"), col("sh2")))
+
+      val hsh = docHashedShingles(s, d).select(col("doc_id"), col("hsh"))
+      candidates
+        .join(hsh.select(col("doc_id").as("id1"), col("hsh").as("h1")), "id1")
+        .join(hsh.select(col("doc_id").as("id2"), col("hsh").as("h2")), "id2")
+        .withColumn("jac", jaccard(col("h1"), col("h2")))
         .filter(col("jac") >= 0.8)
         .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac"))
         .orderBy("id1", "id2")
     },
-    Some("""
+    Some(s"""
       WITH sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(generate_series(1, len(t) - 2),
-                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS s
+        SELECT doc_id, $duckShingleHashes AS s
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
         WHERE len(t) >= 3
       )
@@ -166,13 +242,12 @@ object Dedup {
     """.stripMargin.trim)
   )
 
-  /** 32-bit SimHash over shingles: per-bit voting on H(t), one explode +
+  /** 32-bit SimHash over shingles: per-bit voting on H32(t), one explode +
     * partially-aggregated groupBy (map-side combine keeps the shuffle tiny). */
   val dedupSimhash: QueryDef = QueryDef(
     "dedup_simhash",
     (s, d) => {
-      val exploded = docShingles(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("tok"))
+      val exploded = shingleTokens(s, d)
         .withColumn("h", tokenHash(col("tok")))
       val voteCols = (0 until 32).map(bit => sum(expr(s"(shiftright(h, $bit) & 1) * 2 - 1")).as(s"v$bit"))
       val votes = exploded

@@ -12,19 +12,24 @@ import graft.{QueryDef, Tables}
   * (`zip_with` + `aggregate`): elements are cast to double BEFORE the
   * multiply and summed left-to-right, which is the same evaluation order
   * DuckDB's `list_sum(list_transform(...))` uses — so cosines are
-  * bit-identical across engines and safe to rank on.
+  * bit-identical across engines and safe to rank on. Norms are computed
+  * ONCE per vector (not per pair) and joined into the pair stream.
   *
   * Scale path: the brute-force variant broadcasts the (small) query set and
   * linearly scans the corpus — embarrassingly parallel, no shuffle on the
   * corpus side, exactly how you'd do 100 TB x 1k queries. For corpus x
   * corpus similarity the LSH variant buckets by random-hyperplane signs so
-  * candidate generation is an equi-join, never a cross join.
+  * candidate generation is an id-only equi-join, never a cross join, and
+  * embeddings are re-joined only for surviving candidates.
   */
 object Similarity {
 
   val Dim = 64
 
-  /** Left-to-right double dot product of two float vectors. */
+  /** Left-to-right double dot product of two numeric vectors. (An unrolled
+    * 64-term expression was measured SLOWER: it blows past codegen's method
+    * split and falls back to per-term interpretation; the HOF fold with
+    * pre-cast double arrays is the fastest formulation measured.) */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -32,10 +37,31 @@ object Similarity {
       (acc, v) => acc + v
     )
 
+  /** Same fold, for vectors already cast to array<double>. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** (vec_id, embedding, nrm): per-vector L2 norm computed once. (Pre-
+    * casting the whole array to double was also measured slower — wider
+    * shuffle rows — so pairs carry the float arrays.) */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(
+      col("vec_id"),
+      col("label"),
+      col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm")
+    )
+
+  /** cosine from a precomputed-norm pair: dot / (nrm1 * nrm2) —
+    * algebraically identical to [[cosine]] (same multiply/fold order,
+    * so bit-identical to the oracle's expression). */
+  private def cosPre(v1: Column, v2: Column, n1: Column, n2: Column): Column =
+    dot(v1, v2) / (n1 * n2)
 
   /** Exact top-5 cosine neighbors for a fixed query set (vec_id < 8) over
     * the rest of the corpus. Queries are broadcast; the corpus is scanned
@@ -43,28 +69,32 @@ object Similarity {
   val annBruteforce: QueryDef = QueryDef(
     "ann_bruteforce",
     (s, d) => {
-      val q = emb(s, d).filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = emb(s, d).filter(col("vec_id") >= 8)
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val base = withNorm(s, d)
+      val q = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val c = base.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
       c.crossJoin(broadcast(q))
-        .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
     },
     Some(s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings
+      ),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn FROM n WHERE vec_id >= 8),
       scored AS (
         SELECT query_id, neighbor_id,
                round(
                  list_sum(list_transform(generate_series(1, $Dim), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
-                 / (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
-                  * sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))),
-               6) AS cos
+                 / (qn * cn), 6) AS cos
         FROM c CROSS JOIN q
       )
       SELECT query_id, rank, neighbor_id, cos
@@ -80,27 +110,30 @@ object Similarity {
   val dedupEmbedding: QueryDef = QueryDef(
     "dedup_embedding",
     (s, d) => {
-      val a = emb(s, d).select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
-      val b = emb(s, d).select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
+      val base = withNorm(s, d)
+      val a = base.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+      val b = base.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
       val w = Window.partitionBy(col("label")).orderBy(col("cos").desc, col("id1"), col("id2"))
       a.join(b, Seq("label"))
         .filter(col("id1") < col("id2"))
-        .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+        .withColumn("cos", round(cosPre(col("v1"), col("v2"), col("n1"), col("n2")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("label"), col("rn"), col("id1"), col("id2"), col("cos"))
         .orderBy("label", "rn")
     },
     Some(s"""
-      WITH e AS (SELECT label, vec_id, embedding FROM embeddings),
+      WITH n AS (
+        SELECT label, vec_id, embedding,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings
+      ),
       pairs AS (
         SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
                round(
                  list_sum(list_transform(generate_series(1, $Dim), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-                 / (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-                  * sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
-               6) AS cos
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                 / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       )
       SELECT label, rn, id1, id2, cos
       FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, id1, id2) AS rn
@@ -110,11 +143,11 @@ object Similarity {
     """.stripMargin.trim)
   )
 
-  /** Random-hyperplane LSH: 10 deterministic pseudo-random hyperplanes give
-    * a 10-bit bucket signature; neighbor candidates share the bucket, top-3
-    * within bucket. Candidate generation is an equi-join on the bucket key —
-    * the scale path for corpus x corpus ANN. Approximate by construction, so
-    * no SQL oracle; the spec asserts recall against [[annBruteforce]]. */
+  /** Random-hyperplane LSH: 8 deterministic hash tables of 4 hyperplanes
+    * each give 16-bucket signatures; neighbor candidates share a bucket in
+    * any table (id-only join, then de-dup, then vector re-join), top-3 by
+    * cosine within candidates. Approximate by construction, so no SQL
+    * oracle; the spec asserts recall against [[annBruteforce]]. */
   val annLsh: QueryDef = QueryDef(
     "ann_lsh",
     (s, d) => {
@@ -125,8 +158,11 @@ object Similarity {
       def w(t: Int, p: Int, i: Int): Double =
         ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
           .toDouble / 1000003.0 - 0.5
+      // Hyperplanes as ARRAY LITERALS dotted via the HOF fold: an unrolled
+      // per-dimension expression (2048 terms) was measured far slower — the
+      // generated code blows up Janino compile time per JVM.
       def planeDot(t: Int, p: Int): Column =
-        (0 until Dim).map(i => element_at(col("embedding"), i + 1).cast("double") * lit(w(t, p, i))).reduce(_ + _)
+        dot(col("embedding"), typedLit((0 until Dim).map(i => w(t, p, i))))
       def bucket(t: Int): Column =
         (0 until nPlanes)
           .map(p => when(planeDot(t, p) >= 0, lit(1 << p)).otherwise(lit(0)))
@@ -134,17 +170,20 @@ object Similarity {
 
       val bucketed = emb(s, d).select(
         col("vec_id"),
-        col("embedding"),
         posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("table_id", "bucket"))
       )
-      val a = bucketed.select(col("table_id"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val b = bucketed.select(col("table_id"), col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      val win = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-      a.join(b, Seq("table_id", "bucket"))
+      val candidates = bucketed.as("a")
+        .join(bucketed.as("b"), Seq("table_id", "bucket"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates("query_id", "neighbor_id")
-        .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+
+      val vecs = withNorm(s, d)
+      val win = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      candidates
+        .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn")), "query_id")
+        .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn")), "neighbor_id")
+        .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
         .withColumn("rank", row_number().over(win))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
