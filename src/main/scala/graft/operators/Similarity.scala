@@ -26,20 +26,14 @@ object Similarity {
 
   val Dim = 64
 
-  /** Left-to-right double dot product of two numeric vectors. (An unrolled
-    * 64-term expression was measured SLOWER: it blows past codegen's method
-    * split and falls back to per-term interpretation; the HOF fold with
-    * pre-cast double arrays is the fastest formulation measured.) */
+  /** Left-to-right double dot product of two float vectors, as the native
+    * codegen'd [[graft.plans.FloatVecDot]] expression. The HOF formulation
+    * (`aggregate(zip_with(...))`) evaluates interpreted and allocates per
+    * row; an unrolled 64-term expression was even worse (Janino blowup).
+    * The custom expression keeps the identical left-to-right fold, so
+    * values stay bit-identical to the DuckDB oracle. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
-
-  /** Same fold, for vectors already cast to array<double>. */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorExpressions.floatDot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
