@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Extended analytics surface: additional query shapes Greenplum serves in
+  * the reference architecture — quantile bucketing, exact distincts,
+  * correlated aggregates, ratio-to-report, event gaps, and set operations.
+  */
+object AnalyticsExt {
+
+  /** Quartile bucketing within groups (ntile window). */
+  val qNtile: QueryDef = QueryDef(
+    "q_ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price")
+        )
+        .orderBy("o_orderpriority", "quartile")
+    },
+    Some("""
+      SELECT o_orderpriority, quartile, count(*) AS n_orders,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM (SELECT o_orderpriority, o_totalprice,
+                   ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+            FROM orders)
+      GROUP BY o_orderpriority, quartile
+      ORDER BY o_orderpriority, quartile
+    """.stripMargin.trim)
+  )
+
+  /** Exact distinct counting per group (the shape approx sketches replace at
+    * scale; exact here so the oracle can hash-match). */
+  val qDistinctUsers: QueryDef = QueryDef(
+    "q_distinct_users",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value")
+        )
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim)
+  )
+
+  /** Correlated aggregate: customers above their nation's average balance.
+    * Spark-first: the correlation is decorrelated explicitly into a
+    * broadcast join against the per-nation aggregate. */
+  val qCorrSubquery: QueryDef = QueryDef(
+    "q_corr_subquery",
+    (s, d) => {
+      val navg = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(avg(col("c_acctbal")).as("nation_avg"))
+      Tables.customer(s, d)
+        .join(broadcast(navg), Seq("c_nationkey"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey
+    """.stripMargin.trim)
+  )
+
+  /** Ratio-to-report: each nation's share of yearly revenue (window sum as
+    * the denominator; numerator rounded first so both engines divide the
+    * same doubles). */
+  val qMarketShare: QueryDef = QueryDef(
+    "q_market_share",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      val w = Window.partitionBy(col("order_year"))
+      rev
+        .withColumn("share", round(col("revenue") / sum(col("revenue")).over(w), 6))
+        .orderBy("order_year", "n_name")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT year(o_orderdate) AS order_year, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+      )
+      SELECT order_year, n_name, revenue,
+             round(revenue / sum(revenue) OVER (PARTITION BY order_year), 6) AS share
+      FROM rev
+      ORDER BY order_year, n_name
+    """.stripMargin.trim)
+  )
+
+  /** Inter-event gap: days between each customer's first and second order. */
+  val qFirstOrderGap: QueryDef = QueryDef(
+    "q_first_order_gap",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .filter(col("rn") === 1 && col("next_date").isNotNull)
+        .select(
+          col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("first_us"),
+          unix_micros(col("next_date").cast("timestamp")).as("second_us"),
+          ((unix_micros(col("next_date").cast("timestamp")) -
+            unix_micros(col("o_orderdate").cast("timestamp"))) / lit(86400000000L))
+            .cast("long").as("gap_days")
+        )
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey,
+             epoch_us(o_orderdate) AS first_us,
+             epoch_us(next_date) AS second_us,
+             (epoch_us(next_date) - epoch_us(o_orderdate)) // 86400000000 AS gap_days
+      FROM (SELECT o_custkey, o_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
+            FROM orders)
+      WHERE rn = 1 AND next_date IS NOT NULL
+      ORDER BY o_custkey
+    """.stripMargin.trim)
+  )
+
+  /** Set operation: customers active in both the first and last order year. */
+  val qSetOps: QueryDef = QueryDef(
+    "q_set_ops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val early = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val late = o.filter(year(col("o_orderdate")) === 2001).select(col("o_custkey"))
+      early.intersect(late).orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+      ORDER BY o_custkey
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps
+  )
+}
