@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Scale-pattern operators: plan shapes that only matter at 100 TB, with
+  * results that stay oracle-checkable at any SF.
+  */
+object ScalePatterns {
+
+  /** Skew-resilient fact/dim join via key salting.
+    *
+    * The fact side gets a deterministic salt in [0, S); the dim side is
+    * replicated S times; the join key becomes (key, salt). The RESULT is
+    * identical to the plain join — salting only changes the partitioning —
+    * so the oracle is the unsalted SQL join. At 100 TB this is the pattern
+    * for hot keys that overwhelm a single reducer; here S=8.
+    * (AQE's skew-join handles moderate skew automatically; explicit salting
+    * is the deterministic fallback when one key exceeds every split
+    * threshold.) */
+  val qSkewJoinSalted: QueryDef = QueryDef(
+    "q_skew_join_salted",
+    (s, d) => {
+      val S = 8
+      val fact = Tables.events(s, d)
+        .select(col("user_id"), col("value"), col("event_id"))
+        .withColumn("salt", pmod(col("event_id"), lit(S)).cast("int"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      fact
+        .join(dim, Seq("user_id", "salt"))
+        .groupBy(col("user_id"), col("c_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, c_name, c_mktsegment,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events
+      JOIN customer ON user_id = c_custkey
+      GROUP BY user_id, c_name, c_mktsegment
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
+  /** ANALYZE-style per-column statistics — the Spark-side analog of the
+    * reference's `maintenance_gpdb.sh` (vacuum/analyzedb upkeep): row
+    * counts, null counts, distinct counts, and min/max rendered per column.
+    * One pass over the table, one aggregate. */
+  val cdcTableStats: QueryDef = QueryDef(
+    "cdc_table_stats",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val stats = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).as("nulls_status"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date")
+      )
+      stats
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nulls_status,
+             count(DISTINCT o_orderstatus) AS nd_status,
+             count(DISTINCT o_custkey) AS nd_custkey,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+      FROM orders
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(qSkewJoinSalted, cdcTableStats)
+}
