@@ -55,6 +55,26 @@ object MaxwellStream {
       )
   }
 
+  /** Render a generic event table as Maxwell JSON lines — the inverse of
+    * [[parse]], used to drive the streaming path from batch fixtures (the
+    * role Maxwell's Daemon plays against the MySQL binlog). */
+  def maxwellify(events: DataFrame): DataFrame =
+    events.select(
+      to_json(struct(
+        lit("app").as("database"),
+        lit("users").as("table"),
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update").as("type"),
+        unix_timestamp(col("ts")).as("ts"),
+        map(
+          lit("id"), col("user_id").cast("string"),
+          lit("value"), col("value").cast("string"),
+          lit("event_id"), col("event_id").cast("string")
+        ).as("data")
+      )).as("value")
+    )
+
   /** One parsed CDC record. */
   final case class CdcRecord(
       ts: java.sql.Timestamp,

@@ -87,6 +87,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming replica agrees with the batch cdc_snapshot operator") {
+    import spark.implicits._
+    // Round-trip the real events table through maxwellify -> parse ->
+    // replicaChangelog (flatMapGroupsWithState also runs on batch data) and
+    // reduce to live keys; must equal the batch snapshot's key set.
+    val parsed = MaxwellStream.parse(MaxwellStream.maxwellify(Tables.events(spark, sfDir)))
+    val changes = MaxwellStream.replicaChangelog(parsed)
+    val live = changes
+      .groupByKey(c => c.pk)
+      .reduceGroups((a, b) => if (a.ts.compareTo(b.ts) >= 0) a else b)
+      .map(_._2)
+      .filter(c => c.op != "tombstone")
+      .map(_.pk.toLong)
+      .toDF("user_id")
+    val snapshot = graft.operators.Cdc.cdcSnapshot.fn(spark, sfDir).select("user_id")
+    assert(live.exceptAll(snapshot).count() == 0)
+    assert(snapshot.exceptAll(live).count() == 0)
+  }
+
   test("archive sink partitions by event month; replica merge is idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
