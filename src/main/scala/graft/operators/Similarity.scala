@@ -186,5 +186,55 @@ object Similarity {
     None // approximate: verified by recall spec against ann_bruteforce
   )
 
-  val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh)
+  /** IVF-style ANN: a coarse quantizer (centroids computed as per-label
+    * mean vectors — the "training" step, expressed as one aggregate),
+    * every vector assigned to its nearest centroid cell, queries probing
+    * their nprobe=4 nearest cells, exact top-5 within the probed cells.
+    *
+    * Scale path: centroids are a tiny broadcast; assignment is a narrow
+    * map over the corpus; search touches only nprobe/N of the data —
+    * the standard recipe for 100 TB of embeddings (with real k-means
+    * centroids swapped in). Approximate → no SQL oracle; recall-tested
+    * against [[annBruteforce]] in the spec. */
+  val annIvf: QueryDef = QueryDef(
+    "ann_ivf",
+    (s, d) => {
+      val nProbe = 4
+      // "Train" the coarse quantizer: mean vector per label cell.
+      val centroids = emb(s, d)
+        .groupBy(col("label").as("cell"))
+        .agg(array((1 to Dim).map(i => avg(element_at(col("embedding"), i))): _*).as("centroid"))
+
+      def cosTo(v: Column): Column =
+        dot(v, col("centroid")) /
+          (sqrt(dot(v, v)) * sqrt(dot(col("centroid"), col("centroid"))))
+
+      // Assign every vector to its nearest cell (rank 1), queries to their
+      // nProbe nearest cells.
+      val scored = emb(s, d)
+        .crossJoin(broadcast(centroids))
+        .withColumn("cdist", cosTo(col("embedding")))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))
+      val assigned = scored
+        .withColumn("crn", row_number().over(byVec))
+
+      val corpus = assigned.filter(col("crn") === 1)
+        .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val queries = assigned.filter(col("crn") <= nProbe && col("vec_id") < 8)
+        .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+      val win = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      corpus
+        .join(broadcast(queries), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+    None // approximate: verified by recall spec against ann_bruteforce
+  )
+
+  val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf)
 }

@@ -50,6 +50,14 @@ class PipelineSpec extends SparkSpec {
     assert(hit / total >= 0.5, s"ANN-LSH recall ${hit / total} too low")
   }
 
+  test("ann_ivf reaches >= 40% recall@5 for the query set") {
+    import org.apache.spark.sql.expressions.Window
+    val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val approx = Similarity.annIvf.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = approx.intersect(exact).count().toDouble
+    assert(hit / exact.count() >= 0.4, s"IVF recall ${hit / exact.count()} too low")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val out = Dedup.dedupExact.fn(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
