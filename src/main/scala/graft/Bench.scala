@@ -22,6 +22,13 @@ object Bench {
       selected.foreach { case (n, fn) =>
         println(s"=== $n"); fn(spark, sfDir).explain("formatted")
       }
+    // Warm the JVM/codegen paths so the first measured query isn't charged
+    // for session startup (scan + shuffle + window machinery).
+    try {
+      val w = spark.read.parquet(s"$sfDir/region.parquet")
+      w.groupBy("r_name").count().count()
+      spark.range(1000).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()

@@ -33,14 +33,20 @@ object TextAnalysis {
           col("doc_id"),
           size(tokens(col("text"))).as("n_tokens"),
           size(array_distinct(tokens(col("text")))).as("n_distinct"),
-          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("n_words")
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("n_words"),
+          // BPE-ish pre-tokenizer chunks (GPT-2-style: space-prefixed letter
+          // runs, digit runs, punctuation runs) — the unit LLM token counts
+          // are estimated from.
+          size(regexp_extract_all(lower(col("text")), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+            .as("n_bpe_chunks")
         )
         .orderBy("doc_id"),
     Some("""
       SELECT doc_id,
              len(string_split(lower(text), ' ')) AS n_tokens,
              len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
-             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+             len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_chunks
       FROM documents
       ORDER BY doc_id
     """.stripMargin.trim)
