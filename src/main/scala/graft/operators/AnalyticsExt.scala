@@ -170,7 +170,87 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** Left outer join with aggregate over the nullable side. */
+  val qLeftJoin: QueryDef = QueryDef(
+    "q_left_join",
+    (s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"), col("o_totalprice"))
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          sum(when(col("o_custkey").isNotNull, 1).otherwise(0)).as("n_big_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("big_total")
+        )
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+             sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_big_orders,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS big_total
+      FROM customer
+      LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey
+    """.stripMargin.trim)
+  )
+
+  /** Full outer join: event actors vs the customer dimension — rows survive
+    * from both unmatched sides. */
+  val qFullOuter: QueryDef = QueryDef(
+    "q_full_outer",
+    (s, d) => {
+      val actors = Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      actors
+        .join(cust, col("user_id") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("c_custkey")).as("entity_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+          (col("user_id").isNotNull && col("c_custkey").isNotNull).as("matched")
+        )
+        .orderBy("entity_id")
+    },
+    Some("""
+      SELECT coalesce(user_id, c_custkey) AS entity_id,
+             coalesce(n_events, 0) AS n_events,
+             coalesce(c_mktsegment, '(none)') AS segment,
+             (user_id IS NOT NULL AND c_custkey IS NOT NULL) AS matched
+      FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) a
+      FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer) c
+        ON user_id = c_custkey
+      ORDER BY entity_id
+    """.stripMargin.trim)
+  )
+
+  /** LIKE / regexp predicate filters over text. */
+  val qLikeFilter: QueryDef = QueryDef(
+    "q_like_filter",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").like("%spark%") && col("source").like("src1%"))
+        .withColumn("has_pair", col("text").rlike("window (join|merge)"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("has_pair"), 1).otherwise(0)).as("n_pair_docs")
+        )
+        .orderBy("source"),
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             sum(CASE WHEN regexp_matches(text, 'window (join|merge)') THEN 1 ELSE 0 END) AS n_pair_docs
+      FROM documents
+      WHERE text LIKE '%spark%' AND source LIKE 'src1%'
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps
+    qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
+    qLeftJoin, qFullOuter, qLikeFilter
   )
 }
