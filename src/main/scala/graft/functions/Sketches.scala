@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Distributed sketches as typed [[Aggregator]]s — the custom-aggregate
+  * path for when exact operators don't scale (counting distincts across
+  * 100 TB without a full shuffle of the key space).
+  *
+  * KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+  * 64-bit hashes seen; if fewer than k exist the count is EXACT, otherwise
+  * estimate (k-1)/theta where theta is the k-th minimum mapped to [0,1).
+  * Deterministic (hash-based, no RNG): results are reproducible across
+  * runs, retries, and partitionings — merge is associative+commutative.
+  * Standard error ~ 1/sqrt(k-2) (~6% at k=256).
+  */
+object Sketches {
+
+  /** Map a sign-flipped hash (see [[KmvDistinct.reduce]]) onto [0, 1). */
+  private def frac(u: Long): Double =
+    (u.toDouble - Long.MinValue.toDouble) / 1.8446744073709552e19
+
+  /** KMV sketch aggregator over pre-hashed Long inputs (e.g. xxhash64).
+    * Buffer: the k smallest distinct hashes in UNSIGNED order, kept
+    * ascending by storing them sign-bit-flipped (signed order of the
+    * flipped value == unsigned order of the hash). */
+  final class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Double] {
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(b: Seq[Long], h0: Long): Seq[Long] = {
+      val h = h0 ^ Long.MinValue // unsigned-comparable form
+      if (b.length == k && h >= b.last) b // common fast path
+      else if (b.contains(h)) b
+      else ((b :+ h).sorted: Seq[Long]).take(k)
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      ((a ++ b).distinct.sorted: Seq[Long]).take(k)
+
+    override def finish(b: Seq[Long]): Double =
+      if (b.length < k) b.length.toDouble
+      else (k - 1).toDouble / frac(b.last)
+
+    override def bufferEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Untyped Column form usable in `groupBy(...).agg(...)`; input must be a
+    * 64-bit hash column. */
+  def kmvDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvDistinct(k), Encoders.scalaLong)
+}

@@ -79,5 +79,28 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(qSkewJoinSalted, cdcTableStats)
+  /** KMV-sketch distinct counting per group — the 100 TB substitute for
+    * `count(DISTINCT ...)` (no full key-space shuffle; fixed-size mergeable
+    * buffers). With k=256 > |user space| the sketch degenerates to EXACT,
+    * so the oracle is plain `count(DISTINCT ...)`; the approximate regime is
+    * bounds-tested in the spec with a small k. */
+  val sketchDistinctUsers: QueryDef = QueryDef(
+    "sketch_distinct_users",
+    (s, d) => {
+      val kmv = graft.functions.Sketches.kmvDistinct(256)
+      Tables.events(s, d)
+        .withColumn("h", xxhash64(col("user_id")))
+        .groupBy(col("event_type"))
+        .agg(kmv(col("h")).cast("long").as("n_users_sketch"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users_sketch, count(*) AS n_events
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(qSkewJoinSalted, cdcTableStats, sketchDistinctUsers)
 }

@@ -81,6 +81,20 @@ class PipelineSpec extends SparkSpec {
     assert(sim.count() == fp.count())
   }
 
+  test("KMV sketch: exact below k, within error bounds above k") {
+    import graft.functions.Sketches
+    val events = Tables.events(spark, sfDir).withColumn("h", xxhash64(col("user_id")))
+    val exact = events.select(countDistinct(col("user_id"))).head.getLong(0)
+    // k larger than the key space -> exact
+    val big = events.select(Sketches.kmvDistinct(256)(col("h"))).head.getDouble(0)
+    assert(big.toLong == exact)
+    // k far below the key space -> estimate within 3 standard errors
+    val small = events.select(Sketches.kmvDistinct(8)(col("h"))).head.getDouble(0)
+    val se = 1.0 / math.sqrt(8 - 2)
+    assert(math.abs(small - exact) / exact <= 3 * se,
+      s"KMV k=8 estimate $small vs exact $exact")
+  }
+
   test("multimodal feature stub matches a direct expression computation") {
     val out = Multimodal.mmFeatureStub.fn(spark, sfDir)
     val direct = Tables.documents(spark, sfDir)
