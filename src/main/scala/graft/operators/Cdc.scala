@@ -325,8 +325,81 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** Undo stream — the reference's own roadmap item (`README.md:157`:
+    * "Consider how an 'undo' would work, since we can reverse any
+    * action"). Every event maps to its inverse (insert<->delete, update
+    * stays update with prior values), emitted in reverse replay order. */
+  val cdcUndo: QueryDef = QueryDef(
+    "cdc_undo",
+    (s, d) =>
+      ev(s, d)
+        .select(
+          col("event_id").as("undo_of"),
+          col("user_id").as("pk"),
+          opOf(col("event_type")).as("orig_op"),
+          unix_micros(col("ts")).as("ts_us")
+        )
+        .withColumn(
+          "undo_op",
+          when(col("orig_op") === "insert", "delete")
+            .when(col("orig_op") === "delete", "insert")
+            .otherwise("update")
+        )
+        .withColumn("undo_seq", row_number().over(
+          Window.partitionBy(col("pk")).orderBy(col("ts_us").desc, col("undo_of").desc)))
+        .orderBy("pk", "undo_seq"),
+    oracle = Some(s"""
+      SELECT undo_of, pk, orig_op, ts_us,
+             CASE WHEN orig_op = 'insert' THEN 'delete'
+                  WHEN orig_op = 'delete' THEN 'insert'
+                  ELSE 'update' END AS undo_op,
+             row_number() OVER (PARTITION BY pk ORDER BY ts_us DESC, undo_of DESC) AS undo_seq
+      FROM (
+        SELECT event_id AS undo_of, user_id AS pk,
+               $opSql AS orig_op,
+               epoch_us(ts) AS ts_us
+        FROM events)
+      ORDER BY pk, undo_seq
+    """.stripMargin.trim)
+  )
+
+  /** Point-in-time replica: the state `process_events()` would have left if
+    * replay had stopped at time T — what the reference's month-partitioned
+    * event archive exists to make possible. */
+  val cdcReplayAt: QueryDef = QueryDef(
+    "cdc_replay_at",
+    (s, d) => {
+      val cutoff = lit("2024-01-15 00:00:00")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .filter(col("ts") <= cutoff)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && opOf(col("event_type")) =!= "delete")
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          opOf(col("event_type")).as("last_op"),
+          unix_micros(col("ts")).as("last_ts_us"),
+          round(col("value"), 2).as("last_value")
+        )
+        .orderBy("user_id")
+    },
+    Some(s"""
+      SELECT user_id, event_id AS last_event_id,
+             $opSql AS last_op,
+             epoch_us(ts) AS last_ts_us,
+             round(value, 2) AS last_value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
-    cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl
+    cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt
   )
 }
