@@ -149,6 +149,27 @@ object MaxwellStream {
       .partitionBy("event_month")
       .outputMode(OutputMode.Append())
 
+  /** DDL lane: the TABLE-CREATE/ALTER/DROP and DATABASE-CREATE/DROP
+    * branches of `process_events()` (cdc_plpgsql_functions.sql:196-222) as
+    * a stream of translated, schema-qualified ANSI statements ready for a
+    * catalog executor. DATABASE ops synthesize schema DDL exactly like the
+    * reference. */
+  def ddlStatements(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("op").isin(
+        "table-create", "table-alter", "table-drop", "database-create", "database-drop"))
+      .select(
+        col("ts"),
+        col("database_name"),
+        col("op"),
+        when(col("op") === "database-create",
+          concat(lit("CREATE SCHEMA "), upper(col("database_name"))))
+          .when(col("op") === "database-drop",
+            concat(lit("DROP SCHEMA "), upper(col("database_name")), lit(" CASCADE")))
+          .otherwise(graft.functions.Dialect.toAnsi(col("database_name"), col("sql")))
+          .as("ansi_sql")
+      )
+
   /** Watermarked tumbling-window op counts over the CDC stream — the
     * monitoring query the reference approximates with poll scripts. */
   def windowedOpCounts(parsed: DataFrame): DataFrame =

@@ -72,6 +72,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ddlStatements translates and schema-qualifies streaming DDL events") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"database":"music","table":"album","type":"table-alter","ts":1522558030000,"sql":"ALTER TABLE `album` ADD COLUMN price DOUBLE"}""",
+      """{"database":"shop","table":"t","type":"database-create","ts":1522558031000}""",
+      """{"database":"music","table":"album","type":"insert","ts":1522558032,"data":{"id":"9"}}"""
+    ).toDF("value")
+    val out = MaxwellStream.ddlStatements(MaxwellStream.parse(lines)).collect()
+    assert(out.length == 2) // the DML row is not DDL
+    val alter = out.find(_.getAs[String]("op") == "table-alter").get
+    assert(alter.getAs[String]("ansi_sql") == "ALTER TABLE MUSIC.ALBUM ADD COLUMN PRICE FLOAT8")
+    val create = out.find(_.getAs[String]("op") == "database-create").get
+    assert(create.getAs[String]("ansi_sql") == "CREATE SCHEMA SHOP")
+  }
+
   test("windowedOpCounts aggregates ops per hour window with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
