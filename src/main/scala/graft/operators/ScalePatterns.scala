@@ -102,5 +102,45 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(qSkewJoinSalted, cdcTableStats, sketchDistinctUsers)
+  /** Range (time-window) join: for every purchase, count the clicks from
+    * ANY user in the preceding 15 minutes.
+    *
+    * Spark has no native inequality-join fast path — a raw theta join is a
+    * broadcast nested loop (O(n*m), dead at scale). The scale-safe pattern:
+    * quantize time into window-sized buckets, equi-join on bucket (probe
+    * side explodes to the 2 buckets that can contain matches), then apply
+    * the exact range predicate. Join fan-out is bounded by bucket
+    * population, not table size. */
+  val qRangeJoin: QueryDef = QueryDef(
+    "q_range_join",
+    (s, d) => {
+      val winUs = 900000000L // 15 minutes in microseconds
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("bucket", explode(array(
+          expr(s"p_us div $winUs") - 1, expr(s"p_us div $winUs"))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"))
+        .withColumn("bucket", expr(s"c_us div $winUs"))
+      purchases
+        .join(clicks, Seq("bucket"), "left")
+        .withColumn("hit",
+          col("c_us").isNotNull && col("c_us") >= col("p_us") - winUs && col("c_us") < col("p_us"))
+        .groupBy(col("purchase_id"), col("p_us"))
+        .agg(sum(when(col("hit"), 1).otherwise(0)).as("n_recent_clicks"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, epoch_us(p.ts) AS p_us,
+             sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS n_recent_clicks
+      FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+        ON epoch_us(c.ts) >= epoch_us(p.ts) - 900000000 AND epoch_us(c.ts) < epoch_us(p.ts)
+      GROUP BY 1, 2
+      ORDER BY purchase_id
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin)
 }
