@@ -249,8 +249,33 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** Full CUBE over two dimensions (all four grouping sets). */
+  val qCube: QueryDef = QueryDef(
+    "q_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+          col("n_orders"),
+          col("avg_price")
+        )
+        .orderBy("orderstatus", "orderpriority"),
+    Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+             coalesce(o_orderpriority, '(all)') AS orderpriority,
+             count(*) AS n_orders,
+             round(avg(o_totalprice), 4) AS avg_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY orderstatus, orderpriority
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
-    qLeftJoin, qFullOuter, qLikeFilter
+    qLeftJoin, qFullOuter, qLikeFilter, qCube
   )
 }

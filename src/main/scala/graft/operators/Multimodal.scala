@@ -97,5 +97,42 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub)
+  /** Frame sampling over an opaque payload: pick 8 evenly-strided sample
+    * points (the video frame-sample / audio chunk pattern — here one byte
+    * per "frame" since the container has no codecs; a real decoder would
+    * slice frame-sized byte ranges at the same offsets). Pure expression
+    * plumbing: offsets derive from payload length, no shuffle. */
+  val mmFrameSample: QueryDef = QueryDef(
+    "mm_frame_sample",
+    (s, d) => {
+      val len = length(col("text"))
+      val stride = greatest(expr("length(text) div 8"), lit(1))
+      val codes = transform(
+        sequence(lit(0), lit(7)),
+        i => ascii(substring(col("text"), (i * stride + 1).cast("int"), lit(1)))
+      )
+      Tables.documents(s, d)
+        .filter(len >= 8)
+        .select(
+          col("doc_id"),
+          len.as("n_bytes"),
+          stride.as("stride"),
+          array_join(codes, ",").as("frame_codes")
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, length(text) AS n_bytes,
+             greatest(length(text) // 8, 1) AS stride,
+             array_to_string(
+               list_transform(generate_series(0, 7),
+                 i -> ascii(substr(text, (i * greatest(length(text) // 8, 1) + 1)::INT, 1))),
+               ',') AS frame_codes
+      FROM documents
+      WHERE length(text) >= 8
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub, mmFrameSample)
 }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins over the event stream — the Structured Streaming
+  * capability the reference's poll-loop architecture cannot express at all:
+  * correlating two live CDC/event flows with bounded state.
+  *
+  * Scale notes: both sides are watermarked, so the state store retains only
+  * the join-window's worth of rows per key; the join shuffles both streams
+  * once on user_id.
+  */
+object StreamJoins {
+
+  /** Purchases joined to the same user's clicks in the preceding 15
+    * minutes. Input: a (streaming or batch) DataFrame with the `events`
+    * table schema. Emits one row per (purchase, click) pair. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"),
+        col("event_id").as("click_id")
+      )
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"),
+        col("value").as("purchase_value")
+      )
+      .withWatermark("p_ts", "30 minutes")
+    purchases.join(
+      clicks,
+      expr("""
+        c_user_id = p_user_id AND
+        c_ts >= p_ts - INTERVAL 15 MINUTES AND
+        c_ts < p_ts
+      """),
+      "inner"
+    ).select(
+      col("purchase_id"), col("p_user_id").as("user_id"),
+      col("click_id"),
+      unix_micros(col("p_ts")).as("purchase_us"),
+      unix_micros(col("c_ts")).as("click_us"),
+      round(col("purchase_value"), 2).as("purchase_value")
+    )
+  }
+}

@@ -121,6 +121,33 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot.exceptAll(live).count() == 0)
   }
 
+  test("stream-stream interval join: purchases matched to preceding clicks per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = graft.streaming.StreamJoins.purchaseClickJoin(events)
+    val q = joined.writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData(
+        (1L, t(0), 7L, "click", 1.0),
+        (2L, t(10), 7L, "purchase", 99.0), // joins click 1 (10 min before)
+        (3L, t(40), 7L, "purchase", 50.0), // click 1 is 40 min old -> no match
+        (4L, t(5), 8L, "click", 1.0)       // other user -> no match
+      )
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("purchase_id") == 2L)
+      assert(rows.head.getAs[Long]("click_id") == 1L)
+    } finally q.stop()
+
+    // batch equivalence: the same plan runs on the batch events table
+    val batch = graft.streaming.StreamJoins.purchaseClickJoin(Tables.events(spark, sfDir))
+    assert(batch.count() > 0)
+  }
+
   test("archive sink partitions by event month; replica merge is idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
