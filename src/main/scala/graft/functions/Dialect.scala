@@ -36,6 +36,28 @@ object Dialect {
     typeMap.foldLeft(noTicks) { case (c, (from, to)) => regexp_replace(c, from, to) }
   }
 
+  /** Type map targeting the SPARK SQL dialect instead of Greenplum —
+    * same translation pipeline, different destination catalog. */
+  private val sparkTypeMap: Seq[(String, String)] = Seq(
+    "TINYINT\\(1\\)" -> "SMALLINT",
+    "DATETIME" -> "TIMESTAMP",
+    "LONGBLOB" -> "BINARY",
+    "LONGTEXT" -> "STRING"
+    // DOUBLE is already a Spark type
+  )
+
+  /** `translate_sql` analog with Spark SQL as the target dialect. */
+  def translateSqlSpark(sql: Column): Column = {
+    val upperd = upper(sql)
+    val noEngine = regexp_replace(upperd, "\\bENGINE\\s*=\\s*\\S+", "")
+    val noTicks = regexp_replace(noEngine, "`", "")
+    sparkTypeMap.foldLeft(noTicks) { case (c, (from, to)) => regexp_replace(c, from, to) }
+  }
+
+  /** Full pipeline into the Spark dialect. */
+  def toSparkSql(schema: Column, sql: Column): Column =
+    addSchemaName(schema, translateSqlSpark(sql))
+
   private val ddlTarget = "((?:CREATE|DROP|ALTER)\\s+TABLE(?:\\s+IF EXISTS)?)\\s+(\\w+)"
 
   /** `add_schema_name` analog (cdc_plpgsql_functions.sql:8-18). Expects the

@@ -170,6 +170,46 @@ object MaxwellStream {
           .as("ansi_sql")
       )
 
+  /** Spark-dialect DDL lane: like [[ddlStatements]] but targeting the Spark
+    * catalog's SQL dialect, ready for [[applyDdl]]. */
+  def ddlStatementsSpark(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("op").isin(
+        "table-create", "table-alter", "table-drop", "database-create", "database-drop"))
+      .select(
+        col("ts"),
+        col("database_name"),
+        col("op"),
+        when(col("op") === "database-create",
+          concat(lit("CREATE DATABASE IF NOT EXISTS "), upper(col("database_name"))))
+          .when(col("op") === "database-drop",
+            concat(lit("DROP DATABASE IF EXISTS "), upper(col("database_name")), lit(" CASCADE")))
+          .otherwise(graft.functions.Dialect.toSparkSql(col("database_name"), col("sql")))
+          .as("spark_sql")
+      )
+
+  /** EXECUTE the translated DDL against the Spark catalog — the analog of
+    * `process_events()`'s `EXECUTE sql` (cdc_plpgsql_functions.sql:226-231),
+    * giving full schema replication: source databases become Spark
+    * databases, CREATE/ALTER/DROP land on real catalog tables. DDL is
+    * catalog (driver) work by nature and low-cardinality, so collecting the
+    * ordered statements per micro-batch is the correct topology. Statements
+    * that fail (e.g. DDL for a table outside the replicated set) are
+    * logged and skipped, like the reference's per-statement RAISE INFO. */
+  def applyDdl(ddlBatch: DataFrame): Seq[(String, Option[String])] = {
+    val spark = ddlBatch.sparkSession
+    ddlBatch
+      .orderBy(col("ts"))
+      .select(col("spark_sql"))
+      .collect()
+      .toSeq
+      .map(_.getString(0))
+      .map { stmt =>
+        try { spark.sql(stmt); stmt -> None }
+        catch { case e: Exception => stmt -> Some(e.getMessage.linesIterator.next()) }
+      }
+  }
+
   /** Watermarked tumbling-window op counts over the CDC stream — the
     * monitoring query the reference approximates with poll scripts. */
   def windowedOpCounts(parsed: DataFrame): DataFrame =

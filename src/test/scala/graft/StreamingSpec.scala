@@ -87,6 +87,24 @@ class StreamingSpec extends SparkSpec {
     assert(create.getAs[String]("ansi_sql") == "CREATE SCHEMA SHOP")
   }
 
+  test("applyDdl replicates schema changes into the Spark catalog") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"database":"musicdb","table":"album","type":"database-create","ts":1522558000000}""",
+      """{"database":"musicdb","table":"album","type":"table-create","ts":1522558001000,"sql":"CREATE TABLE `album` (id INT, title LONGTEXT, created DATETIME)"}""",
+      """{"database":"musicdb","table":"album","type":"table-alter","ts":1522558002000,"sql":"ALTER TABLE album ADD COLUMN price DOUBLE"}"""
+    ).toDF("value")
+    val results = MaxwellStream.applyDdl(
+      MaxwellStream.ddlStatementsSpark(MaxwellStream.parse(lines)))
+    try {
+      assert(results.forall(_._2.isEmpty), s"DDL failures: $results")
+      val cols = spark.table("MUSICDB.ALBUM").schema.fieldNames.map(_.toLowerCase).toSet
+      assert(cols == Set("id", "title", "created", "price"))
+      assert(spark.table("MUSICDB.ALBUM").schema("PRICE").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+    } finally spark.sql("DROP DATABASE IF EXISTS MUSICDB CASCADE")
+  }
+
   test("windowedOpCounts aggregates ops per hour window with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
