@@ -16,12 +16,6 @@ object Probe {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
-    spark.range(0, 15).select(xxhash64(col("id")).as("h"))
-      .orderBy("h").collect().foreach { r =>
-        val h = r.getLong(0)
-        val f = ((h ^ Long.MinValue).toDouble - Long.MinValue.toDouble) / 1.8446744073709552e19
-        println(f"hash $h%20d  frac $f%.6f")
-      }
     time("full ngram_jaccard")(operators.Dedup.dedupNgramJaccard.fn(spark, d).count())
     time("full minhash_lsh")(operators.Dedup.dedupMinhashLsh.fn(spark, d).count())
     time("full ngram 2nd run")(operators.Dedup.dedupNgramJaccard.fn(spark, d).count())

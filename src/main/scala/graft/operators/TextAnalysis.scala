@@ -158,5 +158,33 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(textTokens, textQuality, textLangid, textFingerprint)
+  /** Order-sensitive rolling-hash fingerprint: Horner fold of per-token
+    * md5-derived hashes, `h = (h*31 + H(tok)) mod (2^31-1)` left-to-right —
+    * unlike [[textFingerprint]] this distinguishes permutations of the same
+    * token set. Identical fold in both engines (Spark `aggregate` / DuckDB
+    * `list_reduce`). */
+  val textRollingHash: QueryDef = QueryDef(
+    "text_rolling_hash",
+    (s, d) => {
+      val hashes = transform(tokens(col("text")),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          aggregate(hashes, lit(0L), (acc, h) => (acc * 31 + h) % 2147483647L).as("rolling_hash")
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               [0]::BIGINT[] || list_transform(string_split(lower(text), ' '),
+                 x -> ('0x' || substr(md5(x), 1, 15))::BIGINT),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(textTokens, textQuality, textLangid, textFingerprint, textRollingHash)
 }

@@ -75,6 +75,20 @@ object MaxwellStream {
       )).as("value")
     )
 
+  /** Kafka transport (the reference's alternate queue,
+    * `scripts/start_maxwell.sh` + `scripts/kafka_to_greenplum.sh`): raw
+    * Maxwell lines from a topic, ready for [[parse]]. Requires the
+    * spark-sql-kafka connector on the deployment classpath (not bundled in
+    * this container, so exercised only in deployments). */
+  def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
   /** One parsed CDC record. */
   final case class CdcRecord(
       ts: java.sql.Timestamp,
