@@ -67,9 +67,12 @@ object AnalyticsExt {
   val qCorrSubquery: QueryDef = QueryDef(
     "q_corr_subquery",
     (s, d) => {
+      // nation_avg is rounded to cents BEFORE the comparison: acctbals are
+      // 2-decimal, so the predicate becomes exact-integer-like and immune
+      // to engine-dependent ulp noise in the average.
       val navg = Tables.customer(s, d)
         .groupBy(col("c_nationkey"))
-        .agg(avg(col("c_acctbal")).as("nation_avg"))
+        .agg(round(avg(col("c_acctbal")), 2).as("nation_avg"))
       Tables.customer(s, d)
         .join(broadcast(navg), Seq("c_nationkey"))
         .filter(col("c_acctbal") > col("nation_avg"))
@@ -79,7 +82,7 @@ object AnalyticsExt {
     Some("""
       SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
       FROM customer c
-      WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 2) FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)
       ORDER BY c_custkey
     """.stripMargin.trim)
@@ -274,8 +277,30 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** Ordered string aggregation (LISTAGG / string_agg): sorted distinct
+    * active years per customer, comma-joined. */
+  val qStringAgg: QueryDef = QueryDef(
+    "q_string_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(sort_array(collect_set(year(col("o_orderdate")))), ",").as("active_years"),
+          count(lit(1)).as("n_orders")
+        )
+        .orderBy("o_custkey"),
+    Some("""
+      SELECT o_custkey,
+             array_to_string(list_sort(list_distinct(list(year(o_orderdate)))), ',') AS active_years,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY o_custkey
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
-    qLeftJoin, qFullOuter, qLikeFilter, qCube
+    qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg
   )
 }
