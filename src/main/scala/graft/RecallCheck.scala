@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off: brute-force jaccard>=0.8 pairs at a given SF vs the MinHash-LSH
+  * operator's output — confirms full recall where DuckDB brute force is too
+  * slow. */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), operators.Dedup.shingles(col("text")).as("sh"))
+      .select(col("doc_id"), array_distinct(transform(col("sh"), t => xxhash64(t))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(true)
+    val a = sh.select(col("doc_id").as("id1"), col("hs").as("h1"))
+    val b = sh.select(col("doc_id").as("id2"), col("hs").as("h2"))
+    val brute = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("jac", size(array_intersect(col("h1"), col("h2"))).cast("double") /
+        size(array_union(col("h1"), col("h2"))))
+      .filter(col("jac") >= 0.8)
+      .select("id1", "id2")
+      .localCheckpoint(true)
+    val lsh = operators.Dedup.dedupMinhashLsh.fn(spark, d).select("id1", "id2")
+    val missed = brute.exceptAll(lsh).count()
+    val extra = lsh.exceptAll(brute).count()
+    println(s"""{"metric":"recall_check","sf":"$d","true_pairs":${brute.count()},"missed":$missed,"extra":$extra}""")
+    spark.stop()
+  }
+}

@@ -166,6 +166,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("compactArchive collapses small files to one per partition, preserving data") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/archive"
+    // simulate many micro-batch files: 10 files per month partition
+    val months = MaxwellStream.parse(
+      MaxwellStream.maxwellify(Tables.events(spark, sfDir)))
+      .withColumn("event_month", org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyy-MM"))
+      .drop("data", "old") // map cols irrelevant here
+    months.repartition(10).write.partitionBy("event_month").parquet(dir)
+    val beforeRows = spark.read.parquet(dir).count()
+    val (nBefore, nAfter) = graft.sources.Maintenance.compactArchive(spark, dir, "event_month")
+    assert(nBefore > nAfter, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == beforeRows)
+    assert(after.columns.contains("event_month"))
+  }
+
   test("archive sink partitions by event month; replica merge is idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
