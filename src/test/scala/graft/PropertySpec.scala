@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Dialect
+
+/** Generator-driven semantic properties. */
+class PropertySpec extends SparkSpec {
+
+  private def assertProp(p: Prop, n: Int = 60): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val ident = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12))
+
+  test("dialect translation: strips backticks/ENGINE, maps types, is idempotent") {
+    import spark.implicits._
+    val mysqlType = Gen.oneOf("DOUBLE", "DATETIME", "LONGBLOB", "LONGTEXT", "TINYINT(1)", "INT")
+    val gen = for {
+      t <- ident; c1 <- ident; ty1 <- mysqlType; ty2 <- mysqlType
+      eng <- Gen.oneOf("", " ENGINE=InnoDB", " engine = MyISAM")
+    } yield s"CREATE TABLE `$t` ($c1 $ty1, x $ty2)$eng"
+    assertProp(Prop.forAll(gen) { ddl =>
+      val out = Seq(ddl).toDF("sql")
+        .select(Dialect.translateSql(col("sql")).as("t"))
+        .head.getString(0)
+      val twice = Seq(out).toDF("sql")
+        .select(Dialect.translateSql(col("sql")).as("t"))
+        .head.getString(0)
+      !out.contains("`") && !out.contains("ENGINE") &&
+        !out.contains("DATETIME") && !out.contains("LONGBLOB") &&
+        !out.contains("LONGTEXT") && !out.contains("TINYINT(1)") &&
+        twice == out
+    }, n = 30)
+  }
+
+  test("cdc snapshot equals an in-memory replay fold for random event logs") {
+    val gen = Gen.nonEmptyListOf(for {
+      pk <- Gen.choose(0, 5)
+      op <- Gen.oneOf("signup", "click", "purchase", "view", "error")
+      v <- Gen.choose(0, 10000).map(_ / 100.0)
+    } yield (pk.toLong, op, v))
+    assertProp(Prop.forAll(gen) { events =>
+      val rows = events.zipWithIndex.map { case ((pk, op, v), i) =>
+        Row(i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), pk, op, v, "{}")
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(rows.asJava, schema)
+      df.createOrReplaceTempView("events_prop")
+
+      // the operator's plan shape, applied to this random log
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val got = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // straight-line replay semantics
+      val expect = events.zipWithIndex
+        .groupBy(_._1._1)
+        .flatMap { case (pk, evs) =>
+          val (last, idx) = evs.last
+          if (last._2 == "error") None else Some(pk -> idx.toLong)
+        }
+      got == expect
+    }, n = 40)
+  }
+
+  test("KMV merge is order-insensitive and exact below k") {
+    import graft.functions.Sketches
+    val agg = new Sketches.KmvDistinct(64)
+    val gen = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    assertProp(Prop.forAll(gen) { hashes =>
+      val whole = hashes.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = hashes.splitAt(hashes.length / 2)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val mergedRev = agg.merge(r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce))
+      val exact = hashes.distinct.size
+      merged == whole && mergedRev == whole &&
+        (exact >= 64 || agg.finish(whole).toLong == exact)
+    })
+  }
+}
