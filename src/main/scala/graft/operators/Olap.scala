@@ -450,9 +450,140 @@ object Olap {
     """.stripMargin.trim)
   )
 
+  /** As-of join WITH TOLERANCE (pandas merge_asof semantics): the matched
+    * click must lie within the preceding hour, else the match is null. */
+  val qAsofTolerance: QueryDef = QueryDef(
+    "q_asof_tolerance",
+    (s, d) => {
+      val cum = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("last_click_us", unix_micros(max(when(col("event_type") === "click", col("ts"))).over(cum)))
+        .filter(col("event_type") === "purchase")
+        .withColumn("p_us", unix_micros(col("ts")))
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          col("p_us"),
+          when(col("last_click_us") >= col("p_us") - 3600000000L, col("last_click_us")).as("click_us_within_1h")
+        )
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT event_id AS purchase_id, user_id, p_us,
+             CASE WHEN last_click_us >= p_us - 3600000000 THEN last_click_us END AS click_us_within_1h
+      FROM (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS p_us,
+               epoch_us(max(CASE WHEN event_type = 'click' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_click_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase'))
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """.stripMargin.trim)
+  )
+
+  /** Aggregate funnel metrics: step counts and conversion ratios. */
+  val qFunnelMetrics: QueryDef = QueryDef(
+    "q_funnel_metrics",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase")
+        )
+      perUser.agg(
+        sum(when(col("t_signup").isNotNull, 1).otherwise(0)).as("n_signup"),
+        sum(when(col("t_signup") < col("t_view"), 1).otherwise(0)).as("n_to_view"),
+        sum(when(col("t_signup") < col("t_view") && col("t_view") < col("t_purchase"), 1).otherwise(0)).as("n_to_purchase")
+      ).select(
+        col("n_signup"), col("n_to_view"), col("n_to_purchase"),
+        round(col("n_to_view").cast("double") / col("n_signup"), 4).as("view_rate"),
+        round(col("n_to_purchase").cast("double") / col("n_signup"), 4).as("purchase_rate")
+      )
+    },
+    Some("""
+      SELECT n_signup, n_to_view, n_to_purchase,
+             round(n_to_view::DOUBLE / n_signup, 4) AS view_rate,
+             round(n_to_purchase::DOUBLE / n_signup, 4) AS purchase_rate
+      FROM (
+        SELECT sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS n_to_view,
+               sum(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END) AS n_to_purchase
+        FROM (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events
+          GROUP BY user_id))
+    """.stripMargin.trim)
+  )
+
+  /** Value-based RANGE window frame: same-customer orders within +-30 days
+    * of each order (frame bounds in the ORDER BY value domain, not rows). */
+  val qRangeFrame: QueryDef = QueryDef(
+    "q_range_frame",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-30, 30)
+      Tables.orders(s, d)
+        .withColumn("day", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("day"),
+          count(lit(1)).over(w).as("n_nearby"),
+          round(sum(col("o_totalprice")).over(w), 2).as("nearby_total")
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, day,
+             count(*) OVER w AS n_nearby,
+             round(sum(o_totalprice) OVER w, 2) AS nearby_total
+      FROM (SELECT *, epoch_us(o_orderdate) // 86400000000 AS day FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+      ORDER BY o_custkey, o_orderkey
+    """.stripMargin.trim)
+  )
+
+  /** Rank-distribution windows: percent_rank and cume_dist. */
+  val qCumeDist: QueryDef = QueryDef(
+    "q_cume_dist",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume")
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalVolume, q6ForecastRevenue,
     qTopCustomers, qRollup, qSemiJoin, qAntiJoin, qWindowRunning,
-    qPivotEvents, qSessionize, qFunnel, qAsofJoin, qPercentile, qHourlyEvents
+    qPivotEvents, qSessionize, qFunnel, qAsofJoin, qPercentile, qHourlyEvents,
+    qAsofTolerance, qFunnelMetrics, qRangeFrame, qCumeDist
   )
 }
