@@ -29,6 +29,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges(plan) <= 1, plan)
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    Tables.orders(spark, sfDir).write
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.customer(spark, sfDir).write
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(hashExchanges(plan) <= 1, s"bucketed join should not shuffle the join:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("q6 reads only needed columns with pushed filters") {
     val plan = planOf(Olap.q6ForecastRevenue)
     assert(plan.contains("PushedFilters"))
