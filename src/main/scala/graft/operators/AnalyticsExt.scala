@@ -299,8 +299,25 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** EXCEPT set operation: customers active early but not late. */
+  val qExcept: QueryDef = QueryDef(
+    "q_except",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val early = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val late = o.filter(year(col("o_orderdate")) >= 1999).select(col("o_custkey"))
+      early.except(late).orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1999
+      ORDER BY o_custkey
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
-    qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg
+    qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept
   )
 }

@@ -85,4 +85,10 @@ object VectorExpressions {
   /** Column-API entry point: dot(a, b) over array<float|double> columns. */
   def floatDot(a: Column, b: Column): Column =
     Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register `graft_dot` in the session's function registry so plain
+    * `spark.sql("SELECT graft_dot(a, b) ...")` reaches the native kernel. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
 }

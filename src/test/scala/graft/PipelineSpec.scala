@@ -95,6 +95,13 @@ class PipelineSpec extends SparkSpec {
       s"KMV k=8 estimate $small vs exact $exact")
   }
 
+  test("graft_dot is callable from SQL after registration") {
+    graft.operators.Similarity // touch
+    graft.plans.VectorExpressions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").head.getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("multimodal feature stub matches a direct expression computation") {
     val out = Multimodal.mmFeatureStub.fn(spark, sfDir)
     val direct = Tables.documents(spark, sfDir)
