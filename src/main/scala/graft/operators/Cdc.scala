@@ -398,8 +398,40 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** Replication-staleness monitor: per key, how far behind the newest
+    * event in the archive its last change is — the operational view the
+    * reference keeps via the `maxwell_ts` watermark table
+    * (`maxwell_gpdb.sql:34-36`). Deterministic: measured against the
+    * archive's own max timestamp, not wall clock. */
+  val cdcStaleness: QueryDef = QueryDef(
+    "cdc_staleness",
+    (s, d) => {
+      val e = ev(s, d)
+      val frontier = e.agg(max(unix_micros(col("ts"))).as("frontier_us"))
+      e.groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"), count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(frontier))
+        .select(
+          col("user_id"),
+          col("last_us"),
+          (col("frontier_us") - col("last_us")).as("staleness_us"),
+          col("n_events")
+        )
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, last_us,
+             (SELECT max(epoch_us(ts)) FROM events) - last_us AS staleness_us,
+             n_events
+      FROM (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+            FROM events GROUP BY user_id)
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
-    cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt
+    cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt,
+    cdcStaleness
   )
 }

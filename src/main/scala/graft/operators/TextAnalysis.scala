@@ -186,5 +186,71 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(textTokens, textQuality, textLangid, textFingerprint, textRollingHash)
+  /** Corpus-level word-bigram frequencies: the vocabulary-building /
+    * n-gram-LM shape. Top-20 bigrams with deterministic tie-break. One
+    * explode-free flatMap + one partial-aggregated shuffle. */
+  val textBigramFreq: QueryDef = QueryDef(
+    "text_bigram_freq",
+    (s, d) => {
+      import s.implicits._
+      val bigrams = docs(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (_, text) =>
+          val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          (0 until math.max(0, t.length - 1)).iterator.map(i => t(i) + " " + t(i + 1))
+        }
+        .toDF("bigram")
+      bigrams
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""
+      SELECT bigram, count(*) AS n
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM (SELECT string_split(lower(text), ' ') AS t FROM documents))
+      GROUP BY bigram
+      ORDER BY n DESC, bigram
+      LIMIT 20
+    """.stripMargin.trim)
+  )
+
+  /** Vocabulary statistics: corpus document frequency per token (IDF
+    * inputs). Top-30 tokens by doc frequency with tie-break. */
+  val textVocab: QueryDef = QueryDef(
+    "text_vocab",
+    (s, d) => {
+      import s.implicits._
+      val docTokens = docs(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).distinct.iterator.map(t => (id, t))
+        }
+        .toDF("doc_id", "token")
+      docTokens
+        .groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(30)
+    },
+    Some("""
+      SELECT token, count(DISTINCT doc_id) AS doc_freq
+      FROM (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+        FROM documents)
+      GROUP BY token
+      ORDER BY doc_freq DESC, token
+      LIMIT 30
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
+    textBigramFreq, textVocab
+  )
 }

@@ -248,9 +248,11 @@ object MaxwellStream {
       .groupByKey(c => (c.database_name, c.table_name, c.pk))
       .reduceGroups((a, b) => if (a.ts.compareTo(b.ts) >= 0) a else b)
       .map(_._2)
+    val replicaPath = new org.apache.hadoop.fs.Path(replicaDir)
+    val fs = replicaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try spark.read.parquet(replicaDir).as[StateChange]
-      catch { case _: Exception => spark.emptyDataset[StateChange] }
+      if (fs.exists(replicaPath)) spark.read.parquet(replicaDir).as[StateChange]
+      else spark.emptyDataset[StateChange]
     val merged = existing
       .union(latest)
       .groupByKey(c => (c.database_name, c.table_name, c.pk))
