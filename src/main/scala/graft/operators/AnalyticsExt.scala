@@ -316,8 +316,40 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** Statistical outlier filter: events whose value is >= 2 rounded
+    * standard deviations from their user's mean — the data-quality
+    * filtering shape (both sides compare the same rounded z). */
+  val qZscoreOutliers: QueryDef = QueryDef(
+    "q_zscore_outliers",
+    (s, d) => {
+      val stats = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"), count(lit(1)).as("n"))
+        .filter(col("n") >= 3 && col("sigma") > 0)
+      Tables.events(s, d)
+        .join(broadcast(stats), "user_id")
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 3))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"), col("z"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, round(value, 2) AS value, z
+      FROM (
+        SELECT e.event_id, e.user_id, e.value,
+               round((e.value - s.mu) / s.sigma, 3) AS z
+        FROM events e
+        JOIN (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma, count(*) AS n
+              FROM events GROUP BY user_id) s
+          ON e.user_id = s.user_id
+        WHERE s.n >= 3 AND s.sigma > 0)
+      WHERE abs(z) >= 2.0
+      ORDER BY event_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
-    qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept
+    qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept, qZscoreOutliers
   )
 }

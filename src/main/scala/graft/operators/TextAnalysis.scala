@@ -249,8 +249,54 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** TF-IDF feature extraction: top-3 tokens per document by
+    * tf * ln(N/df). The doc-frequency table is broadcast (vocabulary-sized);
+    * term frequencies come off the token stream with one shuffle. */
+  val textTfidf: QueryDef = QueryDef(
+    "text_tfidf",
+    (s, d) => {
+      import s.implicits._
+      val tokens = docs(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).iterator.map(t => (id, t))
+        }
+        .toDF("doc_id", "token")
+      val n = docs(s, d).count()
+      val df = tokens.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("doc_freq"))
+      val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      tf.join(broadcast(df), "token")
+        .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("doc_freq")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("doc_freq"), col("tfidf"))
+        .orderBy("doc_id", "rn")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+      ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY token
+      ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+      ), scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+               round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.doc_freq), 4) AS tfidf
+        FROM tf JOIN df USING (token)
+      )
+      SELECT doc_id, rn, token, tf, doc_freq, tfidf
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+            FROM scored)
+      WHERE rn <= 3
+      ORDER BY doc_id, rn
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
-    textBigramFreq, textVocab
+    textBigramFreq, textVocab, textTfidf
   )
 }
