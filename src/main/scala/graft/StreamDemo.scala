@@ -66,7 +66,7 @@ object StreamDemo {
     val replica = spark.read.parquet(s"$work/replica")
     val nReplica = replica.count()
     val months = spark.read.parquet(s"$work/archive")
-      .select(countDistinct(col("event_month"))).head.getLong(0)
+      .select(countDistinct(col("event_month"))).head().getLong(0)
     println(
       s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"archive_months":$months,"dir":"$work"}""")
     spark.stop()
