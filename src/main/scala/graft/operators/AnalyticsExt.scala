@@ -190,7 +190,7 @@ object AnalyticsExt {
     },
     Some("""
       SELECT c_custkey, c_name,
-             sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_big_orders,
+             sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_big_orders,
              round(coalesce(sum(o_totalprice), 0.0), 2) AS big_total
       FROM customer
       LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
@@ -244,7 +244,7 @@ object AnalyticsExt {
         .orderBy("source"),
     Some("""
       SELECT source, count(*) AS n_docs,
-             sum(CASE WHEN regexp_matches(text, 'window (join|merge)') THEN 1 ELSE 0 END) AS n_pair_docs
+             sum(CASE WHEN regexp_matches(text, 'window (join|merge)') THEN 1 ELSE 0 END)::BIGINT AS n_pair_docs
       FROM documents
       WHERE text LIKE '%spark%' AND source LIKE 'src1%'
       GROUP BY source

@@ -239,9 +239,9 @@ object Cdc {
         .orderBy("user_id"),
     Some(s"""
       SELECT user_id,
-             sum(CASE WHEN $opSql = 'insert' THEN 1 ELSE 0 END) AS n_insert,
-             sum(CASE WHEN $opSql = 'update' THEN 1 ELSE 0 END) AS n_update,
-             sum(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS n_delete,
+             sum(CASE WHEN $opSql = 'insert' THEN 1 ELSE 0 END)::BIGINT AS n_insert,
+             sum(CASE WHEN $opSql = 'update' THEN 1 ELSE 0 END)::BIGINT AS n_update,
+             sum(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END)::BIGINT AS n_delete,
              min(epoch_us(ts)) AS first_us,
              max(epoch_us(ts)) AS last_us
       FROM events

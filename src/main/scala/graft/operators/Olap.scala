@@ -279,11 +279,11 @@ object Olap {
         .orderBy(col("user_id")),
     Some("""
       SELECT user_id, count(*) AS n_events,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
              round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
       FROM events
       GROUP BY user_id
@@ -320,8 +320,8 @@ object Olap {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), sessions AS (
         SELECT user_id, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+               (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id
         FROM flagged
       )
       SELECT user_id, sess_id, count(*) AS n_events, round(sum(value), 2) AS sess_value
@@ -514,9 +514,9 @@ object Olap {
              round(n_to_view::DOUBLE / n_signup, 4) AS view_rate,
              round(n_to_purchase::DOUBLE / n_signup, 4) AS purchase_rate
       FROM (
-        SELECT sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-               sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS n_to_view,
-               sum(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END) AS n_to_purchase
+        SELECT sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+               sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END)::BIGINT AS n_to_view,
+               sum(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END)::BIGINT AS n_to_purchase
         FROM (
           SELECT user_id,
                  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,

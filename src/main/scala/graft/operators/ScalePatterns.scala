@@ -68,7 +68,7 @@ object ScalePatterns {
     },
     Some("""
       SELECT count(*) AS n_rows,
-             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nulls_status,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_status,
              count(DISTINCT o_orderstatus) AS nd_status,
              count(DISTINCT o_custkey) AS nd_custkey,
              round(min(o_totalprice), 2) AS min_price,
@@ -133,7 +133,7 @@ object ScalePatterns {
     },
     Some("""
       SELECT p.event_id AS purchase_id, epoch_us(p.ts) AS p_us,
-             sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS n_recent_clicks
+             sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_recent_clicks
       FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
       LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
         ON epoch_us(c.ts) >= epoch_us(p.ts) - 900000000 AND epoch_us(c.ts) < epoch_us(p.ts)

@@ -137,44 +137,194 @@ object Similarity {
     """.stripMargin.trim)
   )
 
-  /** Random-hyperplane LSH: 8 deterministic hash tables of 4 hyperplanes
-    * each give 16-bucket signatures; neighbor candidates share a bucket in
-    * any table (id-only join, then de-dup, then vector re-join), top-3 by
-    * cosine within candidates. Approximate by construction, so no SQL
-    * oracle; the spec asserts recall against [[annBruteforce]]. */
+  /** Random-hyperplane LSH ANN, round-2 design (round 1's fixed 16
+    * buckets/table made the band self-join Θ(N²/16) — all-pairs at scale).
+    * Shared structure of both execution paths (see [[lshTopK]]):
+    *
+    *  1. One codegen pass ([[graft.plans.HyperplaneSig]]) computes every
+    *     vector's packed bit signature: 16 tables × an 8-bit lane. nPlanes
+    *     grows with log₂(corpus) (~N/8 buckets per table), so bucket
+    *     population stays O(1) as the corpus grows instead of O(N).
+    *  2. Candidates = vectors sharing a bucket in any of 16 tables, with
+    *     MULTI-PROBE on the query side (the exact bucket plus every 1-bit
+    *     flip). Measured tradeoff: 16 tables × 1-bit probes beats 8 tables
+    *     × ≤2-bit probes at equal capture (~0.87 at sf0.1) with ~3× fewer
+    *     raw collisions — fresh tables are independent, deep flips explore
+    *     correlated buckets.
+    *  3. SQ8 RERANK: candidates are scored with an integer dot of 64-byte
+    *     int8-quantized vectors ([[graft.plans.QuantizeVec]] /
+    *     [[graft.plans.Int8Dot]]) ≈ cosine ±0.003; only the top-16 per
+    *     query survive. (A Hamming prefilter over up to 240 sign bits was
+    *     measured too blunt: σ≈0.09 in cosine units vs ~0.01 gaps between
+    *     rank-3 and rank-50 neighbors → recall 0.17.)
+    *  4. Exact full-precision cosine + top-3 over that bounded shortlist —
+    *     at most N×16 vector fetches REGARDLESS of bucket skew.
+    *
+    * Execution paths ([[lshTopK]]):
+    *  - SERVING (default): one build pass collects (id, signature, SQ8) —
+    *    ~90 bytes/vector, broadcastable to ~10⁷–10⁸ vectors — into a
+    *    bucket directory + quantized sidecar; search is a NARROW
+    *    distributed map (probe → dedup → int8 dots → local top-16): one
+    *    job, zero shuffles before the tiny exact-rerank joins.
+    *  - DISTRIBUTED (corpus beyond broadcast): posting lists
+    *    (`groupBy(table, bucket) → collect_list`, the inverted-index
+    *    shape) equi-joined with the multi-probe stream; pairs stay
+    *    id-only until the SQ8 equi-joins; dense_rank + WindowGroupLimit
+    *    bounds the shortlist. Pure shuffle/join, no driver-side state —
+    *    any N. PipelineSpec asserts both paths return identical rows.
+    *
+    * Approximate by construction, so no SQL oracle; the spec asserts
+    * recall ≥50%@3 against exact top-3. */
   val annLsh: QueryDef = QueryDef(
     "ann_lsh",
-    (s, d) => {
-      val nTables = 8 // L independent hash tables: union of candidates
-      val nPlanes = 4 // bits per table -> 16 buckets/table
+    (s, d) => lshTopK(s, d, distributed = false),
+    None // approximate: verified by recall spec against exact top-3
+  )
+
+  private[graft] def lshTopK(s: SparkSession, d: String, distributed: Boolean): DataFrame = {
+    {
+      import s.implicits._
+      val nTables = 16 // L independent hash tables: union of candidates
+      // Parquet-metadata count — sizes nPlanes to the corpus (train-free).
+      val corpusN = emb(s, d).count()
+      val nPlanes = math.max(6, math.min(8,
+        math.ceil(math.log(corpusN / 8.0) / math.log(2)).toInt))
+      val topM = 16 // SQ8 shortlist per query before the full-precision re-join
       // Deterministic hyperplane weights in [-0.5, 0.5): w(t,p,i) from a
       // fixed integer mix; same for every run and every executor.
       def w(t: Int, p: Int, i: Int): Double =
         ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
           .toDouble / 1000003.0 - 0.5
-      // Hyperplanes as ARRAY LITERALS dotted via the HOF fold: an unrolled
-      // per-dimension expression (2048 terms) was measured far slower — the
-      // generated code blows up Janino compile time per JVM.
-      def planeDot(t: Int, p: Int): Column =
-        dot(col("embedding"), typedLit((0 until Dim).map(i => w(t, p, i))))
-      def bucket(t: Int): Column =
-        (0 until nPlanes)
-          .map(p => when(planeDot(t, p) >= 0, lit(1 << p)).otherwise(lit(0)))
-          .reduce(_ + _)
+      // All bucket bits come from ONE codegen'd pass
+      // ([[graft.plans.HyperplaneSig]]) — per-plane Column terms would
+      // generate 128 separate dot loops (Janino pitfall). Each table owns a
+      // fixed 8-bit LANE of the 128-bit signature; when nPlanes < 8 the
+      // spare lane slots get an all-zero plane, whose sign bit is a
+      // constant 1 for every vector — bucket equality is unaffected and the
+      // probe flips touch only the real bits.
+      val zeroPlane = Array.fill(Dim)(0.0)
+      val planes: Array[Array[Double]] =
+        (for { t <- 0 until nTables; p <- 0 until 8 } yield
+          if (p < nPlanes) Array.tabulate(Dim)(i => w(t, p, i)) else zeroPlane).toArray
+      def bucketOf(w0: Long, w1: Long, t: Int): Int =
+        (((if (t < 8) w0 >>> (8 * t) else w1 >>> (8 * (t - 8)))) & 0xFF).toInt
+      // Multi-probe masks: the exact bucket plus every 1-bit flip.
+      val probeMasks: Array[Int] = (0 +: (0 until nPlanes).map(1 << _)).toArray
 
-      val bucketed = emb(s, d).select(
-        col("vec_id"),
-        posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("table_id", "bucket"))
-      )
-      val candidates = bucketed.as("a")
-        .join(bucketed.as("b"), Seq("table_id", "bucket"))
-        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .dropDuplicates("query_id", "neighbor_id")
+      // (id, sig word 0, sig word 1, SQ8 bytes) in one pass over the corpus.
+      def sideData = emb(s, d)
+        .select(col("vec_id"),
+          graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"),
+          graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
+        .select(col("vec_id"),
+          element_at(col("sig"), 1).as("w0"), element_at(col("sig"), 2).as("w1"), col("q8"))
+
+      val shortlist: DataFrame =
+        if (!distributed) {
+          // SERVING path: index build = one collect (the classic ANN
+          // "train + add" step — the index is driver/executor-resident by
+          // design, ~90 bytes/vector → broadcastable to ~10⁷–10⁸ vectors);
+          // search = a narrow distributed map over the id list with local
+          // top-topM per query. Each query sees ALL its candidates (the
+          // directory is complete), so the local top-topM is globally
+          // exact for that query — one job, zero shuffles before the tiny
+          // exact-rerank joins.
+          val side = sideData.as[(Long, Long, Long, Array[Byte])].collect()
+          val builders = Array.fill(nTables * 256)(new scala.collection.mutable.ArrayBuilder.ofLong)
+          side.foreach { case (id, w0, w1, _) =>
+            var t = 0
+            while (t < nTables) { builders(t * 256 + bucketOf(w0, w1, t)) += id; t += 1 }
+          }
+          val dirB = s.sparkContext.broadcast(builders.map(_.result()))
+          val q8B = s.sparkContext.broadcast(side.map(r => r._1 -> r._4).toMap)
+          val sigB = s.sparkContext.broadcast(side.map(r => r._1 -> ((r._2, r._3))).toMap)
+          // Parallelize the query id list evenly: P narrow tasks, no shuffle.
+          val idsRdd = s.sparkContext.parallelize(
+            side.map(_._1).toIndexedSeq, s.sparkContext.defaultParallelism)
+          s.createDataset(idsRdd).mapPartitions { it =>
+            val dir = dirB.value; val q8m = q8B.value; val sigm = sigB.value
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+            it.flatMap { q =>
+              seen.clear(); buf.clear()
+              val (w0, w1) = sigm(q)
+              val qa = q8m(q)
+              var t = 0
+              while (t < nTables) {
+                val base = bucketOf(w0, w1, t)
+                var mi = 0
+                while (mi < probeMasks.length) {
+                  val ids = dir(t * 256 + (base ^ probeMasks(mi)))
+                  var k = 0
+                  while (k < ids.length) {
+                    val n = ids(k)
+                    if (n != q && seen.add(n)) {
+                      val na = q8m(n)
+                      var acc = 0; var i = 0
+                      val len = math.min(qa.length, na.length)
+                      while (i < len) { acc += qa(i) * na(i); i += 1 }
+                      buf += ((acc, n))
+                    }
+                    k += 1
+                  }
+                  mi += 1
+                }
+                t += 1
+              }
+              buf.sortBy { case (adot, n) => (-adot, n) }.take(topM)
+                .map { case (_, n) => (q, n) }.toList
+            }
+          }.toDF("query_id", "neighbor_id")
+        } else {
+          // DISTRIBUTED path: pure shuffle/join — no driver-resident index,
+          // scales to any corpus. The explicit partition count spreads the
+          // fan-out (locally the corpus parquet is one small split, and AQE
+          // would coalesce an unsized repartition back to one partition —
+          // the parallelism, not the volume, is the point).
+          val sigs = sideData
+            .select(col("vec_id"), col("w0"), col("w1"))
+            .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+            .as[(Long, Long, Long)]
+          // POSTING LISTS: one row per (table, bucket) with member ids —
+          // the inverted-index shape; bucket population is O(1) by the
+          // nPlanes sizing, so the lists stay small at any N. The streams
+          // are typed flatMaps over (id, w0, w1) — no Generate re-eval of
+          // the hyperplane dots (the measured explode pitfall).
+          val postings = sigs.flatMap { case (id, w0, w1) =>
+            (0 until nTables).map(t => (t, bucketOf(w0, w1, t), id))
+          }.toDF("table_id", "bucket", "neighbor_id")
+            .groupBy("table_id", "bucket")
+            .agg(collect_list(col("neighbor_id")).as("ids"))
+          val probes = sigs.flatMap { case (id, w0, w1) =>
+            for { t <- 0 until nTables; m <- probeMasks } yield
+              (t, bucketOf(w0, w1, t) ^ m, id)
+          }.toDF("table_id", "bucket", "query_id")
+          val q8 = emb(s, d).select(col("vec_id"),
+            graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
+          val shortlistW = Window.partitionBy(col("query_id"))
+            .orderBy(col("adot").desc, col("neighbor_id"))
+          // Pairs stay id-only (16 bytes) until the SQ8 joins. dense_rank
+          // (not row_number) lets duplicate collisions of one pair share a
+          // rank, so the raw collision stream needs NO up-front dedup
+          // shuffle — WindowGroupLimit prunes map-side, and the tiny
+          // ≤N×topM survivor stream dedups after. The explode's child is a
+          // bare column (no re-evaluated expression), so it is safe.
+          probes.join(postings, Seq("table_id", "bucket"))
+            .select(col("query_id"), explode(col("ids")).as("neighbor_id"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .join(q8.select(col("vec_id").as("query_id"), col("q8").as("qq8")), "query_id")
+            .join(q8.select(col("vec_id").as("neighbor_id"), col("q8").as("nq8")), "neighbor_id")
+            .select(col("query_id"), col("neighbor_id"),
+              graft.plans.VectorExpressions.int8Dot(col("qq8"), col("nq8")).as("adot"))
+            .withColumn("hrn", dense_rank().over(shortlistW))
+            .filter(col("hrn") <= topM)
+            .dropDuplicates("query_id", "neighbor_id")
+            .select("query_id", "neighbor_id")
+        }
 
       val vecs = withNorm(s, d)
       val win = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-      candidates
+      shortlist
         .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn")), "query_id")
         .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn")), "neighbor_id")
         .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
@@ -182,9 +332,8 @@ object Similarity {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
-    },
-    None // approximate: verified by recall spec against ann_bruteforce
-  )
+    }
+  }
 
   /** IVF-style ANN: a coarse quantizer (centroids computed as per-label
     * mean vectors — the "training" step, expressed as one aggregate),
@@ -200,34 +349,50 @@ object Similarity {
     "ann_ivf",
     (s, d) => {
       val nProbe = 4
-      // "Train" the coarse quantizer: mean vector per label cell.
-      val centroids = emb(s, d)
+      // "Train" the coarse quantizer: mean vector per label cell, collected
+      // to the driver. This is the k-means-style FIT step every IVF index
+      // has — the model is K×Dim doubles (tiny by design) and ships to the
+      // executors as expression literals. Round 1 instead crossJoined
+      // corpus×cells and ranked with a row_number window, shuffling the
+      // full K-fold fan-out just to pick an argmax; assignment is now a
+      // NARROW MAP (zero exchanges before the cell equi-join). At real
+      // cell counts (K ≥ 4096) swap the literal array for a broadcast
+      // matrix inside a loop-in-codegen expression — same topology.
+      val cents: Array[(Int, Seq[Double], Double)] = emb(s, d)
         .groupBy(col("label").as("cell"))
         .agg(array((1 to Dim).map(i => avg(element_at(col("embedding"), i))): _*).as("centroid"))
+        .collect()
+        .map { r =>
+          val cv = r.getSeq[Double](1)
+          // Left-to-right fold, same order as the dot kernel.
+          (r.getInt(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+        .sortBy(_._1)
 
-      def cosTo(v: Column): Column =
-        dot(v, col("centroid")) /
-          (sqrt(dot(v, v)) * sqrt(dot(col("centroid"), col("centroid"))))
+      // Per-row scores to every cell: K native dot products + a small
+      // struct sort, all inside whole-stage codegen, no shuffle.
+      val base = withNorm(s, d)
+      val cellScores = array(cents.map { case (cell, cv, cn) =>
+        struct(
+          (dot(col("embedding"), typedLit(cv)) / (col("nrm") * lit(cn))).as("cdist"),
+          lit(cell).as("cell"))
+      }: _*)
+      val ranked = sort_array(cellScores, asc = false) // cdist desc
 
-      // Assign every vector to its nearest cell (rank 1), queries to their
-      // nProbe nearest cells.
-      val scored = emb(s, d)
-        .crossJoin(broadcast(centroids))
-        .withColumn("cdist", cosTo(col("embedding")))
-      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))
-      val assigned = scored
-        .withColumn("crn", row_number().over(byVec))
-
-      val corpus = assigned.filter(col("crn") === 1)
-        .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      val queries = assigned.filter(col("crn") <= nProbe && col("vec_id") < 8)
-        .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val corpus = base.select(
+        element_at(ranked, 1).getField("cell").as("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+      // Queries probe their nProbe nearest cells; the explode runs over the
+      // 8 query rows only, so the interpreted HOF cost is nil.
+      val queries = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"),
+          explode(transform(slice(ranked, 1, nProbe), c => c.getField("cell"))).as("cell"))
 
       val win = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
       corpus
         .join(broadcast(queries), Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
         .withColumn("rank", row_number().over(win))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

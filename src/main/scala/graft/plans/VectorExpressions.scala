@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector dot product over
   * `array<float>` / `array<double>` columns.
@@ -81,10 +81,228 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Packed random-hyperplane signature of a vector: bit k of the result is
+  * `sign(dot(vec, planes(k)))`, packed little-endian into `array<long>`
+  * (`ceil(nBits/64)` words).
+  *
+  * This is the LSH sketching kernel: one pass over the vector computes ALL
+  * bucket and ranking bits. The naive Column formulation —
+  * `when(dot(vec, lit(plane_k)) >= 0, 1L << k)` summed over k — materializes
+  * one expression tree per plane; at 240 planes that's 240 generated loops
+  * and a Janino compile-time blowup (the measured §3 pitfall). Here the
+  * plane matrix rides along as ONE constant reference object and the
+  * generated code is two nested primitive loops, so signature width can
+  * scale with log(corpus) freely.
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private def nBits: Int = planes.length
+  private def nWords: Int = (nBits + 63) / 64
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_sig expects array<float|double> input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](nWords)
+    var b = 0
+    while (b < nBits) {
+      val p = planes(b)
+      val n = math.min(x.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) * p(i)
+        i += 1
+      }
+      if (acc >= 0) out(b >>> 6) |= 1L << (b & 63)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val get = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      s"""
+         |long[] $out = new long[$nWords];
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  double[] $p = $planesRef[$b];
+         |  int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $get * $p[$i];
+         |  }
+         |  if ($acc >= 0) $out[$b >>> 6] |= 1L << ($b & 63);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQ8 scalar quantization: `array<float|double>` → 1 signed byte per
+  * dimension of the L2-NORMALIZED vector (`round(127 * v_i / |v|)`), as a
+  * BINARY column.
+  *
+  * For unit vectors, `Int8Dot(q8(a), q8(b)) / 127²` approximates cos(a,b)
+  * to ~±0.003 — sharp enough to rank near-neighbors whose cosines differ
+  * by 0.01, where a few hundred LSH sign bits (σ≈0.09 in cosine units)
+  * cannot. The quantized payload is DIM bytes (8× smaller than float32),
+  * which is what makes carrying it through the candidate stream affordable
+  * at 100 TB. Zero vectors quantize to all-zero bytes. */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize expects array<float|double> input, got ${child.dataType}")
+
+  override def dataType: DataType = BinaryType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      ss += xi * xi
+      i += 1
+    }
+    val inv = if (ss > 0) 127.0 / math.sqrt(ss) else 0.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = math.rint(xi * inv).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ss = ctx.freshName("ss")
+      val inv = ctx.freshName("inv")
+      val out = ctx.freshName("out")
+      val xi = ctx.freshName("xi")
+      val get = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      s"""
+         |int $n = $v.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $get;
+         |  $ss += $xi * $xi;
+         |}
+         |double $inv = $ss > 0 ? 127.0 / java.lang.Math.sqrt($ss) : 0.0;
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) java.lang.Math.rint($get * $inv);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer dot product of two SQ8-quantized vectors (BINARY columns from
+  * [[QuantizeVec]]): Σ aᵢ·bᵢ as INT. Monotone in approximate cosine for
+  * normalized inputs, so shortlists rank on it directly. */
+case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_int8_dot expects binary inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var acc = 0
+    var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a[$i] * $b[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-API entry point: dot(a, b) over array<float|double> columns. */
   def floatDot(a: Column, b: Column): Column =
     Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-API entry point: packed hyperplane-sign signature (array<long>). */
+  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(v), planes))
+
+  /** Column-API entry point: SQ8 quantization of a normalized vector. */
+  def quantize(v: Column): Column =
+    Bridge.column(QuantizeVec(Bridge.expression(v)))
+
+  /** Column-API entry point: integer dot of two SQ8 binary vectors. */
+  def int8Dot(a: Column, b: Column): Column =
+    Bridge.column(Int8Dot(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register `graft_dot` in the session's function registry so plain
     * `spark.sql("SELECT graft_dot(a, b) ...")` reaches the native kernel. */

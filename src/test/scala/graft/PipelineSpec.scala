@@ -50,6 +50,16 @@ class PipelineSpec extends SparkSpec {
     assert(hit / total >= 0.5, s"ANN-LSH recall ${hit / total} too low")
   }
 
+  test("ann_lsh serving and distributed paths return identical rows") {
+    // Same signatures, probes, SQ8 ranking, and exact rerank — the
+    // broadcast-index serving path and the posting-list shuffle path must
+    // agree bit-for-bit.
+    val serving = Similarity.lshTopK(spark, sfDir, distributed = false)
+    val dist = Similarity.lshTopK(spark, sfDir, distributed = true)
+    assert(serving.exceptAll(dist).count() == 0, "rows only in serving path")
+    assert(dist.exceptAll(serving).count() == 0, "rows only in distributed path")
+  }
+
   test("ann_ivf reaches >= 40% recall@5 for the query set") {
     import org.apache.spark.sql.expressions.Window
     val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")

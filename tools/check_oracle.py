@@ -20,6 +20,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Normalize integer widths (int32 vs int64 hash identically in the
+    # driver), but keep int vs float distinct: a DuckDB HUGEINT lands as
+    # float64 and the driver's value hash then sees 5.0 vs 5 — that's the
+    # mismatch this check must catch (check_dtype=True below).
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
@@ -55,8 +64,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
             continue
+        # check_dtype=True: the driver's gate hashes typed values, so a DuckDB
+        # HUGEINT (float64 in pandas) vs Spark int64 must fail here too.
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+            pd.testing.assert_frame_equal(g, w, check_dtype=True,
                                           check_exact=True)
         except AssertionError as e:
             print(f"FAIL {name}: values differ: {str(e)[:500]}")
