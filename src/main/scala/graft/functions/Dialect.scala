@@ -60,11 +60,18 @@ object Dialect {
 
   private val ddlTarget = "((?:CREATE|DROP|ALTER)\\s+TABLE(?:\\s+IF EXISTS)?)\\s+(\\w+)"
 
+  /** Escape a value for use inside a Java-regex REPLACEMENT string
+    * (`Matcher.quoteReplacement` semantics): a database named `a$b` or
+    * `a\b` must land literally, not as a group reference/escape. */
+  private def quoteReplacement(c: Column): Column =
+    regexp_replace(c, lit("([\\\\$])"), lit("\\\\$1"))
+
   /** `add_schema_name` analog (cdc_plpgsql_functions.sql:8-18). Expects the
     * already-upper-cased output of [[translateSql]]; `schema` is a column so
     * the originating database can vary per row, as in the reference. */
   def addSchemaName(schema: Column, sql: Column): Column =
-    regexp_replace(sql, lit(ddlTarget), concat(lit("$1 "), upper(schema), lit(".$2")))
+    regexp_replace(sql, lit(ddlTarget),
+      concat(lit("$1 "), quoteReplacement(upper(schema)), lit(".$2")))
 
   /** Full pipeline: translate the dialect, then schema-qualify. */
   def toAnsi(schema: Column, sql: Column): Column =

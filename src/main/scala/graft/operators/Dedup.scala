@@ -139,15 +139,37 @@ object Dedup {
     """.stripMargin.trim)
   )
 
-  /** Blocked pairwise n-gram Jaccard: within each (lang, source) block,
-    * the top-3 most similar pairs by 3-gram-shingle Jaccard. Blocking bounds
-    * the pairwise work; jaccard is an exact int/int ratio (bit-identical
-    * across engines). */
+  /** Hard cap on docs per (lang, source) block for the pairwise audit:
+    * blocks above the cap keep their `blockCap` lowest doc_ids. The
+    * testdata's largest block (112 docs at sf0.1) is far under it, so bench
+    * outputs are the uncapped ones — but at 100 TB block population grows
+    * linearly with the corpus and uncapped pairwise work is O(block²);
+    * the cap makes the operator family's worst case O(blocks × cap²).
+    * Corpus-scale near-dup discovery is [[dedupMinhashLsh]] — this
+    * operator is the bounded per-block audit. */
+  private val blockCap = 256
+
+  /** (doc_id, lang, source) for the ≤cap sampled docs per block —
+    * narrow columns only, so the cap window never sorts shingle arrays. */
+  private[graft] def cappedBlockIds(s: SparkSession, d: String, cap: Int = blockCap): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("brn", row_number().over(w))
+      .filter(col("brn") <= cap)
+      .drop("brn")
+  }
+
+  /** Blocked pairwise n-gram Jaccard: within each (lang, source) block
+    * (bounded to [[blockCap]] docs), the top-3 most similar pairs by
+    * 3-gram-shingle Jaccard. Blocking + the cap bound the pairwise work;
+    * jaccard is an exact int/int ratio (bit-identical across engines). */
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => {
-      val a = docHashedShingles(s, d).select(col("lang"), col("source"), col("doc_id").as("id1"), col("hsh").as("h1"))
-      val b = docHashedShingles(s, d).select(col("lang"), col("source"), col("doc_id").as("id2"), col("hsh").as("h2"))
+      val docs = cappedBlockIds(s, d)
+        .join(docHashedShingles(s, d).select(col("doc_id"), col("hsh")), "doc_id")
+      val a = docs.select(col("lang"), col("source"), col("doc_id").as("id1"), col("hsh").as("h1"))
+      val b = docs.select(col("lang"), col("source"), col("doc_id").as("id2"), col("hsh").as("h2"))
       val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("jac").desc, col("id1"), col("id2"))
       a.join(b, Seq("lang", "source"))
         .filter(col("id1") < col("id2"))
@@ -161,9 +183,13 @@ object Dedup {
         .orderBy("lang", "source", "rn")
     },
     Some(s"""
-      WITH sh AS (
+      WITH capped AS (
+        SELECT doc_id, lang, source, text
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) <= $blockCap
+      ), sh AS (
         SELECT doc_id, lang, source, $duckShingleHashes AS s
-        FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM documents)
+        FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM capped)
       ), pairs AS (
         SELECT a.lang, a.source, a.doc_id AS id1, b.doc_id AS id2,
                len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jac

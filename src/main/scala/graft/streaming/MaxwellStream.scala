@@ -98,14 +98,19 @@ object MaxwellStream {
       data: Map[String, String],
       old: Map[String, String])
 
-  /** A replica state transition emitted by [[replicaChangelog]]. */
+  /** A replica state transition emitted by [[replicaChangelog]].
+    * `seq` is the intra-second event sequence (the Maxwell `event_id` when
+    * the source ships one, else 0): Maxwell DML timestamps are whole
+    * seconds, so (ts, seq) — not ts alone — is the replay order, and
+    * latest-wins merges tie-break on it deterministically. */
   final case class StateChange(
       database_name: String,
       table_name: String,
       pk: String,
       op: String, // upsert | tombstone
       state: Map[String, String],
-      ts: java.sql.Timestamp)
+      ts: java.sql.Timestamp,
+      seq: Long = 0L)
 
   /** The `process_events()` replay as a streaming stateful operator:
     * per (database, table, pk) the store holds the current row; INSERTs
@@ -113,6 +118,15 @@ object MaxwellStream {
     * reference applies only the keys present in `old`,
     * cdc_plpgsql_functions.sql:128-144), DELETEs emit a tombstone and clear
     * state. Emits the post-image changelog. */
+  /** Intra-second replay sequence: Maxwell DML `ts` is whole seconds, so
+    * same-second events for one key need a secondary order. Sources driven
+    * by [[maxwellify]] ship a numeric `event_id` in `data`; real Maxwell
+    * feeds can map their binlog position in the same way. Falls back to 0
+    * (then op name breaks the remaining tie deterministically). */
+  private def seqOf(r: CdcRecord): Long =
+    if (r.data == null) 0L
+    else r.data.get("event_id").flatMap(_.toLongOption).getOrElse(0L)
+
   def replicaChangelog(parsed: DataFrame, pkColumn: String = "id"): Dataset[StateChange] = {
     val spark = parsed.sparkSession
     import spark.implicits._
@@ -125,29 +139,47 @@ object MaxwellStream {
       .flatMapGroupsWithState[Map[String, String], StateChange](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((db, table, pk), records, state) =>
-          // Events within a micro-batch are applied in ts order (the
-          // reference replays `ORDER BY ts ASC`).
-          val ordered = records.toSeq.sortBy(r => (r.ts.getTime, r.op))
+          // Events within a micro-batch are applied in (ts, seq) order —
+          // the reference replays `ORDER BY ts ASC`, and the event
+          // sequence disambiguates same-second events (an update+delete
+          // pair in one second must not replay alphabetically).
+          val ordered = records.toSeq.sortBy(r => (r.ts.getTime, seqOf(r), r.op))
           val out = scala.collection.mutable.ArrayBuffer.empty[StateChange]
           var cur = state.getOption.getOrElse(Map.empty[String, String])
           ordered.foreach { r =>
             r.op match {
               case "insert" =>
                 cur = r.data
-                out += StateChange(db, table, pk, "upsert", cur, r.ts)
+                out += StateChange(db, table, pk, "upsert", cur, r.ts, seqOf(r))
               case "update" =>
                 val changedKeys: Set[String] =
                   if (r.old != null && r.old.nonEmpty) r.old.keySet else r.data.keySet
                 cur = cur ++ r.data.view.filterKeys(changedKeys).toMap
-                out += StateChange(db, table, pk, "upsert", cur, r.ts)
+                out += StateChange(db, table, pk, "upsert", cur, r.ts, seqOf(r))
               case "delete" =>
                 cur = Map.empty
-                out += StateChange(db, table, pk, "tombstone", Map.empty[String, String], r.ts)
+                out += StateChange(db, table, pk, "tombstone", Map.empty[String, String], r.ts, seqOf(r))
             }
           }
           if (cur.isEmpty) state.remove() else state.update(cur)
           out.iterator
       }
+  }
+
+  /** DEAD-LETTER lane: DML events [[replicaChangelog]] cannot apply —
+    * missing/NULL `data` or no primary-key column. The reference ABORTS on
+    * a no-PK UPDATE (`cdc_plpgsql_functions.sql:156-161` RAISEs); a
+    * streaming engine must not kill the query for one bad table, so the
+    * rejects surface here as a side output to route to a reject sink,
+    * never silently dropped. Same shape for batch or streaming input. */
+  def rejectedEvents(parsed: DataFrame, pkColumn: String = "id"): Dataset[CdcRecord] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .select("ts", "database_name", "table_name", "op", "data", "old")
+      .as[CdcRecord]
+      .filter(r => (r.op == "insert" || r.op == "update" || r.op == "delete") &&
+        (r.data == null || !r.data.contains(pkColumn)))
   }
 
   /** The event archive: append-mode parquet sink partitioned by event month,
@@ -236,35 +268,94 @@ object MaxwellStream {
         col("database_name"), col("table_name"), col("op"), col("n_events")
       )
 
-  /** Idempotent replica maintenance via foreachBatch: each micro-batch of
-    * state changes is de-duplicated per key (latest wins) and merged into a
-    * parquet replica directory. At scale the same foreachBatch body targets
-    * a MERGE-capable table format; plain parquet is rewritten per batch
-    * here. */
-  def applyBatchToReplica(batch: Dataset[StateChange], replicaDir: String): Unit = {
+  /** Stable pk-bucket expression: the replica's physical partitioning key.
+    * `hash` is Spark's Murmur3 (fixed seed) — identical across runs, JVMs
+    * and executors, so a key's bucket never moves. */
+  def pkBucket(nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(col("database_name"), col("table_name"), col("pk")), lit(nBuckets))
+
+  private def newer(a: StateChange, b: StateChange): StateChange =
+    if (a.ts.getTime > b.ts.getTime ||
+      (a.ts.getTime == b.ts.getTime && a.seq >= b.seq)) a else b
+
+  /** Idempotent replica maintenance via foreachBatch — a MERGE expressed as
+    * PARTITION-SCOPED rewrite on plain parquet. The replica is laid out as
+    * `bucket=<pmod(hash(db,table,pk), nBuckets)>/` partitions; each
+    * micro-batch:
+    *
+    *  1. reduces to latest-per-key (ties on the whole-second ts broken by
+    *     the event sequence, [[StateChange.seq]]),
+    *  2. computes the set of TOUCHED buckets (a tiny distinct),
+    *  3. reads ONLY those partitions back (partition pruning on `bucket`),
+    *  4. merges, drops tombstones, and dynamic-partition-OVERWRITES only
+    *     the touched buckets; a touched bucket whose keys all died is
+    *     deleted explicitly (dynamic overwrite skips empty partitions).
+    *
+    * Cost per batch is O(touched buckets), not O(replica) — the round-1
+    * full-directory rewrite died at 100 TB replica size. Size nBuckets so
+    * one bucket ≈ a few hundred MB at the target scale (the merged content
+    * of touched buckets is localCheckpoint-materialized before the
+    * overwrite, since the write replaces the files it read). A
+    * MERGE-capable format (Delta/Iceberg) replaces steps 2–4 with
+    * `MERGE INTO` — this body is the same topology on raw parquet. */
+  def applyBatchToReplica(batch: Dataset[StateChange], replicaDir: String,
+      nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val cols = Seq("database_name", "table_name", "pk", "op", "state", "ts", "seq")
     val latest = batch
       .groupByKey(c => (c.database_name, c.table_name, c.pk))
-      .reduceGroups((a, b) => if (a.ts.compareTo(b.ts) >= 0) a else b)
+      .reduceGroups(newer _)
       .map(_._2)
+      .localCheckpoint(true)
+    val touched = latest.toDF().select(pkBucket(nBuckets).as("bucket"))
+      .distinct().as[Int].collect().toSeq.sorted
+    if (touched.isEmpty) return
     val replicaPath = new org.apache.hadoop.fs.Path(replicaDir)
     val fs = replicaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      if (fs.exists(replicaPath)) spark.read.parquet(replicaDir).as[StateChange]
+      if (fs.exists(replicaPath))
+        spark.read.parquet(replicaDir)
+          .where(col("bucket").isin(touched: _*)) // partition-pruned scan
+          .select(cols.map(col): _*).as[StateChange]
       else spark.emptyDataset[StateChange]
     val merged = existing
       .union(latest)
       .groupByKey(c => (c.database_name, c.table_name, c.pk))
-      .reduceGroups((a, b) => if (a.ts.compareTo(b.ts) >= 0) a else b)
+      .reduceGroups(newer _)
       .map(_._2)
       .filter(c => c.op != "tombstone")
-      .cache()
-    merged.count() // materialize before overwrite reads the old files
-    merged.write.mode("overwrite").parquet(replicaDir + ".tmp")
-    merged.unpersist()
-    // atomic-ish swap: re-point by rewriting the target
-    val tmp = spark.read.parquet(replicaDir + ".tmp")
-    tmp.write.mode("overwrite").parquet(replicaDir)
+      .toDF()
+      .withColumn("bucket", pkBucket(nBuckets))
+      .localCheckpoint(true) // materialize before overwriting the files just read
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic") // replace touched buckets only
+      .partitionBy("bucket")
+      .parquet(replicaDir)
+    // Dynamic overwrite leaves a partition alone when the new data has no
+    // rows for it — but a TOUCHED bucket with no survivors must be emptied.
+    val survivors = merged.select("bucket").distinct().as[Int].collect().toSet
+    touched.filterNot(survivors).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(replicaPath, s"bucket=$b"), true)
+    }
+  }
+
+  /** The `get_type` role (`cdc_plpgsql_functions.sql:62-77`): the reference
+    * casts every applied value to the target column's type; here the
+    * string-map replica state is projected onto the replicated table's
+    * CATALOG schema (created by [[applyDdl]]), yielding a fully typed
+    * DataFrame — `element_at(state, col).cast(catalogType)`, all codegen.
+    * Source columns the schema doesn't know are dropped; schema columns the
+    * state lacks come back NULL, exactly like a partial INSERT. */
+  def typedReplica(spark: SparkSession, replicaDir: String,
+      database: String, table: String): DataFrame = {
+    val schema = spark.table(s"`$database`.`$table`").schema
+    spark.read.parquet(replicaDir)
+      .where(lower(col("database_name")) === database.toLowerCase &&
+        lower(col("table_name")) === table.toLowerCase)
+      .select(schema.fields.toSeq.map { f =>
+        element_at(col("state"), f.name.toLowerCase).cast(f.dataType).as(f.name.toLowerCase)
+      }: _*)
   }
 }

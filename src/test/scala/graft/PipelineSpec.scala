@@ -68,6 +68,24 @@ class PipelineSpec extends SparkSpec {
     assert(hit / exact.count() >= 0.4, s"IVF recall ${hit / exact.count()} too low")
   }
 
+  test("ngram-jaccard block cap bounds pairwise join input per block") {
+    // With an artificially tiny cap, no (lang, source) block feeds more
+    // than cap docs into the pairwise join — the worst case is
+    // blocks × cap² regardless of corpus size.
+    val cap = 3
+    val capped = Dedup.cappedBlockIds(spark, sfDir, cap)
+    val maxBlock = capped.groupBy("lang", "source").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxBlock <= cap)
+    // blocks bigger than the cap exist in the raw data (the cap binds)
+    val rawMax = Tables.documents(spark, sfDir).groupBy("lang", "source").count()
+      .agg(max("count")).head.getLong(0)
+    assert(rawMax > cap)
+    // at the real cap, the bench corpus is untouched: same docs survive
+    val full = Dedup.cappedBlockIds(spark, sfDir)
+    assert(full.count() == Tables.documents(spark, sfDir).count())
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val out = Dedup.dedupExact.fn(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)

@@ -183,6 +183,120 @@ class StreamingSpec extends SparkSpec {
     assert(after.columns.contains("event_month"))
   }
 
+  test("recoverArchive restores every interrupted-compaction crash state") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Files.createTempDirectory("graft_recover").toString
+    val dir = s"$base/archive"
+    Tables.region(spark, sfDir).write.parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    // crash between the two renames: dir gone, dir.old holds the data
+    fs.rename(new Path(dir), new Path(dir + ".old"))
+    graft.sources.Maintenance.recoverArchive(spark, dir)
+    assert(spark.read.parquet(dir).count() == rows)
+    // crash before the final delete: both dir and stale dir.old exist
+    Tables.region(spark, sfDir).limit(1).write.parquet(dir + ".old")
+    // incomplete staging write
+    Tables.region(spark, sfDir).limit(1).write.parquet(dir + ".compact")
+    graft.sources.Maintenance.recoverArchive(spark, dir)
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(!fs.exists(new Path(dir + ".old")) && !fs.exists(new Path(dir + ".compact")))
+  }
+
+  test("pk-less DML lands in the dead-letter lane, not the replica") {
+    import spark.implicits._
+    val lines = Seq(
+      // no-PK UPDATE: the reference RAISEs (cdc_plpgsql_functions.sql:156-161)
+      """{"database":"d","table":"nopk","type":"update","ts":100,"data":{"name":"x"},"old":{"name":"y"}}""",
+      // DML with NULL data
+      """{"database":"d","table":"nopk","type":"delete","ts":101}""",
+      // healthy insert
+      """{"database":"d","table":"t","type":"insert","ts":102,"data":{"id":"1","v":"a"}}"""
+    ).toDF("value")
+    val parsed = MaxwellStream.parse(lines)
+    val rejected = MaxwellStream.rejectedEvents(parsed).collect()
+    assert(rejected.length == 2)
+    assert(rejected.forall(_.table_name == "nopk"))
+    // the replica lane sees only the healthy insert (batch mode replay)
+    val applied = MaxwellStream.replicaChangelog(parsed).collect()
+    assert(applied.length == 1 && applied.head.pk == "1")
+  }
+
+  test("same-second update-then-delete replays by event sequence, not op name") {
+    import spark.implicits._
+    // Both events at ts=500s; event_id orders update (1) before delete (2).
+    // Alphabetical op order would replay delete first and resurrect the key.
+    val lines = Seq(
+      """{"database":"d","table":"t","type":"insert","ts":400,"data":{"id":"9","v":"a","event_id":"0"}}""",
+      """{"database":"d","table":"t","type":"delete","ts":500,"data":{"id":"9","v":"b","event_id":"2"}}""",
+      """{"database":"d","table":"t","type":"update","ts":500,"data":{"id":"9","v":"b","event_id":"1"},"old":{"v":"a"}}"""
+    ).toDF("value")
+    val changes = MaxwellStream.replicaChangelog(MaxwellStream.parse(lines)).collect()
+      .sortBy(c => (c.ts.getTime, c.seq))
+    assert(changes.map(_.op).toSeq == Seq("upsert", "upsert", "tombstone"))
+  }
+
+  test("bucketed replica merge rewrites only touched buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_buckets").toString + "/replica"
+    val nBuckets = 16
+    def change(pk: String, ts: Long) = MaxwellStream.StateChange(
+      "d", "t", pk, "upsert", Map("id" -> pk), new java.sql.Timestamp(ts))
+    def bucketFor(pk: String): Int = Seq(change(pk, 0)).toDS().toDF()
+      .select(MaxwellStream.pkBucket(nBuckets)).head.getInt(0)
+    // two pks in different buckets
+    val pks = (1 to 50).map(_.toString)
+    val pkA = pks.head
+    val pkB = pks.find(p => bucketFor(p) != bucketFor(pkA)).get
+    MaxwellStream.applyBatchToReplica(Seq(change(pkA, 1000)).toDS(), dir, nBuckets)
+    val bucketADir = new java.io.File(dir, s"bucket=${bucketFor(pkA)}")
+    val before = bucketADir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // second batch touches only pkB's bucket
+    MaxwellStream.applyBatchToReplica(Seq(change(pkB, 2000)).toDS(), dir, nBuckets)
+    val after = bucketADir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "untouched bucket files were rewritten")
+    assert(spark.read.parquet(dir).count() == 2)
+    // tombstoning the ONLY key of a bucket empties that bucket
+    val tomb = MaxwellStream.StateChange("d", "t", pkB, "tombstone",
+      Map.empty[String, String], new java.sql.Timestamp(3000))
+    MaxwellStream.applyBatchToReplica(Seq(tomb).toDS(), dir, nBuckets)
+    assert(spark.read.parquet(dir).count() == 1)
+    assert(!new java.io.File(dir, s"bucket=${bucketFor(pkB)}").exists())
+  }
+
+  test("typedReplica casts the string-map state to the catalog schema (get_type role)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_typed").toString + "/replica"
+    val ddl = Seq(
+      """{"database":"typedb","table":"album","type":"database-create","ts":1522558000000}""",
+      """{"database":"typedb","table":"album","type":"table-create","ts":1522558001000,"sql":"CREATE TABLE `album` (id INT, title LONGTEXT, price DOUBLE, created DATETIME)"}"""
+    ).toDF("value")
+    val dml = Seq(
+      """{"database":"typedb","table":"album","type":"insert","ts":1522558002,"data":{"id":"1","title":"Nevermind","price":"9.99"}}""",
+      """{"database":"typedb","table":"album","type":"insert","ts":1522558003,"data":{"id":"2","title":"In Utero","price":"12.50"}}"""
+    ).toDF("value")
+    try {
+      val results = MaxwellStream.applyDdl(
+        MaxwellStream.ddlStatementsSpark(MaxwellStream.parse(ddl)))
+      assert(results.forall(_._2.isEmpty), s"DDL failures: $results")
+      MaxwellStream.applyBatchToReplica(
+        MaxwellStream.replicaChangelog(MaxwellStream.parse(dml)), dir)
+      val typed = MaxwellStream.typedReplica(spark, dir, "typedb", "album")
+      import org.apache.spark.sql.types._
+      assert(typed.schema("id").dataType == IntegerType)
+      assert(typed.schema("price").dataType == DoubleType)
+      assert(typed.schema("created").dataType == TimestampType)
+      val rows = typed.orderBy("id").collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(rows.head.getDouble(2) == 9.99)
+      assert(rows.forall(_.isNullAt(3))) // column never shipped -> typed NULL
+      // the typed frame persists as a typed parquet replica
+      val out = dir + "_typed"
+      typed.write.parquet(out)
+      assert(spark.read.parquet(out).schema("price").dataType == DoubleType)
+    } finally spark.sql("DROP DATABASE IF EXISTS TYPEDB CASCADE")
+  }
+
   test("archive sink partitions by event month; replica merge is idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
