@@ -142,5 +142,77 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin)
+  /** Distributed EXACT ntile via pre-bucketed two-phase ranking.
+    *
+    * `ntile(4) OVER (PARTITION BY key ORDER BY v)` with few distinct keys
+    * caps parallelism at #keys and sorts N/#keys rows on single tasks
+    * (an OOM at 100×). Here ranking is decomposed so no task ever sees
+    * more than one (key, value-range-bucket) slice:
+    *
+    *  1. per-key min/max/count — one tiny broadcast aggregate;
+    *  2. every row maps to one of B=256 value-range buckets (narrow);
+    *  3. per-(key, bucket) counts + a running-sum window over the
+    *     keys×B-row aggregate give each bucket's global rank OFFSET;
+    *  4. a row_number window partitioned by (key, bucket) — parallelism
+    *     keys×B, each slice ~N/(keys×B) — plus the broadcast offset is the
+    *     exact global rank;
+    *  5. the SQL ntile bucket-size convention (first c mod n tiles get the
+    *     extra row) is computed arithmetically from (rank, count).
+    *
+    * Output and oracle are IDENTICAL to [[AnalyticsExt.qNtile]] — the same
+    * answer, from a plan whose widest sort is 1/B the size. */
+  val qNtileDist: QueryDef = QueryDef(
+    "q_ntile_dist",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nTiles = 4
+      val nBuckets = 256
+      val data = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("key"), col("o_totalprice").as("v"),
+          col("o_orderkey").as("id"))
+      val bounds = broadcast(data.groupBy("key")
+        .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
+      val bucketed = data.join(bounds, "key")
+        .withColumn("bkt",
+          least(lit(nBuckets - 1),
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
+            .cast("int"))
+      val offsets = broadcast(
+        bucketed.groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(
+            sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("key", "bkt", "off"))
+      val wLocal = Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))
+      // SQL ntile sizing: the first (c mod n) tiles hold (c div n)+1 rows,
+      // the rest (c div n); c < n degenerates to the first branch entirely.
+      val ranked = bucketed.join(offsets, Seq("key", "bkt"))
+        .withColumn("r", row_number().over(wLocal) + col("off"))
+        .withColumn("quartile",
+          when(col("r") <= (col("c") % nTiles) * (expr("c div 4") + 1),
+            expr("(r - 1) div ((c div 4) + 1) + 1"))
+            .otherwise(expr("(c % 4) + ((r - (c % 4) * ((c div 4) + 1) - 1) div (c div 4)) + 1"))
+            .cast("int"))
+      ranked.groupBy(col("key").as("o_orderpriority"), col("quartile"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(min(col("v")), 2).as("min_price"),
+          round(max(col("v")), 2).as("max_price"))
+        .orderBy("o_orderpriority", "quartile")
+    },
+    // the oracle is plain windowed ntile — same answer, different plan
+    Some("""
+      SELECT o_orderpriority, quartile, count(*) AS n_orders,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM (SELECT o_orderpriority, o_totalprice,
+                   ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+            FROM orders)
+      GROUP BY o_orderpriority, quartile
+      ORDER BY o_orderpriority, quartile
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist)
 }

@@ -263,13 +263,16 @@ object TextAnalysis {
           text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).iterator.map(t => (id, t))
         }
         .toDF("doc_id", "token")
-      val n = docs(s, d).count()
+      // Corpus size N stays IN the plan as a broadcast scalar — a driver
+      // .count() here would run an extra eager corpus pass per query build.
+      val n = broadcast(docs(s, d).agg(count(lit(1)).cast("double").as("n_docs")))
       val df = tokens.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("doc_freq"))
       val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
       tf.join(broadcast(df), "token")
-        .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("doc_freq")), 4))
+        .crossJoin(n)
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("doc_freq")), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("doc_freq"), col("tfidf"))

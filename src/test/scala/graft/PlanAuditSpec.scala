@@ -51,6 +51,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_ntile_dist equals windowed ntile and never sorts a whole key group") {
+    import graft.operators.{AnalyticsExt, ScalePatterns}
+    val dist = ScalePatterns.qNtileDist.fn(spark, sfDir)
+    val window = AnalyticsExt.qNtile.fn(spark, sfDir)
+    assert(dist.exceptAll(window).count() == 0)
+    assert(window.exceptAll(dist).count() == 0)
+    // the ranking window is partitioned by (key, bucket), not by key alone —
+    // no partition of the heavy sort sees more than one bucket slice
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.contains("row_number"), plan)
+    assert("partitionBy|windowspecdefinition\\(key#\\d+, bkt#\\d+".r
+      .findFirstIn(plan).isDefined, s"ranking window not bucket-partitioned:\n$plan")
+  }
+
   test("q6 reads only needed columns with pushed filters") {
     val plan = planOf(Olap.q6ForecastRevenue)
     assert(plan.contains("PushedFilters"))
