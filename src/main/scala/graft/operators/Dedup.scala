@@ -114,14 +114,21 @@ object Dedup {
     val sets = shingleTokens(s, d)
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("hsh"))
+      // sorted ONCE per doc so every pairwise jaccard is a linear merge
+      .agg(sort_array(collect_set(col("h"))).as("hsh"))
     sets.join(
       Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
       "doc_id")
   }
 
+  /** Exact |∩|/|∪| over the pre-sorted hash sets — the codegen'd merge
+    * kernel [[graft.plans.SortedJaccard]]. The built-in
+    * `size(array_intersect)/size(array_union)` formulation builds two hash
+    * sets and two result arrays PER PAIR, which dominated both pairwise
+    * dedup operators; the merge does zero allocation per pair. Values are
+    * identical (exact int/int ratio either way). */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.plans.VectorExpressions.sortedJaccard(a, b)
 
   /** Exact dedup: hash-groupBy on md5(text); one partial-aggregated shuffle. */
   val dedupExact: QueryDef = QueryDef(

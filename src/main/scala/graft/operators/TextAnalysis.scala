@@ -53,27 +53,47 @@ object TextAnalysis {
   )
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
-    * length, and a logistic quality score over those signals. */
+    * length, and a logistic quality score over those signals.
+    *
+    * The integer counters come from ONE typed map per document (a single
+    * pass over the text): the HOF formulation —
+    * `filter(toks, array_contains)` + `aggregate(transform(toks, length))`
+    * — evaluates interpreted per element (the measured §3 pitfall) and was
+    * the whole cost of this operator. The ratios/rounding/logistic stay as
+    * Column expressions over those counters, bit-identical to the oracle. */
   val textQuality: QueryDef = QueryDef(
     "text_quality",
     (s, d) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks)
-      val nStop = size(filter(toks, t => array_contains(stopArray, t)))
-      val nPunct = size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9 ]"), lit(0)))
-      val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
-      docs(s, d)
+      import s.implicits._
+      val stopSet = stopwords.toSet
+      val stats = docs(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val low = text.toLowerCase(java.util.Locale.ROOT)
+          val toks = low.split(" ", -1)
+          var nStop = 0
+          var sumLen = 0L
+          toks.foreach { t => if (stopSet(t)) nStop += 1; sumLen += t.length }
+          var nPunct = 0
+          low.foreach { c =>
+            if (!(c >= 'a' && c <= 'z') && !(c >= '0' && c <= '9') && c != ' ') nPunct += 1
+          }
+          (id, text.length, toks.length, nStop, nPunct, sumLen)
+        }
+        .toDF("doc_id", "n_chars", "n_tok", "n_stop", "n_punct", "sum_len")
+      stats
         .select(
           col("doc_id"),
-          length(col("text")).as("n_chars"),
-          nTok.as("n_tokens"),
-          round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
-          round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"),
-          round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
+          col("n_chars"),
+          col("n_tok").as("n_tokens"),
+          round(col("n_stop").cast("double") / col("n_tok"), 4).as("stopword_ratio"),
+          round(col("n_punct").cast("double") / col("n_chars"), 4).as("punct_ratio"),
+          round(col("sum_len").cast("double") / col("n_tok"), 4).as("avg_token_len"),
           round(
             lit(1.0) / (lit(1.0) +
-              exp(-(lit(0.002) * length(col("text")) + lit(2.0) * nStop.cast("double") / nTok
-                - lit(5.0) * nPunct.cast("double") / length(col("text")) - lit(1.0)))),
+              exp(-(lit(0.002) * col("n_chars") + lit(2.0) * col("n_stop").cast("double") / col("n_tok")
+                - lit(5.0) * col("n_punct").cast("double") / col("n_chars") - lit(1.0)))),
             4
           ).as("quality_score")
         )
@@ -100,19 +120,32 @@ object TextAnalysis {
   )
 
   /** Stopword-profile language ID: score the token stream against small
-    * per-language profiles; argmax with a fixed priority tie-break. */
+    * per-language profiles; argmax with a fixed priority tie-break.
+    * All four profile scores come from ONE typed map per document (single
+    * tokenize pass) — four interpreted `filter` HOFs per row was the
+    * measured cost of this operator. */
   val textLangid: QueryDef = QueryDef(
     "text_langid",
     (s, d) => {
-      val toks = tokens(col("text"))
-      def score(words: Seq[String]): Column =
-        size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
-      val sEn = score(Seq("the", "a", "of", "and", "is"))
-      val sFr = score(Seq("le", "la", "de", "et", "un"))
-      val sEs = score(Seq("el", "los", "de", "y", "un"))
-      val sDe = score(Seq("der", "die", "das", "und", "ein"))
+      import s.implicits._
+      val profiles: Array[Set[String]] = Array(
+        Set("the", "a", "of", "and", "is"),
+        Set("le", "la", "de", "et", "un"),
+        Set("el", "los", "de", "y", "un"),
+        Set("der", "die", "das", "und", "ein"))
       docs(s, d)
-        .select(col("doc_id"), sEn.as("s_en"), sFr.as("s_fr"), sEs.as("s_es"), sDe.as("s_de"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          val sc = new Array[Int](profiles.length)
+          toks.foreach { t =>
+            var i = 0
+            while (i < profiles.length) { if (profiles(i)(t)) sc(i) += 1; i += 1 }
+          }
+          (id, sc(0), sc(1), sc(2), sc(3))
+        }
+        .toDF("doc_id", "s_en", "s_fr", "s_es", "s_de")
         .withColumn(
           "pred_lang",
           when(col("s_en") >= greatest(col("s_fr"), col("s_es"), col("s_de")), "en")

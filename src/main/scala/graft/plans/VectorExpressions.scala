@@ -287,6 +287,76 @@ case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact Jaccard similarity |a∩b| / |a∪b| of two SORTED-ascending
+  * `array<long>` set encodings, as one merge pass.
+  *
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` builds a hash set
+  * per PAIR per operation (~2×|a∪b| inserts + probes, plus two array
+  * materializations) — the dominant cost of the pairwise dedup operators.
+  * Sorting each doc's hash set ONCE upstream (`sort_array` at set build)
+  * lets every pair comparison be a linear merge with zero allocation.
+  * Inputs are assumed deduplicated (set semantics), as produced by
+  * `sort_array(collect_set(...))`. Returns null if either side is null;
+  * two empty sets yield 0.0 (matching size(∩)/size(∪) = 0/0 → null guard:
+  * the callers filter empty shingle sets upstream). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongVec(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongVec(left.dataType) && isLongVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_jaccard expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var both = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { both += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - both
+    if (union == 0) 0.0 else both.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val both = ctx.freshName("both")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val union = ctx.freshName("union")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0, $both = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $both++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+         |int $union = $nx + $ny - $both;
+         |${ev.value} = $union == 0 ? 0.0 : ((double) $both) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-API entry point: dot(a, b) over array<float|double> columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -303,6 +373,10 @@ object VectorExpressions {
   /** Column-API entry point: integer dot of two SQ8 binary vectors. */
   def int8Dot(a: Column, b: Column): Column =
     Bridge.column(Int8Dot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-API entry point: Jaccard of two sorted array<long> sets. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register `graft_dot` in the session's function registry so plain
     * `spark.sql("SELECT graft_dot(a, b) ...")` reaches the native kernel. */
