@@ -220,31 +220,46 @@ object Dedup {
     * the brute-force oracle. The oracle IS brute force — the whole point of
     * LSH is reproducing it without the O(n^2) join.
     *
-    * Plan shape: explode(shingles) -> 64 partial min-aggregates (codegen'd,
-    * map-side combined) -> 16 id-only band rows per doc -> equi-join on
-    * (band, key) -> distinct id pairs -> re-join hashed sets -> confirm. */
+    * Plan shape: one tokenize pass -> hashed shingle sets (shared with the
+    * confirm stage via ReuseExchange) -> 64 affine minima per doc in a
+    * typed flatMap -> 16 id-only band rows per doc -> equi-join on
+    * (band, key) -> distinct id pairs -> re-join hashed sets -> confirm
+    * with the sorted-merge jaccard kernel. */
   val dedupMinhashLsh: QueryDef = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => {
+      import s.implicits._
       val nHashes = 64
       val bandRows = 4
       val nBands = nHashes / bandRows
       def aCoef(i: Int): Long = ((i.toLong * 2654435761L + 1L) % (P - 1)) + 1 // in [1, P-1]
       def bCoef(i: Int): Long = (i.toLong * 40503L + 7L) % P
 
-      val tokenRows = shingleTokens(s, d)
-        .select(col("doc_id"), tokenHashFast(col("tok")).as("h"))
-      val minAggs = (0 until nHashes).map(i => min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P).as(s"m$i"))
-      val sig = tokenRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-
-      val bands = sig.select(
-        col("doc_id"),
-        posexplode(
-          array((0 until nBands).map { bIdx =>
-            md5(concat_ws(",", (0 until bandRows).map(r => col(s"m${bIdx * bandRows + r}")): _*))
-          }: _*)
-        ).as(Seq("band_idx", "band_key"))
-      )
+      // ONE tokenize pass feeds everything: the hashed shingle sets (also
+      // needed by the confirm stage — Spark's ReuseExchange shares the
+      // collect_set aggregation between the two consumers) double as the
+      // minhash input, since tokenHashFast(t) == xxhash64(t) & 0x7FFFFFFF
+      // is derivable from each set element. The 64 affine minima are a
+      // tight loop in a typed flatMap per doc — identical Long arithmetic
+      // (including overflow wrap) to the previous 64 min-aggregates, so
+      // signatures and band keys are unchanged. Round 1 ran a SECOND full
+      // tokenize + explode + 64-column aggregate just for the signatures.
+      val hsh = docHashedShingles(s, d).select(col("doc_id"), col("hsh"))
+      val bands = hsh.as[(Long, Seq[Long])].flatMap { case (id, hs) =>
+        val mins = Array.fill(nHashes)(Long.MaxValue)
+        hs.foreach { h64 =>
+          val h = h64 & 0x7FFFFFFFL
+          var i = 0
+          while (i < nHashes) {
+            val v = (aCoef(i) * h + bCoef(i)) % P
+            if (v < mins(i)) mins(i) = v
+            i += 1
+          }
+        }
+        (0 until nBands).map { bIdx =>
+          (id, bIdx, (0 until bandRows).map(r => mins(bIdx * bandRows + r)).mkString(","))
+        }
+      }.toDF("doc_id", "band_idx", "band_key")
 
       val candidates = bands.as("a")
         .join(bands.as("b"), Seq("band_idx", "band_key"))
@@ -252,7 +267,6 @@ object Dedup {
         .filter(col("id1") < col("id2"))
         .dropDuplicates("id1", "id2")
 
-      val hsh = docHashedShingles(s, d).select(col("doc_id"), col("hsh"))
       candidates
         .join(hsh.select(col("doc_id").as("id1"), col("hsh").as("h1")), "id1")
         .join(hsh.select(col("doc_id").as("id2"), col("hsh").as("h2")), "id2")

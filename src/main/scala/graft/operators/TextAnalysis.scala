@@ -299,8 +299,10 @@ object TextAnalysis {
       // Corpus size N stays IN the plan as a broadcast scalar — a driver
       // .count() here would run an extra eager corpus pass per query build.
       val n = broadcast(docs(s, d).agg(count(lit(1)).cast("double").as("n_docs")))
-      val df = tokens.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("doc_freq"))
       val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      // doc frequency DERIVED from tf (one row per (doc, token) already),
+      // not a second aggregation over the raw token stream
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
       tf.join(broadcast(df), "token")
