@@ -213,6 +213,71 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** Distributed EXACT percentiles (p50/p90 with linear interpolation) via
+    * the same pre-bucketed two-phase ranking as [[qNtileDist]]: Spark's
+    * `percentile()` buffers EVERY group value in executor memory (an OOM at
+    * 100× with few groups); here only the ≤4 rows at the interpolation
+    * ranks per group survive the rank filter, and the interpolation uses
+    * exactly Spark's formula (`v_lo·(hi−pos) + v_hi·(pos−lo)`). Output and
+    * oracle are IDENTICAL to [[Olap.qPercentile]]. */
+  val qPercentileDist: QueryDef = QueryDef(
+    "q_percentile_dist",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nBuckets = 256
+      val data = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("key"), col("o_totalprice").as("v"),
+          col("o_orderkey").as("id"))
+      val bounds = broadcast(data.groupBy("key")
+        .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
+      val bucketed = data.join(bounds, "key")
+        .withColumn("bkt",
+          least(lit(nBuckets - 1),
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
+            .cast("int"))
+      val offsets = broadcast(
+        bucketed.groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(
+            sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("key", "bkt", "off"))
+      val wLocal = Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))
+      def pos(p: Double) = lit(p) * (col("c") - 1) // Spark: percentage * (count-1)
+      def loR(p: Double) = floor(pos(p)) + 1 // 1-based rank of the lower value
+      def hiR(p: Double) = ceil(pos(p)) + 1
+      val ranked = bucketed.join(offsets, Seq("key", "bkt"))
+        .withColumn("r", row_number().over(wLocal) + col("off"))
+        .filter(col("r") === loR(0.5) || col("r") === hiR(0.5) ||
+          col("r") === loR(0.9) || col("r") === hiR(0.9))
+      def interp(p: Double, vlo: org.apache.spark.sql.Column, vhi: org.apache.spark.sql.Column) =
+        when(floor(pos(p)) === ceil(pos(p)), vlo)
+          .otherwise(vlo * (ceil(pos(p)) - pos(p)) + vhi * (pos(p) - floor(pos(p))))
+      ranked.groupBy(col("key"), col("c"))
+        .agg(
+          max(when(col("r") === loR(0.5), col("v"))).as("v50lo"),
+          max(when(col("r") === hiR(0.5), col("v"))).as("v50hi"),
+          max(when(col("r") === loR(0.9), col("v"))).as("v90lo"),
+          max(when(col("r") === hiR(0.9), col("v"))).as("v90hi"))
+        .select(
+          col("key").as("o_orderpriority"),
+          round(interp(0.5, col("v50lo"), col("v50hi")), 4).as("p50"),
+          round(interp(0.9, col("v90lo"), col("v90hi")), 4).as("p90"),
+          col("c").as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // the oracle is the buffering percentile aggregate — same answer
+    Some("""
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist)
+    qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
+    qPercentileDist)
 }

@@ -99,12 +99,28 @@ object Similarity {
     """.stripMargin.trim)
   )
 
-  /** Embedding near-dup pairs: label-blocked top-3 most-cosine-similar
-    * pairs per label (labels act as the coarse clustering / IVF cells). */
+  /** Per-label cap for the pairwise embedding audit: blocks above it keep
+    * their `blockCap` lowest vec_ids, bounding the pairwise work to
+    * labels×cap² at any corpus size (label population otherwise grows
+    * linearly → O(n²)). Far above every bench-SF block (≤400 vectors), so
+    * bench outputs are the uncapped ones; corpus-scale near-dup discovery
+    * is [[annLsh]]'s bucketed path. */
+  private val blockCap = 512
+
+  /** Embedding near-dup pairs: label-blocked (≤[[blockCap]] docs) top-3
+    * most-cosine-similar pairs per label (labels act as the coarse
+    * clustering / IVF cells). */
   val dedupEmbedding: QueryDef = QueryDef(
     "dedup_embedding",
     (s, d) => {
-      val base = withNorm(s, d)
+      // cap on narrow (vec_id, label) columns — the cap window never sorts
+      // embedding arrays — then re-join the vectors for survivors
+      val capW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val cappedIds = emb(s, d).select(col("vec_id"), col("label"))
+        .withColumn("brn", row_number().over(capW))
+        .filter(col("brn") <= blockCap)
+        .select("vec_id")
+      val base = withNorm(s, d).join(cappedIds, "vec_id")
       val a = base.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
       val b = base.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
       val w = Window.partitionBy(col("label")).orderBy(col("cos").desc, col("id1"), col("id2"))
@@ -117,10 +133,15 @@ object Similarity {
         .orderBy("label", "rn")
     },
     Some(s"""
-      WITH n AS (
+      WITH capped AS (
+        SELECT label, vec_id, embedding
+        FROM embeddings
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 512
+      ),
+      n AS (
         SELECT label, vec_id, embedding,
                sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-        FROM embeddings
+        FROM capped
       ),
       pairs AS (
         SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,

@@ -65,6 +65,14 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, s"ranking window not bucket-partitioned:\n$plan")
   }
 
+  test("q_percentile_dist equals the buffering percentile aggregate") {
+    import graft.operators.{Olap, ScalePatterns}
+    val dist = ScalePatterns.qPercentileDist.fn(spark, sfDir)
+    val buffered = Olap.qPercentile.fn(spark, sfDir)
+    assert(dist.exceptAll(buffered).count() == 0)
+    assert(buffered.exceptAll(dist).count() == 0)
+  }
+
   test("q6 reads only needed columns with pushed filters") {
     val plan = planOf(Olap.q6ForecastRevenue)
     assert(plan.contains("PushedFilters"))
