@@ -54,9 +54,15 @@ object Dialect {
     sparkTypeMap.foldLeft(noTicks) { case (c, (from, to)) => regexp_replace(c, from, to) }
   }
 
-  /** Full pipeline into the Spark dialect. */
+  /** Full pipeline into the Spark dialect. DROP TABLE gains IF EXISTS —
+    * the reference checks existence before dropping and skips quietly
+    * (`cdc_plpgsql_functions.sql:212-222`); without the guard a replayed
+    * DROP for a never-replicated table surfaces as an error instead of a
+    * no-op. */
   def toSparkSql(schema: Column, sql: Column): Column =
-    addSchemaName(schema, translateSqlSpark(sql))
+    addSchemaName(schema,
+      regexp_replace(translateSqlSpark(sql),
+        "\\bDROP TABLE (?!IF EXISTS)", "DROP TABLE IF EXISTS "))
 
   private val ddlTarget = "((?:CREATE|DROP|ALTER)\\s+TABLE(?:\\s+IF EXISTS)?)\\s+(\\w+)"
 

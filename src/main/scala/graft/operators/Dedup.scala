@@ -173,8 +173,11 @@ object Dedup {
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => {
+      // cached: the a/b self-join legs are separate typed-flatMap subtrees
+      // that would otherwise each tokenize the corpus (see dedupMinhashLsh)
       val docs = cappedBlockIds(s, d)
         .join(docHashedShingles(s, d).select(col("doc_id"), col("hsh")), "doc_id")
+        .cache()
       val a = docs.select(col("lang"), col("source"), col("doc_id").as("id1"), col("hsh").as("h1"))
       val b = docs.select(col("lang"), col("source"), col("doc_id").as("id2"), col("hsh").as("h2"))
       val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("jac").desc, col("id1"), col("id2"))
@@ -236,15 +239,17 @@ object Dedup {
       def bCoef(i: Int): Long = (i.toLong * 40503L + 7L) % P
 
       // ONE tokenize pass feeds everything: the hashed shingle sets (also
-      // needed by the confirm stage — Spark's ReuseExchange shares the
-      // collect_set aggregation between the two consumers) double as the
-      // minhash input, since tokenHashFast(t) == xxhash64(t) & 0x7FFFFFFF
-      // is derivable from each set element. The 64 affine minima are a
-      // tight loop in a typed flatMap per doc — identical Long arithmetic
-      // (including overflow wrap) to the previous 64 min-aggregates, so
-      // signatures and band keys are unchanged. Round 1 ran a SECOND full
-      // tokenize + explode + 64-column aggregate just for the signatures.
-      val hsh = docHashedShingles(s, d).select(col("doc_id"), col("hsh"))
+      // needed by the confirm stage) double as the minhash input, since
+      // tokenHashFast(t) == xxhash64(t) & 0x7FFFFFFF is derivable from
+      // each set element. The 64 affine minima are a tight loop in a typed
+      // flatMap per doc — identical Long arithmetic (including overflow
+      // wrap) to the previous 64 min-aggregates, so signatures and band
+      // keys are unchanged. Round 1 ran a SECOND full tokenize + explode +
+      // 64-column aggregate just for the signatures. The cache() makes the
+      // sharing REAL: typed-flatMap subtrees don't canonicalize equal
+      // (fresh closure instances), so exchange reuse alone re-tokenized
+      // the corpus once per consumer (the explain showed four copies).
+      val hsh = docHashedShingles(s, d).select(col("doc_id"), col("hsh")).cache()
       val bands = hsh.as[(Long, Seq[Long])].flatMap { case (id, hs) =>
         val mins = Array.fill(nHashes)(Long.MaxValue)
         hs.foreach { h64 =>

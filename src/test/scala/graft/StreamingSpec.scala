@@ -105,6 +105,21 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS MUSICDB CASCADE")
   }
 
+  test("replayed DROP of a never-replicated table is a quiet no-op (existence guard)") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"database":"guarddb","table":"ghost","type":"database-create","ts":1522558000000}""",
+      """{"database":"guarddb","table":"ghost","type":"table-drop","ts":1522558001000,"sql":"DROP TABLE ghost"}"""
+    ).toDF("value")
+    try {
+      val results = MaxwellStream.applyDdl(
+        MaxwellStream.ddlStatementsSpark(MaxwellStream.parse(lines)))
+      assert(results.forall(_._2.isEmpty),
+        s"DROP of a missing table should be skipped-by-design, got: $results")
+      assert(results.exists(_._1.contains("DROP TABLE IF EXISTS")))
+    } finally spark.sql("DROP DATABASE IF EXISTS GUARDDB CASCADE")
+  }
+
   test("windowedOpCounts aggregates ops per hour window with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
