@@ -142,52 +142,57 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
-  /** Distributed EXACT ntile via pre-bucketed two-phase ranking.
-    *
-    * `ntile(4) OVER (PARTITION BY key ORDER BY v)` with few distinct keys
-    * caps parallelism at #keys and sorts N/#keys rows on single tasks
-    * (an OOM at 100×). Here ranking is decomposed so no task ever sees
-    * more than one (key, value-range-bucket) slice:
+  /** Pre-bucketed two-phase EXACT ranking — the scale-safe replacement for
+    * `... OVER (PARTITION BY key ORDER BY v, id)` when `key` has few
+    * distinct values (which caps window parallelism at #keys and sorts
+    * N/#keys rows on single tasks — an OOM at 100×):
     *
     *  1. per-key min/max/count — one tiny broadcast aggregate;
-    *  2. every row maps to one of B=256 value-range buckets (narrow);
+    *  2. every row maps to one of B value-range buckets (narrow);
     *  3. per-(key, bucket) counts + a running-sum window over the
     *     keys×B-row aggregate give each bucket's global rank OFFSET;
     *  4. a row_number window partitioned by (key, bucket) — parallelism
     *     keys×B, each slice ~N/(keys×B) — plus the broadcast offset is the
-    *     exact global rank;
-    *  5. the SQL ntile bucket-size convention (first c mod n tiles get the
-    *     extra row) is computed arithmetically from (rank, count).
+    *     exact global rank.
     *
-    * Output and oracle are IDENTICAL to [[AnalyticsExt.qNtile]] — the same
-    * answer, from a plan whose widest sort is 1/B the size. */
+    * Input columns (key, v, id); output adds `c` (per-key count) and `r`
+    * (exact 1-based global rank by (v, id) within key). */
+  private def bucketedRank(data: org.apache.spark.sql.DataFrame,
+      nBuckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = broadcast(data.groupBy("key")
+      .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
+    val bucketed = data.join(bounds, "key")
+      .withColumn("bkt",
+        least(lit(nBuckets - 1),
+          floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
+          .cast("int"))
+    val offsets = broadcast(
+      bucketed.groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(
+          sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("key", "bkt", "off"))
+    val wLocal = Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))
+    bucketed.join(offsets, Seq("key", "bkt"))
+      .withColumn("r", row_number().over(wLocal) + col("off"))
+  }
+
+  /** Distributed EXACT ntile via [[bucketedRank]]; the SQL ntile
+    * bucket-size convention (first c mod n tiles get the extra row) is
+    * computed arithmetically from (rank, count). Output and oracle are
+    * IDENTICAL to [[AnalyticsExt.qNtile]] — the same answer, from a plan
+    * whose widest sort is 1/B the size. */
   val qNtileDist: QueryDef = QueryDef(
     "q_ntile_dist",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val nTiles = 4
-      val nBuckets = 256
       val data = Tables.orders(s, d)
         .select(col("o_orderpriority").as("key"), col("o_totalprice").as("v"),
           col("o_orderkey").as("id"))
-      val bounds = broadcast(data.groupBy("key")
-        .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
-      val bucketed = data.join(bounds, "key")
-        .withColumn("bkt",
-          least(lit(nBuckets - 1),
-            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
-            .cast("int"))
-      val offsets = broadcast(
-        bucketed.groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(
-            sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("key", "bkt", "off"))
-      val wLocal = Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))
       // SQL ntile sizing: the first (c mod n) tiles hold (c div n)+1 rows,
       // the rest (c div n); c < n degenerates to the first branch entirely.
-      val ranked = bucketed.join(offsets, Seq("key", "bkt"))
-        .withColumn("r", row_number().over(wLocal) + col("off"))
+      val ranked = bucketedRank(data)
         .withColumn("quartile",
           when(col("r") <= (col("c") % nTiles) * (expr("c div 4") + 1),
             expr("(r - 1) div ((c div 4) + 1) + 1"))
@@ -223,30 +228,13 @@ object ScalePatterns {
   val qPercentileDist: QueryDef = QueryDef(
     "q_percentile_dist",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val nBuckets = 256
       val data = Tables.orders(s, d)
         .select(col("o_orderpriority").as("key"), col("o_totalprice").as("v"),
           col("o_orderkey").as("id"))
-      val bounds = broadcast(data.groupBy("key")
-        .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
-      val bucketed = data.join(bounds, "key")
-        .withColumn("bkt",
-          least(lit(nBuckets - 1),
-            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
-            .cast("int"))
-      val offsets = broadcast(
-        bucketed.groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(
-            sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("key", "bkt", "off"))
-      val wLocal = Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))
       def pos(p: Double) = lit(p) * (col("c") - 1) // Spark: percentage * (count-1)
       def loR(p: Double) = floor(pos(p)) + 1 // 1-based rank of the lower value
       def hiR(p: Double) = ceil(pos(p)) + 1
-      val ranked = bucketed.join(offsets, Seq("key", "bkt"))
-        .withColumn("r", row_number().over(wLocal) + col("off"))
+      val ranked = bucketedRank(data)
         .filter(col("r") === loR(0.5) || col("r") === hiR(0.5) ||
           col("r") === loR(0.9) || col("r") === hiR(0.9))
       def interp(p: Double, vlo: org.apache.spark.sql.Column, vhi: org.apache.spark.sql.Column) =
@@ -277,7 +265,39 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** Distributed EXACT rank distributions via [[bucketedRank]]: the window
+    * ordering (v, id) is tie-free (id is the unique order key), so
+    * `percent_rank = (r−1)/(c−1)` and `cume_dist = r/c` follow directly
+    * from the exact global rank. Output and oracle are IDENTICAL to
+    * [[Olap.qCumeDist]] — same answer, no #keys-bounded window sort. */
+  val qCumeDistDist: QueryDef = QueryDef(
+    "q_cume_dist_dist",
+    (s, d) => {
+      val data = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("key"), col("o_totalprice").as("v"),
+          col("o_orderkey").as("id"))
+      bucketedRank(data)
+        .select(
+          col("key").as("o_orderpriority"),
+          col("id").as("o_orderkey"),
+          round((col("r") - 1).cast("double") / (col("c") - 1), 6).as("pct_rank"),
+          round(col("r").cast("double") / col("c"), 6).as("cume"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    // the oracle is the plain windowed form — same answer
+    Some("""
+      SELECT o_orderpriority, o_orderkey,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
-    qPercentileDist)
+    qPercentileDist, qCumeDistDist)
 }

@@ -73,6 +73,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(buffered.exceptAll(dist).count() == 0)
   }
 
+  test("q_cume_dist_dist equals the windowed rank distributions") {
+    import graft.operators.{Olap, ScalePatterns}
+    val dist = ScalePatterns.qCumeDistDist.fn(spark, sfDir)
+    val window = Olap.qCumeDist.fn(spark, sfDir)
+    assert(dist.exceptAll(window).count() == 0)
+    assert(window.exceptAll(dist).count() == 0)
+  }
+
   test("q6 reads only needed columns with pushed filters") {
     val plan = planOf(Olap.q6ForecastRevenue)
     assert(plan.contains("PushedFilters"))
