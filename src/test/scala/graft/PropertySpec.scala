@@ -75,6 +75,24 @@ class PropertySpec extends SparkSpec {
     }, n = 40)
   }
 
+  test("SortedJaccard equals the array_intersect/array_union formulation") {
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+      b <- Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    } yield (a, b)
+    assertProp(Prop.forAll(gen) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val fast = df.select(graft.plans.VectorExpressions.sortedJaccard(col("a"), col("b")))
+        .head.getDouble(0)
+      val ref = df.select(try_divide(
+        size(array_intersect(col("a"), col("b"))).cast("double"),
+        size(array_union(col("a"), col("b")))).as("j")).head
+      val refV = if (ref.isNullAt(0)) 0.0 else ref.getDouble(0) // 0/0 -> null vs 0.0
+      fast == refV
+    }, n = 50)
+  }
+
   test("KMV merge is order-insensitive and exact below k") {
     import graft.functions.Sketches
     val agg = new Sketches.KmvDistinct(64)
