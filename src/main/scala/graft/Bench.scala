@@ -16,8 +16,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated filter for profiling individual queries.
+    // Sorted by name: Map iteration order would shuffle which queries pay
+    // cold-codegen costs between runs, adding run-to-run noise.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       selected.foreach { case (n, fn) =>
         println(s"=== $n"); fn(spark, sfDir).explain("formatted")
@@ -41,7 +44,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -31,8 +31,15 @@ object StreamDemo {
 
     val work = Files.createTempDirectory("graft_stream_demo").toString
 
-    // 1. Render the event table as Maxwell JSON lines (the queue payload).
+    // 1. Render the event table as Maxwell JSON lines (the queue payload),
+    //    plus a few pk-less DML events a real binlog can contain — they
+    //    must surface in the dead-letter lane, not vanish.
+    val noPk = Seq(
+      """{"database":"app","table":"nopk_t","type":"update","ts":1700000000,"data":{"name":"x"},"old":{"name":"y"}}""",
+      """{"database":"app","table":"nopk_t","type":"delete","ts":1700000001}"""
+    ).toDF("value")
     MaxwellStream.maxwellify(Tables.events(spark, sfDir))
+      .union(noPk)
       .repartition(4)
       .write.mode("overwrite").text(s"$work/queue")
 
@@ -59,16 +66,32 @@ object StreamDemo {
       .trigger(Trigger.AvailableNow())
       .start()
 
+    // Dead-letter lane: events the replica lane must reject (no PK / no
+    // data — here the DDL rows of the synthetic feed) land in their own
+    // sink instead of vanishing.
+    val rejectQ = MaxwellStream.rejectedEvents(parsed)
+      .drop("data", "old")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/rejects")
+      .option("checkpointLocation", s"$work/ckpt_rejects")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
     replicaQ.awaitTermination()
     archiveQ.awaitTermination()
+    rejectQ.awaitTermination()
 
     val nArchive = spark.read.parquet(s"$work/archive").count()
     val replica = spark.read.parquet(s"$work/replica")
     val nReplica = replica.count()
+    val nRejects =
+      try spark.read.parquet(s"$work/rejects").count() catch { case _: Exception => 0L }
     val months = spark.read.parquet(s"$work/archive")
       .select(countDistinct(col("event_month"))).head().getLong(0)
     println(
-      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"archive_months":$months,"dir":"$work"}""")
+      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dir":"$work"}""")
     spark.stop()
   }
 }
