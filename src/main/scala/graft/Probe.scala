@@ -20,6 +20,14 @@ object Probe {
     }
     if (args.contains("fast")) {
       for (i <- 1 to 3) time0(s"ann_lsh run $i")(operators.Similarity.annLsh.fn(spark, d).count())
+      for (i <- 1 to 2) time0(s"ann_lsh DIST run $i")(
+        operators.Similarity.lshTopK(spark, d, distributed = true).count())
+      locally {
+        val a = operators.Similarity.lshTopK(spark, d, distributed = false)
+        val b = operators.Similarity.lshTopK(spark, d, distributed = true)
+        println("serving vs distributed diff rows: " +
+          (a.exceptAll(b).count() + b.exceptAll(a).count()))
+      }
       for (i <- 1 to 3) time0(s"ann_ivf run $i")(operators.Similarity.annIvf.fn(spark, d).count())
       // staged variants of the current annLsh pipeline
       locally {
