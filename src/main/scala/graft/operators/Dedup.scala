@@ -332,5 +332,77 @@ object Dedup {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+  /** Connected-component canonicalization of the duplicate graph: every
+    * doc maps to the MIN doc_id reachable through jaccard≥0.8 pairs (its
+    * cluster's keeper) — the step a real dedup pipeline runs after pair
+    * discovery, since near-duplicates form chains (A≈B≈C with A≉C) and
+    * keeping "one of each pair" would over- or under-delete.
+    *
+    * Spark side: min-label propagation to fixpoint over the
+    * [[dedupMinhashLsh]] edge set — per iteration one join + min-aggregate,
+    * localCheckpointed to cut lineage; iterations ≤ cluster diameter
+    * (tiny for dup clusters; at web scale swap in the large-star/small-star
+    * contraction, same per-round join shape). Driver only sees the
+    * converged? flag (a count), never the data. The oracle replays the
+    * same semantics as a DuckDB recursive transitive closure over the
+    * brute-force pair set (== the LSH pair set, by the proven full
+    * recall). */
+  val dedupClusters: QueryDef = QueryDef(
+    "dedup_clusters",
+    (s, d) => {
+      val edges = dedupMinhashLsh.fn(s, d).select(col("id1"), col("id2"))
+      val both = edges.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+        .localCheckpoint(true)
+      // Propagate only over docs that appear in a dup pair — at any scale
+      // the dup-graph nodes are a small fraction of the corpus; everyone
+      // else is trivially their own keeper (the final left join).
+      var labels = both.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("lab"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 32) {
+        val neighborMin = both.join(labels, both("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+        val next = labels.as("l")
+          .join(neighborMin, col("l.doc_id") === col("src"), "left")
+          .select(col("l.doc_id").as("doc_id"),
+            least(col("l.lab"), coalesce(col("nlab"), col("l.lab"))).as("lab"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.lab") < col("o.lab")).count()
+        labels = next
+        iter += 1
+      }
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("keep_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, $duckShingleHashes AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+      ), cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+      ), edges AS (
+        SELECT id1 AS a, id2 AS b FROM cand UNION ALL SELECT id2 AS a, id1 AS b FROM cand
+      ), r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+      )
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS keep_id
+      FROM documents d LEFT JOIN r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupClusters)
 }

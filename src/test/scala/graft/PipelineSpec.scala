@@ -86,6 +86,24 @@ class PipelineSpec extends SparkSpec {
     assert(full.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("dedup_clusters collapses duplicate chains to one keeper per component") {
+    val clusters = Dedup.dedupClusters.fn(spark, sfDir).cache()
+    val pairs = Dedup.dedupMinhashLsh.fn(spark, sfDir).select("id1", "id2")
+    // labels point downward and keepers are fixpoints
+    assert(clusters.filter(col("keep_id") > col("doc_id")).count() == 0)
+    val keepers = clusters.select(col("keep_id").as("kk")).distinct()
+    assert(keepers.join(clusters, col("kk") === col("doc_id"))
+      .filter(col("keep_id") =!= col("doc_id"))
+      .count() == 0, "a keeper maps to a different keeper")
+    // both ends of every duplicate pair share a cluster
+    val lab = clusters.select(col("doc_id"), col("keep_id"))
+    val mismatched = pairs
+      .join(lab.select(col("doc_id").as("id1"), col("keep_id").as("k1")), "id1")
+      .join(lab.select(col("doc_id").as("id2"), col("keep_id").as("k2")), "id2")
+      .filter(col("k1") =!= col("k2"))
+    assert(mismatched.count() == 0)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val out = Dedup.dedupExact.fn(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
