@@ -134,5 +134,48 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub, mmFrameSample)
+  /** Resize/downsample stub: re-sample every payload onto a FIXED output
+    * size (32 sample points — the "thumbnail" grid of an image resize or
+    * the fixed-rate resample of audio), emitting the resized artifact's
+    * checksum plus the sampling geometry. A real decoder would average
+    * frame-sized byte ranges at the same grid offsets; the container has
+    * no codecs, so the sample is one byte per grid point (clearly-marked
+    * stub, deterministic). Pure expression plumbing — narrow map, the
+    * geometry derives from payload length, no shuffle. */
+  val mmResizeStub: QueryDef = QueryDef(
+    "mm_resize_stub",
+    (s, d) => {
+      val target = 32
+      val len = length(col("text"))
+      val stride = greatest(expr(s"length(text) div $target"), lit(1))
+      val resized = array_join(
+        transform(
+          sequence(lit(0), lit(target - 1)),
+          i => substring(col("text"), (i * stride + 1).cast("int"), lit(1))),
+        "")
+      Tables.documents(s, d)
+        .filter(len >= target)
+        .select(
+          col("doc_id"),
+          len.as("orig_bytes"),
+          lit(target).as("target_bytes"),
+          stride.as("stride"),
+          md5(resized.cast("binary")).as("resized_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, length(text) AS orig_bytes,
+             32 AS target_bytes,
+             greatest(length(text) // 32, 1) AS stride,
+             md5(array_to_string(
+               list_transform(generate_series(0, 31),
+                 i -> substr(text, (i * greatest(length(text) // 32, 1) + 1)::INT, 1)),
+               '')) AS resized_md5
+      FROM documents
+      WHERE length(text) >= 32
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub, mmFrameSample, mmResizeStub)
 }
