@@ -365,14 +365,16 @@ object Dedup {
       while (changed > 0 && iter < 32) {
         val neighborMin = both.join(labels, both("dst") === labels("doc_id"))
           .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+        // the improved? flag rides along in the same checkpointed pass —
+        // no extra join against the previous labels to detect convergence
         val next = labels.as("l")
           .join(neighborMin, col("l.doc_id") === col("src"), "left")
           .select(col("l.doc_id").as("doc_id"),
-            least(col("l.lab"), coalesce(col("nlab"), col("l.lab"))).as("lab"))
+            least(col("l.lab"), coalesce(col("nlab"), col("l.lab"))).as("lab"),
+            (coalesce(col("nlab"), col("l.lab")) < col("l.lab")).as("chg"))
           .localCheckpoint(true)
-        changed = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.lab") < col("o.lab")).count()
-        labels = next
+        changed = next.filter(col("chg")).count()
+        labels = next.drop("chg")
         iter += 1
       }
       Tables.documents(s, d).select(col("doc_id"))
