@@ -384,3 +384,39 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
 }
+
+/** Session extension: injects every graft kernel into the SQL function
+  * registry, so a cluster configured with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or a builder using
+  * `.withExtensions(new GraftExtensions)`) exposes them to plain SQL users:
+  *
+  *   - `graft_dot(a, b)`            — [[FloatVecDot]], array<float|double>
+  *   - `graft_quantize(v)`          — [[QuantizeVec]], SQ8 bytes
+  *   - `graft_int8_dot(a, b)`       — [[Int8Dot]], integer dot of SQ8
+  *   - `graft_sorted_jaccard(a, b)` — [[SortedJaccard]], sorted-set Jaccard
+  *
+  * ([[HyperplaneSig]] is constructor-parameterized by its plane matrix, so
+  * it stays a Column-API-only kernel.) This is the
+  * `SparkSessionExtensions` integration path of §3's custom-operator
+  * ladder — expressions first, injected properly, no UDFs. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - left-to-right double dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_quantize"),
+      info("graft_quantize", "graft_quantize(v) - SQ8 scalar quantization of an L2-normalized vector"),
+      (exprs: Seq[Expression]) => QuantizeVec(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_int8_dot"),
+      info("graft_int8_dot", "graft_int8_dot(a, b) - integer dot product of two SQ8 binary vectors"),
+      (exprs: Seq[Expression]) => Int8Dot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_jaccard"),
+      info("graft_sorted_jaccard", "graft_sorted_jaccard(a, b) - exact Jaccard of two sorted array<bigint> sets"),
+      (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
+  }
+}

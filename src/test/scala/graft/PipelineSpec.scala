@@ -104,6 +104,32 @@ class PipelineSpec extends SparkSpec {
     assert(mismatched.count() == 0)
   }
 
+  test("GraftExtensions exposes every kernel to a plain-SQL session") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate would silently return the suite session (no extensions);
+    // clear the default so a NEW session builds over the SAME SparkContext
+    // with the extensions applied, and restore afterwards (never stop()).
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val row = s2.sql("""
+        SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+               graft_int8_dot(graft_quantize(array(1.0D, 0.0D)),
+                              graft_quantize(array(1.0D, 0.0D))) AS q,
+               graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j
+      """).head()
+      assert(row.getDouble(0) == 11.0)
+      assert(row.getInt(1) == 127 * 127)
+      assert(row.getDouble(2) == 0.5)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val out = Dedup.dedupExact.fn(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
