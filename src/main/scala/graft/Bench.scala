@@ -52,10 +52,21 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of stdout (see BENCH_r01/
+    // r02: "parsed": null — the 9-decimal line overflowed that window and
+    // lost its opening brace). Emit the most compact line that round-trips:
+    // millisecond precision, short sf tag, and degrade to centiseconds if
+    // the query count ever pushes the line past the window again.
+    def fmt(decimals: Int): String = {
+      val p = s"%.${decimals}f"
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + p.format(v).toDouble }
+        .mkString("{", ",", "}")
+      val total = s"%.3f".format(results.map(_._2).sum).toDouble
+      val sfTag = sfDir.split('/').last
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+    }
+    val line = { val l3 = fmt(3); if (l3.length <= 1700) l3 else fmt(2) }
+    println(line)
     spark.stop()
   }
 }

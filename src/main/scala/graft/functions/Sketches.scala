@@ -50,4 +50,51 @@ object Sketches {
     * 64-bit hash column. */
   def kmvDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new KmvDistinct(k), Encoders.scalaLong)
+
+  /** Misra–Gries heavy-hitters sketch: k counters, O(k) state per partition.
+    *
+    * Guarantee (the reason it is usable under an EXACT oracle): every item
+    * whose true frequency exceeds N/(k+1) is present in the candidate set,
+    * regardless of partitioning or merge order. Items below that bound may
+    * or may not appear — so a query thresholding at fraction f > 1/(k+1)
+    * and CONFIRMING candidates with exact counts is fully deterministic:
+    * the sketch can only add spurious candidates, and the exact-count
+    * filter removes them.
+    *
+    * Merge is the mergeable-summaries construction (Agarwal et al., PODS
+    * 2012): sum counters, then subtract the (k+1)-th largest count from all
+    * and drop non-positive — preserving the N/(k+1) error bound, so
+    * map-side partial aggregation works and no token ever shuffles.
+    */
+  final class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.get(item) match {
+        case Some(c) => b.updated(item, c + 1L)
+        case None if b.size < k => b.updated(item, 1L)
+        case None => // decrement-all step: drop one occurrence of every tracked item
+          b.iterator.collect { case (t, c) if c > 1L => (t, c - 1L) }.toMap
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val summed = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+      if (summed.size <= k) summed
+      else {
+        val cut = summed.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        summed.iterator.collect { case (t, c) if c > cut => (t, c - cut) }.toMap
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Untyped Column form over a string item column; emits `array<string>`
+    * candidate heavy hitters. */
+  def misraGries(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MisraGries(k), Encoders.STRING)
 }

@@ -181,6 +181,70 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("session_window: gap merge, half-open boundary, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def toDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "user_id", "event_type", "value", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs") + 1700000000L))
+      .drop("secs")
+    val rows = Seq(
+      (1L, 1L, "click", 10.0, 0L),
+      (2L, 1L, "click", 20.0, 600L),          // +10 min -> merges
+      (3L, 1L, "click", 30.0, 600L + 1800L),  // EXACTLY 30 min after prev -> still merges
+      (4L, 1L, "click", 40.0, 600L + 1800L + 1801L), // 30 min + 1 s -> new session
+      (5L, 2L, "view", 5.0, 0L))
+    val batch = graft.streaming.StreamSessions.userSessions(toDf(rows.toDF()))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // adjacent [ts, ts+gap) windows MERGE; only a strictly-larger gap splits
+    assert(batch.count(_._1 == 1L) == 2, s"expected exactly 2 sessions: ${batch.toSeq}")
+    assert(batch.find(t => t._1 == 1L && t._4 == 3).get._5 == 60.0)
+    assert(batch.find(t => t._1 == 1L && t._4 == 1).get._5 == 40.0)
+
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val st = graft.streaming.StreamSessions.userSessions(
+      toDf(mem.toDF()), watermark = Some("10 minutes"))
+    val q = st.writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past every
+      // session end, the second flushes the finalized state
+      mem.addData((98L, 99L, "click", 0.0, 864000L))
+      q.processAllAvailable()
+      mem.addData((99L, 99L, "click", 0.0, 864001L))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .filter(_._1 < 99L)
+      assert(streamed.toSet == batch.toSet,
+        s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops redeliveries within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val events = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs") + 1700000000L))
+      .drop("secs")
+    val deduped = graft.streaming.StreamSessions.dedupedEvents(events)
+    val q = deduped.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 7L, "click", 1.0, 0L),
+        (1L, 7L, "click", 1.0, 5L),  // same-batch duplicate delivery
+        (2L, 7L, "view", 2.0, 10L))
+      q.processAllAvailable()
+      mem.addData((1L, 7L, "click", 1.0, 60L)) // cross-batch redelivery, inside horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("compactArchive collapses small files to one per partition, preserving data") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/archive"
     // simulate many micro-batch files: 10 files per month partition
