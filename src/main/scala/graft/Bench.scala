@@ -41,6 +41,16 @@ object Bench {
         .orderBy("n_name")
         .write.format("noop").mode("overwrite").save()
       spark.range(1000).selectExpr("sum(id)").collect()
+      // typed-flatMap serde + ObjectHashAggregate(collect_set) + array sort:
+      // the object-agg lane JITs separately from the row-based hash agg
+      // above, and whichever dedup/text query ran first was paying it.
+      import spark.implicits._
+      spark.range(200).as[Long]
+        .flatMap(i => Iterator((i % 50, i.toString), (i % 50, (i + 1).toString)))
+        .toDF("k", "t")
+        .select(col("k"), xxhash64(col("t")).as("h"))
+        .groupBy("k").agg(sort_array(collect_set(col("h"))).as("hs"))
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage

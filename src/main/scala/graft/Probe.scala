@@ -18,7 +18,11 @@ object Probe {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
-    if (args.contains("fast")) {
+    if (args.contains("clusters")) {
+      time0("confirmedPairs")(operators.Dedup.confirmedPairs(spark, d).count())
+      time0("dedup_clusters total")(operators.Dedup.dedupClusters.fn(spark, d).count())
+      time0("dedup_clusters again")(operators.Dedup.dedupClusters.fn(spark, d).count())
+    } else if (args.contains("fast")) {
       for (i <- 1 to 3) time0(s"ann_lsh run $i")(operators.Similarity.annLsh.fn(spark, d).count())
       for (i <- 1 to 2) time0(s"ann_lsh DIST run $i")(
         operators.Similarity.lshTopK(spark, d, distributed = true).count())

@@ -230,13 +230,39 @@ object Dedup {
     * with the sorted-merge jaccard kernel. */
   val dedupMinhashLsh: QueryDef = QueryDef(
     "dedup_minhash_lsh",
-    (s, d) => {
+    (s, d) =>
+      confirmedPairs(s, d)
+        .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac"))
+        .orderBy("id1", "id2"),
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, $duckShingleHashes AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+      )
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+      ORDER BY id1, id2
+    """.stripMargin.trim)
+  )
+
+  /** LSH-confirmed near-dup pairs (id1, id2, jac), unordered/unrounded —
+    * the shared core of [[dedupMinhashLsh]] (which adds presentation
+    * round+sort) and [[dedupClusters]] (which only needs the edge list, so
+    * the corpus-sized total sort would be pure waste). */
+  private[graft] def confirmedPairs(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val nHashes = 64
       val bandRows = 4
       val nBands = nHashes / bandRows
-      def aCoef(i: Int): Long = ((i.toLong * 2654435761L + 1L) % (P - 1)) + 1 // in [1, P-1]
-      def bCoef(i: Int): Long = (i.toLong * 40503L + 7L) % P
+      // Pre-tabulated affine coefficients as LOCAL arrays: locals keep the
+      // flatMap closure free of the (non-serializable) enclosing object,
+      // and the inner loop loses two multiplies/mods per element.
+      val pLoc = P
+      val aCoef = Array.tabulate(nHashes)(i => ((i.toLong * 2654435761L + 1L) % (pLoc - 1)) + 1) // in [1, P-1]
+      val bCoef = Array.tabulate(nHashes)(i => (i.toLong * 40503L + 7L) % pLoc)
 
       // ONE tokenize pass feeds everything: the hashed shingle sets (also
       // needed by the confirm stage) double as the minhash input, since
@@ -256,7 +282,7 @@ object Dedup {
           val h = h64 & 0x7FFFFFFFL
           var i = 0
           while (i < nHashes) {
-            val v = (aCoef(i) * h + bCoef(i)) % P
+            val v = (aCoef(i) * h + bCoef(i)) % pLoc
             if (v < mins(i)) mins(i) = v
             i += 1
           }
@@ -277,22 +303,8 @@ object Dedup {
         .join(hsh.select(col("doc_id").as("id2"), col("hsh").as("h2")), "id2")
         .withColumn("jac", jaccard(col("h1"), col("h2")))
         .filter(col("jac") >= 0.8)
-        .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac"))
-        .orderBy("id1", "id2")
-    },
-    Some(s"""
-      WITH sh AS (
-        SELECT doc_id, $duckShingleHashes AS s
-        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-        WHERE len(t) >= 3
-      )
-      SELECT a.doc_id AS id1, b.doc_id AS id2,
-             round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) AS jac
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
-      ORDER BY id1, id2
-    """.stripMargin.trim)
-  )
+        .select(col("id1"), col("id2"), col("jac"))
+  }
 
   /** 32-bit SimHash over shingles: per-bit voting on H32(t), one explode +
     * partially-aggregated groupBy (map-side combine keeps the shuffle tiny). */
@@ -350,7 +362,7 @@ object Dedup {
   val dedupClusters: QueryDef = QueryDef(
     "dedup_clusters",
     (s, d) => {
-      val edges = dedupMinhashLsh.fn(s, d).select(col("id1"), col("id2"))
+      val edges = confirmedPairs(s, d).select(col("id1"), col("id2"))
       val both = edges.select(col("id1").as("src"), col("id2").as("dst"))
         .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
         .localCheckpoint(true)

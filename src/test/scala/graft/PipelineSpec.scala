@@ -153,6 +153,26 @@ class PipelineSpec extends SparkSpec {
     assert(sim.count() == fp.count())
   }
 
+  test("Misra-Gries guarantee: every item above N/(k+1) survives any partitioning") {
+    import spark.implicits._
+    // Skewed synthetic stream: hot_i appears (1000 >> i) times over 5000
+    // singleton noise items; deterministic interleave (sort by hash).
+    val data = (0 until 8).flatMap(i => Seq.fill(1000 >> i)(s"hot$i")) ++
+      (0 until 5000).map(i => s"noise$i")
+    val n = data.size
+    val k = 64
+    val mustSurvive = (0 until 8).filter(i => (1000 >> i) > n / (k + 1)).map(i => s"hot$i")
+    assert(mustSurvive.nonEmpty)
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = data.sortBy(_.hashCode).toDF("token").repartition(parts)
+        .agg(graft.functions.Sketches.misraGries(k)(col("token")))
+        .head().getSeq[String](0)
+      assert(cands.size <= k, s"sketch exceeded $k counters: ${cands.size}")
+      val missing = mustSurvive.filterNot(cands.contains)
+      assert(missing.isEmpty, s"parts=$parts: guaranteed items missing: $missing")
+    }
+  }
+
   test("KMV sketch: exact below k, within error bounds above k") {
     import graft.functions.Sketches
     val events = Tables.events(spark, sfDir).withColumn("h", xxhash64(col("user_id")))

@@ -86,4 +86,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PushedFilters"))
     assert(!plan.contains("l_orderkey"), "q6 should not read unneeded columns")
   }
+
+  test("q_bloom_semi_join: prefilter in plan, fact rows cut, result identical to plain join") {
+    import graft.operators.Advanced
+    val bloomed = Advanced.bloomSemiJoin(spark, sfDir, useBloom = true)
+    val plain = Advanced.bloomSemiJoin(spark, sfDir, useBloom = false)
+    assert(bloomed.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(bloomed).count() == 0)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("BloomMightContain") || plan.toLowerCase.contains("bloommightcontain"),
+      s"bloom prefilter missing from plan:\n$plan")
+    // the prefilter genuinely drops rows before the join: ~1/5 of orders
+    // are URGENT, so the bloom (1% fpp) passes ~21% of lineitem, not 100%
+    import org.apache.spark.sql.functions.col
+    val total = Tables.lineitem(spark, sfDir).count()
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bloom = urgent.stat.bloomFilter("o_orderkey", math.max(urgent.count(), 1L), 0.01)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    val passed = Tables.lineitem(spark, sfDir).filter(
+      org.apache.spark.sql.graftbridge.Bridge.column(graft.plans.BloomMightContain(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("l_orderkey")), bytes.toByteArray)))
+      .count()
+    assert(passed < total / 3, s"bloom passed $passed of $total fact rows — not selective")
+  }
+
+  test("q_grouping_sets: one Expand, one aggregation exchange for all three sets") {
+    import graft.operators.Advanced
+    val plan = planOf(Advanced.qGroupingSets)
+    assert(plan.contains("Expand"), plan)
+    assert(hashExchanges(plan) <= 1, s"grouping sets should share one agg exchange:\n$plan")
+  }
+
+  test("q_session_window: native SessionWindow state operator, single keyed exchange") {
+    import graft.operators.Advanced
+    val plan = planOf(Advanced.qSessionWindow)
+    assert(plan.toLowerCase.contains("session"), plan)
+    assert(hashExchanges(plan) <= 1, s"session windows should shuffle once on user_id:\n$plan")
+  }
+
+  test("sketch_topk_tokens confirm pass shuffles only candidate tokens (InSet prefilter)") {
+    import graft.operators.Advanced
+    val df = Advanced.sketchTopkTokens.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the candidate filter must sit on the scan side, before the count agg
+    assert(plan.contains("INSET") || plan.contains(" IN ("), s"candidate prefilter missing:\n$plan")
+  }
 }
