@@ -316,7 +316,80 @@ object Advanced {
     """.stripMargin.trim)
   )
 
+  /** First-touch attribution: purchases credited to the user's FIRST-ever
+    * event type. The rank-1 window and the purchaser set are both
+    * user-keyed, so the whole query is one shuffle on user_id reused by
+    * the window, the distinct, and the join; WindowGroupLimit prunes each
+    * group to its first row before the sort completes. */
+  val qFirstTouch: QueryDef = QueryDef(
+    "q_first_touch",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val firstTouch = Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_type"))
+      val purchasers = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"))
+      firstTouch.join(purchasers, Seq("user_id"))
+        .groupBy(col("first_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_purchases")).as("n_purchases"))
+        .orderBy("first_type")
+    },
+    Some("""
+      WITH ft AS (
+        SELECT user_id, event_type AS first_type
+        FROM (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+      ), p AS (
+        SELECT user_id, count(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+      )
+      SELECT first_type, count(*) AS n_users, sum(n_purchases)::BIGINT AS n_purchases
+      FROM ft JOIN p USING (user_id)
+      GROUP BY first_type
+      ORDER BY first_type
+    """.stripMargin.trim)
+  )
+
+  /** Typed extraction from the JSON props payload (the event-properties
+    * lane cdc_parse opens): per event type, stats over props.k. The
+    * extraction is a codegen'd path expression on the scan side; the sum
+    * is exact integer so avg is the identical division on both engines. */
+  val qPropsExtract: QueryDef = QueryDef(
+    "q_props_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
+        // floor-to-4-decimals via integer division: a rounded float
+        // quotient can land exactly on a .00005 boundary (the q_moving_avg
+        // lesson) — the integer div is bit-exact on both engines
+        .withColumn("avg_k", expr("(10000 * sum_k) div n") / 10000.0)
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, n, min_k, max_k, sum_k,
+             ((10000 * sum_k) // n) / 10000.0 AS avg_k
+      FROM (SELECT event_type,
+                   count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+                   sum(k)::BIGINT AS sum_k
+            FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+            GROUP BY event_type)
+      ORDER BY event_type
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qGroupingSets, qHistogram, qRetentionCohort, qModeHour, qMovingAvg,
-    qMultiDistinct, qBloomSemiJoin, qSessionWindow, sketchTopkTokens)
+    qMultiDistinct, qBloomSemiJoin, qSessionWindow, sketchTopkTokens,
+    qFirstTouch, qPropsExtract)
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Training-data pipeline operators: deterministic corpus splitting,
+  * per-label embedding centroids, and HLL approximate distincts — the
+  * steps between "deduped corpus" and "training shards" at 100 TB.
+  */
+object TrainingOps {
+
+  /** Deterministic train/eval split over the deduped, quality-filtered
+    * corpus: exact dedup keeps the min doc_id per content hash, then each
+    * survivor routes to a split by a doc_id-derived hash — stable under
+    * reruns, retries, and repartitioning (nothing depends on row order or
+    * RNG), which is what makes 100 TB shard builds reproducible. The split
+    * hash is md5-based so the oracle computes the identical value. */
+  val pipelineTrainSplit: QueryDef = QueryDef(
+    "pipeline_train_split",
+    (s, d) => {
+      val keep = Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      Tables.documents(s, d)
+        .join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .filter(col("n_chars") >= 50)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(100)))
+        .withColumn("split", when(col("bucket") < 90, "train").otherwise("eval"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "split")
+    },
+    Some("""
+      WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      ), survivors AS (
+        SELECT d.* FROM documents d JOIN keep USING (doc_id) WHERE n_chars >= 50
+      ), routed AS (
+        SELECT lang, n_chars,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM survivors
+      )
+      SELECT lang, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      FROM routed
+      GROUP BY lang, split
+      ORDER BY lang, split
+    """.stripMargin.trim)
+  )
+
+  /** Per-label embedding centroids, one output row per (label, dim).
+    * posexplode is safe here (the generator child is a plain column, not a
+    * re-evaluated expression — the Generate pitfall) and partial
+    * aggregation reduces the exploded stream map-side, so the shuffle is
+    * labels × dims rows regardless of corpus size. The centroid table is
+    * the IVF/clustering input and the class-prototype feature. */
+  val embLabelCentroids: QueryDef = QueryDef(
+    "emb_label_centroids",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"), round(avg(col("v")), 5).as("centroid"))
+        .orderBy("label", "dim"),
+    Some("""
+      SELECT label, r.i - 1 AS dim, count(*) AS n_vecs,
+             round(avg(embedding[r.i]), 5) AS centroid
+      FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+      WHERE r.i <= len(embedding)
+      GROUP BY label, dim
+      ORDER BY label, dim
+    """.stripMargin.trim)
+  )
+
+  /** HLL approximate distinct counting (Spark's approx_count_distinct)
+    * next to the exact count — the other classic distinct sketch beside
+    * the KMV aggregator. Rows-only: HLL register layouts are
+    * engine-specific, so there is no cross-engine oracle; the spec bounds
+    * relative error instead (HLL++ at default rsd=5%). The estimate itself
+    * is deterministic — hash-based, merge is a commutative register max —
+    * so results are stable across runs and partitionings. */
+  val qApproxDistinct: QueryDef = QueryDef(
+    "q_approx_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("n_approx"))
+        .orderBy("event_type"),
+    None
+  )
+
+  val all: Seq[QueryDef] = Seq(pipelineTrainSplit, embLabelCentroids, qApproxDistinct)
+}
