@@ -68,10 +68,14 @@ object Bench {
     // millisecond precision, short sf tag, and degrade to centiseconds if
     // the query count ever pushes the line past the window again.
     def fmt(decimals: Int): String = {
+      // Locale.ROOT: the default-locale "%.3f" renders "0,123" under
+      // comma-decimal locales and the .toDouble round-trip (which strips
+      // trailing zeros) would throw AFTER all queries ran, losing the line.
       val p = s"%.${decimals}f"
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + p.format(v).toDouble }
+      def num(v: Double): Double = String.format(java.util.Locale.ROOT, p, Double.box(v)).toDouble
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
-      val total = s"%.3f".format(results.map(_._2).sum).toDouble
+      val total = String.format(java.util.Locale.ROOT, "%.3f", Double.box(results.map(_._2).sum)).toDouble
       val sfTag = sfDir.split('/').last
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }

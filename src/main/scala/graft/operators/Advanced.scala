@@ -77,17 +77,20 @@ object Advanced {
   )
 
   /** Weekly cohort retention: users grouped by first-seen week, activity
-    * counted per (cohort, weeks-since). The first-seen table is one
-    * user-keyed aggregate, broadcast back onto the event stream — the fact
-    * table is read once and never shuffled on anything but the final tiny
-    * (cohort, week_no) key. */
+    * counted per (cohort, weeks-since). The first-seen week is a whole-
+    * partition window `min` over user_id — the same shuffle a groupBy
+    * would cost, but with NO join and NO broadcast: first-seen is one row
+    * per distinct user (O(users), corpus-scaled), so broadcasting it back
+    * would blow the driver/8 GB broadcast cap at 100 TB. After the window,
+    * only the tiny (cohort, week_no) aggregate key shuffles. */
   val qRetentionCohort: QueryDef = QueryDef(
     "q_retention_cohort",
     (s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-      val firstWeek = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
-      ev.join(broadcast(firstWeek), Seq("user_id"))
+      val withCohort = ev.withColumn(
+        "cohort_week", min(col("week")).over(Window.partitionBy(col("user_id"))))
+      withCohort
         .groupBy(col("cohort_week"), expr("datediff(week, cohort_week) div 7").as("week_no"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .select(
@@ -145,13 +148,17 @@ object Advanced {
       // frame) and exact .0005 quotients (e.g. 12939¢/4) round differently
       // under HALF_UP vs binary-double views. So: sum exact integer cents
       // (values are 2-decimal), floor-divide to milli-units — bit-exact on
-      // both engines — and present as a 3-decimal double.
+      // both engines — and present as a 3-decimal double. FLOOR division
+      // spelled out via pmod because Spark's `div` truncates toward zero
+      // while DuckDB's `//` floors: `(a - pmod(a, b)) div b` is exact floor
+      // for the always-positive frame count b, so negative cent sums can't
+      // silently diverge between the engines.
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
           sum(round(col("value") * 100).cast("long")).over(w).as("cents"),
           count(lit(1)).over(w).as("cnt"))
         .select(col("user_id"), col("event_id"),
-          (expr("(10 * cents) div cnt") / 1000.0).as("avg7"))
+          (expr("(10 * cents - pmod(10 * cents, cnt)) div cnt") / 1000.0).as("avg7"))
         .orderBy("user_id", "event_id")
     },
     Some("""
@@ -211,19 +218,31 @@ object Advanced {
     """.stripMargin.trim)
   )
 
+  /** Build-side row cap for the explicit bloom prefilter: ~8M keys ≈ 10 MB
+    * of bloom bits at 1% fpp — the dim-sized regime where shipping the
+    * filter as a plan constant is cheaper than the shuffle rows it saves.
+    * The build side here is a FILTERED FACT (orders at ~20% selectivity),
+    * which scales with the corpus, so above the cap the bloom would become
+    * a multi-GB driver object serialized into every task binary; the op
+    * then falls back to the plain semi join (identical result, just no
+    * prefilter). */
+  val BloomBuildRowCap = 8L << 20
+
   /** Shared body so the spec can assert bloom-on == bloom-off. */
   def bloomSemiJoin(s: SparkSession, d: String, useBloom: Boolean): DataFrame = {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     val li = Tables.lineitem(s, d)
+    // Build-side pass: same O(build) cost class as materializing a
+    // broadcast; 1% fpp over the build keys. Sized from the row count so
+    // the bits scale with the build side — and capped, because this build
+    // side is fact-derived, not a dimension.
+    val buildRows = if (useBloom) urgent.count() else 0L
     val prefiltered =
-      if (!useBloom) li
+      if (!useBloom || buildRows > BloomBuildRowCap) li
       else {
-        // Build-side pass: same O(build) cost class as materializing a
-        // broadcast; 1% fpp over the build keys. Sized from the row count
-        // so the bits scale with the dim, never the fact.
-        val bloom = urgent.stat.bloomFilter("o_orderkey", math.max(urgent.count(), 1L), 0.01)
+        val bloom = urgent.stat.bloomFilter("o_orderkey", math.max(buildRows, 1L), 0.01)
         val bytes = new ByteArrayOutputStream()
         bloom.writeTo(bytes)
         li.filter(Bridge.column(
@@ -373,8 +392,9 @@ object Advanced {
           sum(col("k")).as("sum_k"))
         // floor-to-4-decimals via integer division: a rounded float
         // quotient can land exactly on a .00005 boundary (the q_moving_avg
-        // lesson) — the integer div is bit-exact on both engines
-        .withColumn("avg_k", expr("(10000 * sum_k) div n") / 10000.0)
+        // lesson). pmod makes the FLOOR explicit (Spark `div` truncates,
+        // DuckDB `//` floors — they differ on negative sums; n > 0 always).
+        .withColumn("avg_k", expr("(10000 * sum_k - pmod(10000 * sum_k, n)) div n") / 10000.0)
         .orderBy("event_type"),
     Some("""
       SELECT event_type, n, min_k, max_k, sum_k,

@@ -15,6 +15,25 @@ import graft.{QueryDef, Tables}
   */
 object TextAnalysis {
 
+  /** Unsigned lexicographic order over UTF-8 byte arrays — the binary
+    * string collation both Spark and DuckDB sort by. Used wherever a
+    * JVM-side token sort must agree with an engine-side `sort`/`list_sort`
+    * (JVM String ordering is UTF-16 code units, which disagrees for
+    * supplementary characters). */
+  val utf8ByteOrder: java.util.Comparator[Array[Byte]] =
+    new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** Whitespace tokens of the lower-cased text. */
@@ -182,18 +201,29 @@ object TextAnalysis {
       // the chain allocates three intermediate arrays per row — measured
       // ~2.3 s of the 2.8 s bench time at sf0.1. One tight loop per doc
       // does tokenize→distinct→sort→join→md5 with zero Catalyst
-      // allocations. Token order matches the engines' byte-wise string
-      // sort (corpus is ASCII; String.sorted == UTF-8 binary order here).
+      // allocations. Tokens sort by UNSIGNED UTF-8 BYTE order — the same
+      // binary collation DuckDB's list_sort and Spark's string sort use —
+      // not JVM String.sorted (UTF-16 code units), which would diverge for
+      // supplementary characters vs U+E000–U+FFFF; the fingerprint is thus
+      // corpus-independent rather than ASCII-only.
       import s.implicits._
       docs(s, d)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).distinct.sorted
-          val dig = java.security.MessageDigest.getInstance("MD5")
-            .digest(toks.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val toks: Array[Array[Byte]] = text.toLowerCase(java.util.Locale.ROOT)
+            .split(" ", -1).distinct
+            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.util.Arrays.sort(toks, TextAnalysis.utf8ByteOrder)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var i = 0
+          while (i < toks.length) {
+            if (i > 0) md.update(' '.toByte)
+            md.update(toks(i))
+            i += 1
+          }
           val sb = new StringBuilder(32)
-          dig.foreach(b => sb.append("%02x".format(b & 0xff)))
+          md.digest().foreach(b => sb.append("%02x".format(b & 0xff)))
           (id, sb.toString)
         }
         .toDF("doc_id", "fingerprint")
@@ -215,13 +245,31 @@ object TextAnalysis {
   val textRollingHash: QueryDef = QueryDef(
     "text_rolling_hash",
     (s, d) => {
-      val hashes = transform(tokens(col("text")),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+      // Typed map, not transform+aggregate: higher-order functions evaluate
+      // INTERPRETED (per-element md5 through the expression interpreter was
+      // ~3 s at sf0.1 — the same pitfall text_fingerprint hit). One JVM
+      // loop per doc: md5 the token bytes, take the first 15 hex nibbles
+      // (= 60 bits: 7 full bytes << 4 | high nibble of byte 7 — exactly
+      // `conv(substr(md5(t),1,15),16,10)`), Horner-fold mod 2^31-1.
+      // acc < 2^31 and h < 2^60, so acc*31 + h stays well inside a Long.
+      import s.implicits._
       docs(s, d)
-        .select(
-          col("doc_id"),
-          aggregate(hashes, lit(0L), (acc, h) => (acc * 31 + h) % 2147483647L).as("rolling_hash")
-        )
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var acc = 0L
+          text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { t =>
+            val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var i = 0
+            while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+            h = (h << 4) | ((dig(7) & 0xf0L) >> 4)
+            acc = (acc * 31 + h) % 2147483647L
+          }
+          (id, acc)
+        }
+        .toDF("doc_id", "rolling_hash")
         .orderBy("doc_id")
     },
     Some("""
