@@ -408,8 +408,57 @@ object Advanced {
     """.stripMargin.trim)
   )
 
+  /** Recency-decayed per-user activity value: each event contributes
+    * `value · 2^-d` where d = full days since the corpus frontier (the
+    * half-life feature every recommender/abuse model derives from an event
+    * stream). The decay is EXACT fixed-point — cents · 2^20 floor-divided
+    * by 2^min(d,20) — so both engines sum identical integers; no
+    * float exp() whose libm rounding could diverge between JVM and C++.
+    * The frontier is a 1-row aggregate broadcast into a narrow map; the
+    * only data-sized shuffle is the final user_id aggregate. */
+  val qDecayedSum: QueryDef = QueryDef(
+    "q_decayed_sum",
+    (s, d) => {
+      val evs = Tables.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val frontier = evs.agg(max(col("us")).as("t_us"))
+      evs.crossJoin(broadcast(frontier))
+        .withColumn("dday", expr("(t_us - us) div 86400000000"))
+        .withColumn("fp", expr("(cents * 1048576) div shiftleft(1, cast(least(dday, 20) as int))"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("dday")).as("days_since_last"),
+          sum(col("fp")).as("decayed_fp"))
+        .select(
+          col("user_id"), col("n_events"), col("days_since_last"), col("decayed_fp"),
+          round(col("decayed_fp") / 104857600.0, 4).as("decayed_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), m AS (SELECT max(us) AS t_us FROM e),
+      f AS (
+        SELECT user_id, (t_us - us) // 86400000000 AS dday,
+               (cents * 1048576) // (1::BIGINT << least((t_us - us) // 86400000000, 20)) AS fp
+        FROM e CROSS JOIN m
+      )
+      SELECT user_id, count(*) AS n_events,
+             min(dday)::BIGINT AS days_since_last,
+             sum(fp)::BIGINT AS decayed_fp,
+             round(sum(fp)::BIGINT / 104857600.0, 4) AS decayed_value
+      FROM f
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qGroupingSets, qHistogram, qRetentionCohort, qModeHour, qMovingAvg,
     qMultiDistinct, qBloomSemiJoin, qSessionWindow, sketchTopkTokens,
-    qFirstTouch, qPropsExtract)
+    qFirstTouch, qPropsExtract, qDecayedSum)
 }

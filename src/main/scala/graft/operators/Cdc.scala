@@ -517,9 +517,57 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** Per-key lifecycle audit over the changelog: op mix, resurrection
+    * count (a DELETE later followed by an INSERT for the same pk — the
+    * anomaly class the reference's PK-matched replay can silently mask),
+    * and the key's final op. Both windows (the lag and the last-op rank)
+    * share the one user_id exchange; the aggregate rides the same
+    * partitioning, so the whole diagnostic is a single shuffle at any
+    * scale. */
+  val cdcKeyLifecycle: QueryDef = QueryDef(
+    "cdc_key_lifecycle",
+    (s, d) => {
+      val wAsc = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), opOf(col("event_type")).as("op"))
+        .withColumn("prev_op", lag(col("op"), 1).over(wAsc))
+        .withColumn("rn_desc", row_number().over(wDesc))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_ops"),
+          sum((col("op") === "insert").cast("long")).as("n_inserts"),
+          sum((col("op") === "update").cast("long")).as("n_updates"),
+          sum((col("op") === "delete").cast("long")).as("n_deletes"),
+          sum((col("prev_op") === "delete" && col("op") === "insert").cast("long"))
+            .as("n_resurrections"),
+          max(when(col("rn_desc") === 1, col("op"))).as("last_op"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT user_id, event_id, ts, $opSql AS op FROM events
+      ), o AS (
+        SELECT user_id, op,
+               lag(op) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_op,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+        FROM c
+      )
+      SELECT user_id, count(*) AS n_ops,
+             sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END)::BIGINT AS n_inserts,
+             sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END)::BIGINT AS n_updates,
+             sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
+             sum(CASE WHEN prev_op = 'delete' AND op = 'insert' THEN 1 ELSE 0 END)::BIGINT AS n_resurrections,
+             max(CASE WHEN rn_desc = 1 THEN op END) AS last_op
+      FROM o
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
     cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt,
-    cdcStaleness, cdcIncremental
+    cdcStaleness, cdcIncremental, cdcKeyLifecycle
   )
 }

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Corpus-curation operators — the stages between "raw crawl" and
+  * "training shards" in an LLM data pipeline: benchmark decontamination,
+  * sequence packing, stratified downsampling, the C4-style quality-filter
+  * waterfall, and subword-length vocabulary statistics.
+  *
+  * Shared conventions: deterministic md5-derived routing (stable under
+  * retries/repartitioning — the property that makes 100 TB shard builds
+  * reproducible, same scheme as [[TrainingOps.pipelineTrainSplit]]); all
+  * ratios via exact integer division (both engines floor non-negative
+  * quotients identically); token streams are typed flatMaps, never
+  * `explode(transform(...))` (the Generate re-evaluation pitfall).
+  */
+object Curation {
+
+  /** md5-derived permille bucket of doc_id — identical arithmetic in
+    * DuckDB: `('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT`. */
+  private def md5Bucket(modulus: Int) =
+    pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(modulus))
+
+  private val bucketSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+
+  /** Distinct word 8-grams per doc as a typed flatMap: one tight loop per
+    * document (slice + join + local HashSet dedup), no Generate, no
+    * per-element Catalyst evaluation. */
+  private def shingles(df: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    df.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        (0 to t.length - 8).iterator.flatMap { i =>
+          val sh = t.slice(i, i + 8).mkString(" ")
+          if (seen.add(sh)) Iterator((id, sh)) else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** Benchmark decontamination: fraction of each EVAL doc's distinct word
+    * 8-grams that also occur anywhere in the TRAIN split (the
+    * n-gram-overlap test run before training on any corpus that might
+    * contain eval sets). Split routing reuses the train/eval md5 buckets of
+    * `pipeline_train_split`, so "train" here IS the training corpus that
+    * split ships.
+    *
+    * Scale shape: both sides reduce to DISTINCT shingle streams (linear
+    * scans + one partial-aggregated distinct each) and meet in a single
+    * shingle-keyed equi-join — never doc×doc. At 100 TB you'd join on a
+    * 64-bit shingle hash instead of the string (same plan, ~10× less
+    * shuffle payload); the string key here keeps the DuckDB oracle exact.
+    * Docs shorter than 8 tokens have no 8-grams and drop out on both
+    * engines. */
+  val pipelineContamination: QueryDef = QueryDef(
+    "pipeline_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d).withColumn("bucket", md5Bucket(100))
+      val evalSh = shingles(docs.filter(col("bucket") >= 90), s)
+      val trainSh = shingles(docs.filter(col("bucket") < 90), s)
+        .select(col("sh")).distinct().withColumn("hit", lit(1))
+      evalSh.join(trainSh, Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_contaminated"))
+        .withColumn("contamination_pct", expr("(10000 * n_contaminated) div n_ngrams") / 100.0)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t,
+               $bucketSql % 100 AS bucket
+        FROM documents
+      ), esh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 6),
+                                       r -> array_to_string(t[r:r+7], ' '))) AS sh
+          FROM b WHERE bucket >= 90)
+      ), tsh AS (
+        SELECT DISTINCT sh FROM (
+          SELECT unnest(list_transform(range(1, len(t) - 6),
+                                       r -> array_to_string(t[r:r+7], ' '))) AS sh
+          FROM b WHERE bucket < 90)
+      )
+      SELECT e.doc_id, count(*) AS n_ngrams, count(t.sh) AS n_contaminated,
+             ((10000 * count(t.sh)) // count(*)) / 100.0 AS contamination_pct
+      FROM esh e LEFT JOIN tsh t USING (sh)
+      GROUP BY e.doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  /** Sequence packing (concatenate-then-chunk): docs are laid out in
+    * doc_id order within each (lang, source) stream, and each doc joins
+    * the 2048-token context window its START offset falls in — the
+    * standard packing approximation for LLM pretraining shards. The
+    * running offset is a window sum over (lang, source); partitioning by
+    * BOTH keys is the parallelism point: packing is embarrassingly
+    * parallel across streams, and at 100 TB a shard key with enough
+    * cardinality (here lang×source) keeps every executor busy — packing
+    * by lang alone would serialize onto ~5 tasks. */
+  val pipelinePackSequences: QueryDef = QueryDef(
+    "pipeline_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .groupBy(col("lang"), col("source"), expr("off div 2048").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy("lang", "source", "bin")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source, len(string_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+      ), o AS (
+        SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS off
+        FROM t
+      )
+      SELECT lang, source, (off // 2048)::BIGINT AS bin,
+             count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens
+      FROM o
+      GROUP BY lang, source, bin
+      ORDER BY lang, source, bin
+    """.stripMargin.trim)
+  )
+
+  /** Stratified downsampling: overrepresented strata keep a lower
+    * deterministic fraction (en → 200‰, other langs → 600‰), routed by an
+    * md5 permille bucket of doc_id — no RNG, so the sample is identical
+    * under reruns, retries, and any partitioning, and any doc's membership
+    * is auditable from its id alone. One narrow scan + one tiny-key
+    * aggregate; nothing shuffles at doc granularity. */
+  val pipelineStratifiedSample: QueryDef = QueryDef(
+    "pipeline_stratified_sample",
+    (s, d) => {
+      val target = when(col("lang") === "en", 200L).otherwise(600L)
+      Tables.documents(s, d)
+        .withColumn("keep", (md5Bucket(1000) < target).cast("int"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(col("keep")).as("n_sampled"),
+          max(target).as("target_permille"))
+        .withColumn("achieved_permille", expr("(1000 * n_sampled) div n_total"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      SELECT lang, count(*) AS n_total,
+             sum(CASE WHEN $bucketSql % 1000 <
+                           CASE WHEN lang = 'en' THEN 200 ELSE 600 END
+                      THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+             max(CASE WHEN lang = 'en' THEN 200 ELSE 600 END)::BIGINT AS target_permille,
+             (1000 * sum(CASE WHEN $bucketSql % 1000 <
+                                   CASE WHEN lang = 'en' THEN 200 ELSE 600 END
+                              THEN 1 ELSE 0 END)::BIGINT) // count(*) AS achieved_permille
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """.stripMargin.trim)
+  )
+
+  /** C4-style quality-filter waterfall, reported per language: how many
+    * docs survive (1) the length gate, (2) + exact dedup (min-doc_id-per-
+    * content-hash, the keeper rule of `dedup_exact`), (3) + the lexical
+    * quality gate (≥30 tokens and ≥40% distinct — the repetition filter).
+    * The dedup membership test is a window min over md5(text) — the same
+    * single content-hash shuffle `dedup_exact` pays, with no join back.
+    * The quality predicate is pure integer arithmetic (`10·distinct ≥
+    * 4·tokens`), so both engines decide identically — no float thresholds
+    * at the filter boundary. */
+  val pipelineQualityFilter: QueryDef = QueryDef(
+    "pipeline_quality_filter",
+    (s, d) => {
+      val toks = split(lower(col("text")), " ")
+      Tables.documents(s, d)
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .select(
+          col("lang"),
+          (col("n_chars") >= 100).cast("int").as("len_ok"),
+          (col("doc_id") === col("keeper")).cast("int").as("dedup_ok"),
+          (size(toks) >= 30 &&
+            size(array_distinct(toks)) * 10 >= size(toks) * 4).cast("int").as("qual_ok"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(col("len_ok")).as("n_after_len"),
+          sum(col("len_ok") * col("dedup_ok")).as("n_after_dedup"),
+          sum(col("len_ok") * col("dedup_ok") * col("qual_ok")).as("n_kept"))
+        .withColumn("kept_pct", expr("(10000 * n_kept) div n_total") / 100.0)
+        .orderBy("lang")
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang,
+               CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS len_ok,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS dedup_ok,
+               CASE WHEN len(string_split(lower(text), ' ')) >= 30
+                     AND len(list_distinct(string_split(lower(text), ' '))) * 10 >=
+                         len(string_split(lower(text), ' ')) * 4
+                    THEN 1 ELSE 0 END AS qual_ok
+        FROM documents
+      )
+      SELECT lang, count(*) AS n_total,
+             sum(len_ok)::BIGINT AS n_after_len,
+             sum(len_ok * dedup_ok)::BIGINT AS n_after_dedup,
+             sum(len_ok * dedup_ok * qual_ok)::BIGINT AS n_kept,
+             ((10000 * sum(len_ok * dedup_ok * qual_ok)::BIGINT) // count(*)) / 100.0 AS kept_pct
+      FROM f
+      GROUP BY lang
+      ORDER BY lang
+    """.stripMargin.trim)
+  )
+
+  /** Subword/token length distribution over the corpus — the vocabulary
+    * statistic that sizes a tokenizer (length histogram + distinct types
+    * per length). Typed flatMap token stream into a ≤~20-key partial
+    * aggregate; the distinct-type count shuffles (len, token) pairs once,
+    * map-side deduplicated. */
+  val textTokenLenHist: QueryDef = QueryDef(
+    "text_token_len_hist",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("text"))
+        .as[String]
+        .flatMap(t => t.toLowerCase(java.util.Locale.ROOT).split(" ", -1).iterator)
+        .toDF("token")
+        .groupBy(length(col("token")).cast("long").as("token_len"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("token")).as("n_types"))
+        .orderBy("token_len")
+    },
+    Some("""
+      WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      SELECT len(token)::BIGINT AS token_len,
+             count(*) AS n_tokens,
+             count(DISTINCT token) AS n_types
+      FROM t
+      GROUP BY token_len
+      ORDER BY token_len
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    pipelineContamination, pipelinePackSequences, pipelineStratifiedSample,
+    pipelineQualityFilter, textTokenLenHist)
+}

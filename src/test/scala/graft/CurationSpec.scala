@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Advanced, Cdc, Curation}
+
+/** Semantics checks for the corpus-curation wave, independent of the DuckDB
+  * oracle: conservation laws, waterfall monotonicity, determinism of the
+  * hash routing, and full typed recomputations of the lifecycle/decay ops.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("every curation query runs and is non-empty at sf0.001") {
+    Curation.all.foreach { q =>
+      assert(q.fn(spark, sfDir).count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("pipeline_contamination: pct bounded and consistent with its counts") {
+    val rows = Curation.pipelineContamination.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_ngrams")
+      val c = r.getAs[Long]("n_contaminated")
+      val pct = r.getAs[Double]("contamination_pct")
+      assert(c >= 0 && c <= n)
+      assert(pct >= 0.0 && pct <= 100.0)
+      assert(pct == (10000 * c / n) / 100.0)
+    }
+  }
+
+  test("pipeline_pack_sequences: token conservation and contiguous bins per stream") {
+    val bins = Curation.pipelinePackSequences.fn(spark, sfDir)
+    val totalFromBins = bins.agg(sum("bin_tokens")).head.getLong(0)
+    val totalDirect = Tables.documents(spark, sfDir)
+      .select(size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(totalFromBins == totalDirect, "packing must conserve every token")
+    // Bins within a stream are consecutive integers starting at 0: a doc's
+    // start offset can't skip a 2048-token window that the previous docs
+    // didn't fill past.
+    bins.collect().groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (stream, rs) =>
+        val ids = rs.map(_.getAs[Long]("bin")).sorted
+        assert(ids.head == 0L, s"$stream first bin != 0")
+        assert(ids.zipWithIndex.forall { case (b, i) => b == i }, s"$stream bins not contiguous")
+    }
+  }
+
+  test("pipeline_stratified_sample: bounds, en-downsampling, and determinism") {
+    val a = Curation.pipelineStratifiedSample.fn(spark, sfDir).collect()
+    val b = Curation.pipelineStratifiedSample.fn(spark, sfDir).collect()
+    assert(a.sameElements(b), "hash routing must be run-deterministic")
+    a.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val sampled = r.getAs[Long]("n_sampled")
+      assert(sampled >= 0 && sampled <= total)
+      val target = r.getAs[Long]("target_permille")
+      assert(target == (if (r.getString(0) == "en") 200L else 600L))
+    }
+  }
+
+  test("pipeline_quality_filter: waterfall is monotone non-increasing") {
+    Curation.pipelineQualityFilter.fn(spark, sfDir).collect().foreach { r =>
+      val (t, l, d, k) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_after_len"),
+        r.getAs[Long]("n_after_dedup"), r.getAs[Long]("n_kept"))
+      assert(t >= l && l >= d && d >= k && k >= 0, s"waterfall broken: $t $l $d $k")
+    }
+  }
+
+  test("text_token_len_hist: types never exceed tokens; lengths cover the corpus") {
+    val rows = Curation.textTokenLenHist.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+    }
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val direct = Tables.documents(spark, sfDir)
+      .select(size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(totalTokens == direct)
+  }
+
+  test("cdc_key_lifecycle: exact match against a typed groupByKey recomputation") {
+    import spark.implicits._
+    val expected = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"), col("event_id"),
+        Cdc.opOf(col("event_type")).as("op"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val ops = it.toSeq.sortBy(e => (e._2, e._3)).map(_._4)
+        val res = ops.sliding(2).count { case Seq(a, b) => a == "delete" && b == "insert"; case _ => false }
+        (uid, ops.length.toLong, ops.count(_ == "insert").toLong, ops.count(_ == "update").toLong,
+          ops.count(_ == "delete").toLong, res.toLong, ops.last)
+      }
+      .toDF("user_id", "n_ops", "n_inserts", "n_updates", "n_deletes", "n_resurrections", "last_op")
+    val actual = Cdc.cdcKeyLifecycle.fn(spark, sfDir)
+    assert(actual.exceptAll(expected).count() == 0 && expected.exceptAll(actual).count() == 0)
+  }
+
+  test("q_decayed_sum: frontier-day events carry full weight; fp is the exact fold") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val tMax = evs.map(_._2).max
+    val expected = evs.groupBy(_._1).map { case (uid, es) =>
+      val fp = es.map { case (_, us, cents) =>
+        val d = math.min((tMax - us) / 86400000000L, 20L)
+        (cents * 1048576L) / (1L << d)
+      }.sum
+      uid -> fp
+    }
+    Advanced.qDecayedSum.fn(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("decayed_fp") == expected(r.getAs[Long]("user_id")))
+    }
+  }
+}

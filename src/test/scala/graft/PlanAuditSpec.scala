@@ -133,4 +133,31 @@ class PlanAuditSpec extends SparkSpec {
     // the candidate filter must sit on the scan side, before the count agg
     assert(plan.contains("INSET") || plan.contains(" IN ("), s"candidate prefilter missing:\n$plan")
   }
+
+  test("pipeline_contamination: shingle equi-join, never a nested-loop doc×doc product") {
+    import graft.operators.Curation
+    val plan = planOf(Curation.pipelineContamination)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"contamination must meet on a shingle equi-join:\n$plan")
+  }
+
+  test("q_decayed_sum: frontier is broadcast; one data-sized hash exchange (user agg)") {
+    import graft.operators.Advanced
+    val plan = planOf(Advanced.qDecayedSum)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
+      s"1-row frontier should broadcast:\n$plan")
+    assert(hashExchanges(plan) <= 1, s"only the user_id aggregate may hash-shuffle:\n$plan")
+  }
+
+  test("cdc_key_lifecycle: both windows and the aggregate share one user_id exchange") {
+    val plan = planOf(Cdc.cdcKeyLifecycle)
+    assert(hashExchanges(plan) <= 1, s"lifecycle should shuffle once on user_id:\n$plan")
+  }
+
+  test("q_retention_cohort: no broadcast of the O(users) first-seen table") {
+    import graft.operators.Advanced
+    val plan = planOf(Advanced.qRetentionCohort)
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"first-seen week must come from a window, not a corpus-scaled broadcast:\n$plan")
+  }
 }
