@@ -46,20 +46,42 @@ object TextAnalysis {
   /** Token counting: whitespace tokens, regex word tokens, distinct tokens. */
   val textTokens: QueryDef = QueryDef(
     "text_tokens",
-    (s, d) =>
+    (s, d) => {
+      // ONE typed pass per document instead of four independent Column
+      // expressions: each regexp_extract_all/array_distinct/size chain
+      // re-lowered the text and materialized its own intermediate array
+      // (~2 s at sf0.1 — the text_quality lesson). The SAME java.util.regex
+      // patterns run here (Spark's regexp_* are java.util.regex underneath,
+      // and both patterns behave identically under RE2's leftmost-first
+      // matching, which the green DuckDB oracle already attests), compiled
+      // once per partition; counting matches allocates nothing.
+      // n_bpe_chunks counts BPE-ish pre-tokenizer chunks (GPT-2-style:
+      // space-prefixed letter runs, digit runs, punctuation runs) — the
+      // unit LLM token counts are estimated from.
+      import s.implicits._
       docs(s, d)
-        .select(
-          col("doc_id"),
-          size(tokens(col("text"))).as("n_tokens"),
-          size(array_distinct(tokens(col("text")))).as("n_distinct"),
-          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("n_words"),
-          // BPE-ish pre-tokenizer chunks (GPT-2-style: space-prefixed letter
-          // runs, digit runs, punctuation runs) — the unit LLM token counts
-          // are estimated from.
-          size(regexp_extract_all(lower(col("text")), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
-            .as("n_bpe_chunks")
-        )
-        .orderBy("doc_id"),
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val wordPat = java.util.regex.Pattern.compile("[a-z0-9]+")
+          val bpePat = java.util.regex.Pattern.compile(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+")
+          def countMatches(m: java.util.regex.Matcher): Int = {
+            var n = 0
+            while (m.find()) n += 1
+            n
+          }
+          it.map { case (id, raw) =>
+            val text = raw.toLowerCase(java.util.Locale.ROOT)
+            val toks = text.split(" ", -1)
+            val seen = new java.util.HashSet[String](toks.length * 2)
+            toks.foreach(seen.add)
+            (id, toks.length, seen.size,
+              countMatches(wordPat.matcher(text)), countMatches(bpePat.matcher(text)))
+          }
+        }
+        .toDF("doc_id", "n_tokens", "n_distinct", "n_words", "n_bpe_chunks")
+        .orderBy("doc_id")
+    },
     Some("""
       SELECT doc_id,
              len(string_split(lower(text), ' ')) AS n_tokens,

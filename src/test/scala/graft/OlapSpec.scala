@@ -5,7 +5,8 @@ import graft.operators.Olap
 class OlapSpec extends SparkSpec {
 
   test("every OLAP query runs and is non-empty at sf0.001") {
-    (Olap.all ++ graft.operators.AnalyticsExt.all ++ graft.operators.ScalePatterns.all).foreach { q =>
+    (Olap.all ++ graft.operators.AnalyticsExt.all ++ graft.operators.ScalePatterns.all ++
+      graft.operators.Advanced.all ++ graft.operators.TpchMore.all).foreach { q =>
       val n = q.fn(spark, sfDir).count()
       assert(n > 0, s"${q.name} returned no rows")
     }

@@ -154,6 +154,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges(plan) <= 1, s"lifecycle should shuffle once on user_id:\n$plan")
   }
 
+  test("q_min_cost_supplier: dims broadcast, fact shuffles once on partkey") {
+    import graft.operators.TpchMore
+    val plan = planOf(TpchMore.qMinCostSupplier)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan)
+    assert(hashExchanges(plan) <= 1, s"fact should shuffle once for the rank window:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"rank-1 should prune before the sort:\n$plan")
+  }
+
+  test("q_big_spenders: the quantity threshold reduces lineitem before any join") {
+    import graft.operators.TpchMore
+    val plan = TpchMore.qBigSpenders.fn(spark, sfDir).queryExecution.optimizedPlan.toString
+    // the HAVING filter must sit on the aggregate subtree, not above the joins
+    val joinIdx = plan.indexOf("Join")
+    val filterIdx = "Filter [^\\n]*sum_qty[^\\n]*> 300".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      s"sum_qty filter should be below the joins in the optimized tree:\n$plan")
+  }
+
   test("q_retention_cohort: no broadcast of the O(users) first-seen table") {
     import graft.operators.Advanced
     val plan = planOf(Advanced.qRetentionCohort)
