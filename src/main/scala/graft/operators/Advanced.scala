@@ -457,8 +457,84 @@ object Advanced {
     """.stripMargin.trim)
   )
 
+  /** Wide→long UNPIVOT (melt): the per-user event-type count matrix back
+    * to (user, metric, n) triples — the reporting shape that feeds generic
+    * metric stores. Spark's native `unpivot` expands in-place (an Expand
+    * node, no join, no shuffle beyond the source aggregate). */
+  val qUnpivot: QueryDef = QueryDef(
+    "q_unpivot",
+    (s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val wide = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(types.map(t =>
+          sum((col("event_type") === t).cast("long")).as(s"n_$t")).head,
+          types.tail.map(t => sum((col("event_type") === t).cast("long")).as(s"n_$t")): _*)
+      wide.unpivot(
+          Array(col("user_id")),
+          types.map(t => col(s"n_$t")).toArray,
+          "metric", "n")
+        .orderBy("user_id", "metric")
+    },
+    Some("""
+      WITH wide AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+        FROM events
+        GROUP BY user_id
+      )
+      SELECT user_id, metric, n
+      FROM wide UNPIVOT (n FOR metric IN (n_click, n_view, n_purchase, n_signup, n_error))
+      ORDER BY user_id, metric
+    """.stripMargin.trim)
+  )
+
+  /** Median absolute deviation per event type — the robust dispersion
+    * statistic (outlier-insensitive, unlike q_zscore's stddev). All
+    * arithmetic stays EXACT: values become integer cents, the interpolated
+    * median lands on half-cents and the deviation median on quarter-cents
+    * — dyadic rationals that binary doubles represent exactly, so both
+    * engines interpolate identically with no rounding at the boundary.
+    * The 5-row median table broadcasts back onto the stream. (Exact
+    * percentile buffers each group — the documented q_percentile caveat;
+    * q_percentile_dist's bucketed ranking is the 100 TB path.) */
+  val qMad: QueryDef = QueryDef(
+    "q_mad",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").cast("double").as("cents"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+      e.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med_cents"), abs(col("cents") - col("med_cents")).as("dev"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("med_cents")) / 100.0, 4).as("med"),
+          round(expr("percentile(dev, 0.5)") / 100.0, 4).as("mad"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT)::DOUBLE AS cents FROM events
+      ), m AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med_cents FROM e GROUP BY event_type
+      )
+      SELECT e.event_type, count(*) AS n,
+             round(min(med_cents) / 100.0, 4) AS med,
+             round(quantile_cont(abs(cents - med_cents), 0.5) / 100.0, 4) AS mad
+      FROM e JOIN m USING (event_type)
+      GROUP BY e.event_type
+      ORDER BY event_type
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qGroupingSets, qHistogram, qRetentionCohort, qModeHour, qMovingAvg,
     qMultiDistinct, qBloomSemiJoin, qSessionWindow, sketchTopkTokens,
-    qFirstTouch, qPropsExtract, qDecayedSum)
+    qFirstTouch, qPropsExtract, qDecayedSum, qUnpivot, qMad)
 }

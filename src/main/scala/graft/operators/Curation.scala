@@ -253,7 +253,39 @@ object Curation {
     """.stripMargin.trim)
   )
 
+  /** Data-mixture report: token mass per (lang, source) stream and its
+    * share of the corpus in basis points — the table every pretraining
+    * mixture decision reads. One narrow scan + tiny-key aggregate; the
+    * global total is a 1-row broadcast; shares are exact integer basis
+    * points. */
+  val pipelineDomainMix: QueryDef = QueryDef(
+    "pipeline_domain_mix",
+    (s, d) => {
+      val perStream = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      val total = perStream.agg(sum(col("tokens")).as("g"))
+      perStream.crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+          expr("(10000 * tokens) div g").as("share_bp"))
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH ps AS (
+        SELECT lang, source, count(*) AS n_docs,
+               sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
+        FROM documents
+        GROUP BY lang, source
+      ), t AS (SELECT sum(tokens)::BIGINT AS g FROM ps)
+      SELECT lang, source, n_docs, tokens, (10000 * tokens) // g AS share_bp
+      FROM ps CROSS JOIN t
+      ORDER BY lang, source
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     pipelineContamination, pipelinePackSequences, pipelineStratifiedSample,
-    pipelineQualityFilter, textTokenLenHist)
+    pipelineQualityFilter, textTokenLenHist, pipelineDomainMix)
 }

@@ -409,4 +409,40 @@ class StreamingSpec extends SparkSpec {
     MaxwellStream.applyBatchToReplica(tomb, replicaDir)
     assert(spark.read.parquet(replicaDir).count() == 1)
   }
+
+  test("StreamDecay converges to bit-equal totals with batch q_decayed_sum") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDecay
+    // Fixed frontier = the batch op's anchor (corpus max ts) so the exact
+    // fixed-point arithmetic must agree to the last bit.
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val frontierUs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val mem = MemoryStream[(Long, Long, Double)]
+    val streamIn = mem.toDF().toDF("user_id", "ts_us", "value")
+      .select(col("user_id"), expr("timestamp_micros(ts_us)").as("ts"), col("value"))
+    val q = StreamDecay.decayedValue(streamIn, frontierUs)
+      .writeStream.format("memory").queryName("decay").outputMode(StreamDecay.outputMode).start()
+    try {
+      val rows = events.select(col("user_id"), unix_micros(col("ts")), col("value"))
+        .as[(Long, Long, Double)].collect()
+      val (a, b) = rows.splitAt(rows.length / 2) // two micro-batches
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+      // Update mode re-emits a user's row each batch it changes in — keep
+      // the final state per user (max n_events is the latest).
+      val streamed = spark.table("decay").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n_events")) }
+      val batch = graft.operators.Advanced.qDecayedSum.fn(spark, sfDir).collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val srow = streamed(r.getAs[Long]("user_id"))
+        assert(srow.getAs[Long]("decayed_fp") == r.getAs[Long]("decayed_fp"),
+          s"user ${r.getAs[Long]("user_id")}: stream != batch decayed_fp")
+        assert(srow.getAs[Long]("n_events") == r.getAs[Long]("n_events"))
+      }
+    } finally q.stop()
+  }
 }
