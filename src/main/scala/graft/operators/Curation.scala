@@ -261,13 +261,16 @@ object Curation {
   val pipelineDomainMix: QueryDef = QueryDef(
     "pipeline_domain_mix",
     (s, d) => {
+      // The global total is a whole-frame window over the ALREADY-AGGREGATED
+      // ≤ langs×sources rows (not the corpus) — one corpus scan total; a
+      // scalar-subquery formulation would recompute the aggregate twice.
       val perStream = Tables.documents(s, d)
         .select(col("lang"), col("source"),
           size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
-      val total = perStream.agg(sum(col("tokens")).as("g"))
-      perStream.crossJoin(broadcast(total))
+      perStream
+        .withColumn("g", sum(col("tokens")).over(Window.partitionBy()))
         .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
           expr("(10000 * tokens) div g").as("share_bp"))
         .orderBy("lang", "source")
@@ -278,9 +281,10 @@ object Curation {
                sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
         FROM documents
         GROUP BY lang, source
-      ), t AS (SELECT sum(tokens)::BIGINT AS g FROM ps)
-      SELECT lang, source, n_docs, tokens, (10000 * tokens) // g AS share_bp
-      FROM ps CROSS JOIN t
+      )
+      SELECT lang, source, n_docs, tokens,
+             (10000 * tokens) // (sum(tokens) OVER ())::BIGINT AS share_bp
+      FROM ps
       ORDER BY lang, source
     """.stripMargin.trim)
   )

@@ -67,12 +67,15 @@ object TpchMore {
   val qGroupShare: QueryDef = QueryDef(
     "q_group_share",
     (s, d) => {
+      // Whole-frame window over the per-supplier AGGREGATE (supplier-count
+      // rows, not the fact) — one lineitem scan; the scalar-aggregate
+      // crossJoin form would run the fact aggregation twice.
       val perSup = Tables.lineitem(s, d)
         .select(col("l_suppkey"), cents("l_extendedprice").as("c"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("c")).as("v"))
-      val total = perSup.agg(sum(col("v")).as("g"))
-      perSup.crossJoin(broadcast(total))
+        .withColumn("g", sum(col("v")).over(Window.partitionBy()))
+      perSup
         .filter(col("v") * 100 > col("g"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
@@ -84,9 +87,9 @@ object TpchMore {
       WITH perSup AS (
         SELECT l_suppkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS v
         FROM lineitem GROUP BY l_suppkey
-      ), t AS (SELECT sum(v)::BIGINT AS g FROM perSup)
+      ), ps AS (SELECT *, (sum(v) OVER ())::BIGINT AS g FROM perSup)
       SELECT s_suppkey, s_name, v / 100.0 AS value, (10000 * v) // g AS share_bp
-      FROM perSup CROSS JOIN t
+      FROM ps
       JOIN supplier ON l_suppkey = s_suppkey
       WHERE v * 100 > g
       ORDER BY value DESC, s_suppkey
