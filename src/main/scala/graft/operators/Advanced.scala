@@ -147,18 +147,17 @@ object Advanced {
       // differently across engines (DuckDB segment tree vs Spark's running
       // frame) and exact .0005 quotients (e.g. 12939¢/4) round differently
       // under HALF_UP vs binary-double views. So: sum exact integer cents
-      // (values are 2-decimal), floor-divide to milli-units — bit-exact on
-      // both engines — and present as a 3-decimal double. FLOOR division
-      // spelled out via pmod because Spark's `div` truncates toward zero
-      // while DuckDB's `//` floors: `(a - pmod(a, b)) div b` is exact floor
-      // for the always-positive frame count b, so negative cent sums can't
-      // silently diverge between the engines.
+      // (values are 2-decimal), integer-divide to milli-units, and present
+      // as a 3-decimal double. Integer division agrees on negatives too:
+      // BOTH Spark `div` and DuckDB integer `//` truncate toward zero
+      // (verified empirically, -7/2 = -3 on each), so the quotient is
+      // bit-identical whatever the sign of the cents sum.
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
           sum(round(col("value") * 100).cast("long")).over(w).as("cents"),
           count(lit(1)).over(w).as("cnt"))
         .select(col("user_id"), col("event_id"),
-          (expr("(10 * cents - pmod(10 * cents, cnt)) div cnt") / 1000.0).as("avg7"))
+          (expr("(10 * cents) div cnt") / 1000.0).as("avg7"))
         .orderBy("user_id", "event_id")
     },
     Some("""
@@ -390,11 +389,12 @@ object Advanced {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"),
           sum(col("k")).as("sum_k"))
-        // floor-to-4-decimals via integer division: a rounded float
+        // truncate-to-4-decimals via integer division: a rounded float
         // quotient can land exactly on a .00005 boundary (the q_moving_avg
-        // lesson). pmod makes the FLOOR explicit (Spark `div` truncates,
-        // DuckDB `//` floors — they differ on negative sums; n > 0 always).
-        .withColumn("avg_k", expr("(10000 * sum_k - pmod(10000 * sum_k, n)) div n") / 10000.0)
+        // lesson). Both engines truncate integer division toward zero
+        // (verified: -7/2 = -3 under Spark `div` AND DuckDB `//`), so the
+        // quotient matches for any sign.
+        .withColumn("avg_k", expr("(10000 * sum_k) div n") / 10000.0)
         .orderBy("event_type"),
     Some("""
       SELECT event_type, n, min_k, max_k, sum_k,

@@ -348,8 +348,81 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** Gaps-and-islands: per-user consecutive-active-day streaks via the
+    * classic `day − row_number` island key (consecutive days share it).
+    * Everything — the (user, day) distinct, the ordering window, and both
+    * aggregates — rides ONE user_id exchange chain; integers end to end. */
+  val qStreaks: QueryDef = QueryDef(
+    "q_streaks",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val islands = days
+        .withColumn("island", datediff(col("day"), lit("2024-01-01")) - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+      islands
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      isl AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', day) - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM days
+      ), streaks AS (
+        SELECT user_id, island, count(*) AS len FROM isl GROUP BY user_id, island
+      )
+      SELECT user_id, sum(len)::BIGINT AS n_active_days,
+             max(len)::BIGINT AS longest_streak, count(*) AS n_streaks
+      FROM streaks
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
+  /** Day-over-day change per event type in exact basis points. The delta
+    * is routinely NEGATIVE here, which exercises the integer-division
+    * agreement on real data: BOTH engines truncate toward zero (verified
+    * empirically: Spark `div` and DuckDB integer `//` each give
+    * -7/2 = -3), so the plain quotient is bit-identical. */
+  val qPercentChange: QueryDef = QueryDef(
+    "q_percent_change",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .select(col("event_type"), col("day"), (col("v") / 100.0).as("value"),
+          expr("(10000 * (v - prev)) div prev").as("change_bp"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v
+        FROM events
+        GROUP BY event_type, day
+      )
+      SELECT event_type, day, v / 100.0 AS value,
+             (10000 * (v - lag(v) OVER w)) // (lag(v) OVER w) AS change_bp
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      ORDER BY event_type, day
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
-    qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept, qZscoreOutliers
+    qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept, qZscoreOutliers,
+    qStreaks, qPercentChange
   )
 }

@@ -107,4 +107,31 @@ class PropertySpec extends SparkSpec {
         (exact >= 64 || agg.finish(whole).toLong == exact)
     })
   }
+
+  test("utf8ByteOrder: lawful total order; agrees with String order on ASCII; " +
+    "orders supplementary chars by UTF-8 bytes where UTF-16 disagrees") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val cmp = graft.operators.TextAnalysis.utf8ByteOrder
+    def c(a: String, b: String): Int =
+      Integer.signum(cmp.compare(a.getBytes(UTF_8), b.getBytes(UTF_8)))
+    val str = Gen.listOf(Gen.frequency(
+      9 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'ß', '中', ''),
+      1 -> Gen.const("😀".charAt(0)) // unpaired surrogate half also must not crash
+    )).map(_.mkString)
+    assertProp(Prop.forAll(str, str, str) { (a, b, x) =>
+      val anti = c(a, b) == -c(b, a)
+      val refl = c(a, a) == 0
+      val trans = !(c(a, b) <= 0 && c(b, x) <= 0) || c(a, x) <= 0
+      val ascii = a.forall(_ < 128) && b.forall(_ < 128)
+      val agreesAscii = !ascii || c(a, b) == Integer.signum(a.compareTo(b))
+      anti && refl && trans && agreesAscii
+    })
+    // The divergence the fix targets: U+E000 (private use, 3-byte UTF-8)
+    // vs U+1F600 (supplementary, 4-byte UTF-8). UTF-16 code units compare
+    // "" > "😀" (0xE000 > 0xD83D), but UTF-8 bytes order the other
+    // way — the byte order both engines sort strings by.
+    assert("".compareTo("😀") > 0)
+    assert(c("", "😀") < 0)
+  }
 }
