@@ -113,7 +113,7 @@ object Curation {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
-          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+          graft.plans.StringKernels.spaceSegCount(col("text")).as("n_tokens"))
         .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .groupBy(col("lang"), col("source"), expr("off div 2048").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
@@ -121,7 +121,7 @@ object Curation {
     },
     Some("""
       WITH t AS (
-        SELECT doc_id, lang, source, len(string_split(lower(text), ' ')) AS n_tokens
+        SELECT doc_id, lang, source, len(string_split(text, ' ')) AS n_tokens
         FROM documents
       ), o AS (
         SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
@@ -266,7 +266,7 @@ object Curation {
       // scalar-subquery formulation would recompute the aggregate twice.
       val perStream = Tables.documents(s, d)
         .select(col("lang"), col("source"),
-          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+          graft.plans.StringKernels.spaceSegCount(col("text")).as("n_tokens"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
       perStream
@@ -278,7 +278,7 @@ object Curation {
     Some("""
       WITH ps AS (
         SELECT lang, source, count(*) AS n_docs,
-               sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
+               sum(len(string_split(text, ' ')))::BIGINT AS tokens
         FROM documents
         GROUP BY lang, source
       )

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Order-dependent statistics the reference's warehouse serves over replica
+  * tables (`/root/reference/README.md:14-16` — the "complex, analytical
+  * queries" Greenplum exists for): sweep-line interval concurrency, tied
+  * rankings, and exact second moments. Each is exact-integer end to end so
+  * the DuckDB oracle hash-matches bit for bit.
+  */
+object OrderedStats {
+
+  private val DayUs = 86400000000L
+
+  /** Sweep-line max concurrency (the "meeting rooms" pattern): each event
+    * opens a half-open interval `[ts, ts + k seconds)` (k from the JSON
+    * props), clamped to its UTC day; per (event_type, day) report how many
+    * intervals were ever open at once.
+    *
+    * The sweep is the scale-correct plan for interval overlap: ±1 boundary
+    * deltas, one `(event_type, day)` exchange, and a running sum inside each
+    * partition — never interval×interval. The default RANGE window frame
+    * (peers = equal (t, delta)) makes every row's running sum
+    * order-independent under ties, and identical deltas within a tie group
+    * yield the same prefix multiset either way — both engines agree row by
+    * row, not just on the max. Ends sort before starts at equal t (delta
+    * −1 < +1), giving half-open semantics. Day arithmetic is pure integer
+    * floor-division on epoch micros — no calendar/timezone functions to
+    * diverge. The 2-element boundary array is constant-cost, so the
+    * Generate re-evaluation pitfall (see CLAUDE.md) doesn't apply. */
+  val qIntervalOverlap: QueryDef = QueryDef(
+    "q_interval_overlap",
+    (s, d) => {
+      val iv = Tables.events(s, d).select(
+        col("event_type"),
+        unix_micros(col("ts")).as("s_us"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("day", expr(s"s_us div $DayUs"))
+        .withColumn("e_us", least(col("s_us") + col("k") * 1000000L, (col("day") + 1) * DayUs))
+      val bounds = iv.select(
+        col("event_type"), col("day"),
+        explode(array(
+          struct(col("s_us").as("t"), lit(1).as("delta")),
+          struct(col("e_us").as("t"), lit(-1).as("delta")))).as("b"))
+        .select(col("event_type"), col("day"), col("b.t").as("t"), col("b.delta").as("delta"))
+      val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("t"), col("delta"))
+      bounds
+        .withColumn("conc", sum(col("delta")).over(w))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          count(when(col("delta") === 1, 1)).as("n_intervals"),
+          max(col("conc")).cast("long").as("max_concurrency"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""
+      WITH iv AS (
+        SELECT event_type, epoch_us(ts) AS s_us,
+               json_extract_string(props, '$$.k')::BIGINT AS k
+        FROM events
+      ), iv2 AS (
+        SELECT event_type, s_us // $DayUs AS day, s_us,
+               least(s_us + 1000000 * k, (s_us // $DayUs + 1) * $DayUs) AS e_us
+        FROM iv
+      ), b AS (
+        SELECT event_type, day, s_us AS t, 1 AS delta FROM iv2
+        UNION ALL
+        SELECT event_type, day, e_us AS t, -1 AS delta FROM iv2
+      ), c AS (
+        SELECT event_type, day, delta,
+               sum(delta) OVER (PARTITION BY event_type, day ORDER BY t, delta) AS conc
+        FROM b
+      )
+      SELECT event_type, day,
+             count(*) FILTER (delta = 1) AS n_intervals,
+             max(conc)::BIGINT AS max_concurrency
+      FROM c
+      GROUP BY event_type, day
+      ORDER BY event_type, day
+    """.stripMargin.trim)
+  )
+
+  /** rank / dense_rank under REAL ties — every other ranking query here is
+    * deliberately tie-free (deterministic output), so the tie semantics
+    * (rank gaps, dense_rank compaction) were never actually exercised.
+    * Values are bucketed to force ties (integer cents div 1000 — no float
+    * rounding to diverge), ranked within (event_type, day), then collapsed
+    * by (…, v): rank is a function of v within its partition, so the
+    * grouped output is deterministic while the window still ranks raw tied
+    * rows. 150 window partitions — parallel, no single-task sort. */
+  val qRankTies: QueryDef = QueryDef(
+    "q_rank_ties",
+    (s, d) => {
+      val evs = Tables.events(s, d).select(
+        col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("cast(round(value * 100) as bigint) div 1000").as("v"))
+      val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("v"))
+      evs
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .groupBy(col("event_type"), col("day"), col("v"))
+        .agg(count(lit(1)).as("cnt"), min(col("rnk")).as("rnk"), min(col("drnk")).as("drnk"))
+        .orderBy("event_type", "day", "v")
+    },
+    Some("""
+      WITH evs AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               round(value * 100)::BIGINT // 1000 AS v
+        FROM events
+      ), r AS (
+        SELECT event_type, day, v,
+               rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        FROM evs
+        WINDOW w AS (PARTITION BY event_type, day ORDER BY v)
+      )
+      SELECT event_type, day, v, count(*) AS cnt,
+             min(rnk)::BIGINT AS rnk, min(drnk)::BIGINT AS drnk
+      FROM r
+      GROUP BY event_type, day, v
+      ORDER BY event_type, day, v
+    """.stripMargin.trim)
+  )
+
+  /** EXACT covariance / variance per group. Float covariance can never
+    * hash-match across engines (sum association order differs), so the
+    * second moments are accumulated as DECIMAL(38,0) on Spark and HUGEINT
+    * (int128) on DuckDB — both exact to 1e38, enough for n·Σy² at SF100k
+    * (~5e32) — and the n·Σxy − Σx·Σy forms are divided down to integer
+    * basis points with the verified truncate-toward-zero integer division.
+    * One partial-aggregated exchange over 3 groups; products stay in int64
+    * range pre-sum (qty·cents ≤ 5.5e8). */
+  val qCovExact: QueryDef = QueryDef(
+    "q_cov_exact",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+          sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+        .select(
+          col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          expr("(10000 * (n * sxy - sx * sy)) div (n * (n - 1))").as("cov_bp"),
+          expr("(10000 * (n * sxx - sx * sx)) div (n * (n - 1))").as("var_x_bp"),
+          expr("(10000 * (n * syy - sy * sy)) div (n * (n - 1))").as("var_y_bp"))
+        .orderBy("l_returnflag"),
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x * y)::HUGEINT AS sxy,
+               sum(x * x)::HUGEINT AS sxx,
+               sum(y * y)::HUGEINT AS syy
+        FROM (SELECT l_returnflag,
+                     round(l_quantity)::BIGINT AS x,
+                     round(l_extendedprice * 100)::BIGINT AS y
+              FROM lineitem)
+        GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n::BIGINT AS n,
+             ((10000 * (n * sxy - sx * sy)) // (n * (n - 1)))::BIGINT AS cov_bp,
+             ((10000 * (n * sxx - sx * sx)) // (n * (n - 1)))::BIGINT AS var_x_bp,
+             ((10000 * (n * syy - sy * sy)) // (n * (n - 1)))::BIGINT AS var_y_bp
+      FROM m
+      ORDER BY l_returnflag
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(qIntervalOverlap, qRankTies, qCovExact)
+}

@@ -418,5 +418,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_sorted_jaccard"),
       info("graft_sorted_jaccard", "graft_sorted_jaccard(a, b) - exact Jaccard of two sorted array<bigint> sets"),
       (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_ntokens"),
+      info("graft_ntokens", "graft_ntokens(s) - space-separated segment count, = size(split(s, ' ')), zero-allocation"),
+      (exprs: Seq[Expression]) => SpaceSegCount(exprs.head)))
   }
 }

@@ -50,4 +50,48 @@ object StreamJoins {
       round(col("purchase_value"), 2).as("purchase_value")
     )
   }
+
+  /** Left-outer variant: EVERY purchase is emitted — matched pairs
+    * immediately, unmatched purchases null-padded only once the watermark
+    * has passed their join window (Structured Streaming can't know "no
+    * click will ever arrive" any earlier; the outer row's emission is the
+    * state-store eviction itself). State stays bounded exactly as in the
+    * inner join: both sides watermarked, so only the 15-minute window's
+    * rows per user are retained. The conversion-rate query this feeds
+    * (which purchases had NO preceding click?) is `q_anti_join`'s streaming
+    * twin. */
+  def purchaseClickLeftOuter(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"),
+        col("event_id").as("click_id")
+      )
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"),
+        col("value").as("purchase_value")
+      )
+      .withWatermark("p_ts", "30 minutes")
+    purchases.join(
+      clicks,
+      expr("""
+        c_user_id = p_user_id AND
+        c_ts >= p_ts - INTERVAL 15 MINUTES AND
+        c_ts < p_ts
+      """),
+      "leftOuter"
+    ).select(
+      col("purchase_id"), col("p_user_id").as("user_id"),
+      col("click_id"),
+      unix_micros(col("p_ts")).as("purchase_us"),
+      unix_micros(col("c_ts")).as("click_us"),
+      round(col("purchase_value"), 2).as("purchase_value")
+    )
+  }
 }

@@ -119,11 +119,13 @@ class PipelineSpec extends SparkSpec {
         SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
                graft_int8_dot(graft_quantize(array(1.0D, 0.0D)),
                               graft_quantize(array(1.0D, 0.0D))) AS q,
-               graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j
+               graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+               graft_ntokens('a b  c') AS t
       """).head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getInt(1) == 127 * 127)
       assert(row.getDouble(2) == 0.5)
+      assert(row.getLong(3) == 4L) // empty segment between the double space counts
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

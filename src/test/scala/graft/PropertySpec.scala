@@ -108,6 +108,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("SpaceSegCount equals the split-array length for arbitrary unicode text") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def count(s: String): Long =
+      graft.plans.SpaceSegCount(Literal(s)).eval(null).asInstanceOf[Long]
+    val str = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.const(' '),
+      2 -> Gen.oneOf('é', '中', "😀".charAt(0), "😀".charAt(1))
+    )).map(_.mkString)
+    assertProp(Prop.forAll(str) { s =>
+      // split(s, ' ', -1) keeps empty segments — the size(split(text,' '))
+      // semantics both engines share; "" has one (empty) segment.
+      count(s) == s.split(" ", -1).length.toLong
+    })
+    assert(count("") == 1L)
+    assert(count("a b  c") == 4L)
+  }
+
   test("utf8ByteOrder: lawful total order; agrees with String order on ASCII; " +
     "orders supplementary chars by UTF-8 bytes where UTF-16 disagrees") {
     import java.nio.charset.StandardCharsets.UTF_8

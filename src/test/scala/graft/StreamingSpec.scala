@@ -181,6 +181,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchases null-padded after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = graft.streaming.StreamJoins.purchaseClickLeftOuter(events)
+    val q = joined.writeStream.format("memory").queryName("ssleft").outputMode("append").start()
+    try {
+      def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData(
+        (1L, t(0), 7L, "click", 1.0),
+        (2L, t(10), 7L, "purchase", 99.0), // matched pair -> emitted immediately
+        (3L, t(10), 8L, "purchase", 50.0)  // no click ever -> outer row, later
+      )
+      q.processAllAvailable()
+      val matched = spark.table("ssleft").collect()
+      assert(matched.exists(r => r.getAs[Long]("purchase_id") == 2L
+        && r.getAs[Long]("click_id") == 1L))
+      // The unmatched purchase CANNOT be out yet: "no click will arrive" is
+      // only known once the watermark passes its join window.
+      assert(!matched.exists(_.getAs[Long]("purchase_id") == 3L))
+      // Advance event time far past t(10) + 15 min + 30 min watermark delay.
+      // The global watermark is the MIN across both withWatermark nodes, and
+      // each node only sees its own filtered rows — so BOTH a click and a
+      // purchase must move forward or the purchases-side watermark pins the
+      // join at t(10) − 30 min forever. Eviction then lands in the batch
+      // AFTER the watermark update, hence two micro-batches. (The t(120)
+      // purchase itself stays buffered — nothing ever passes ITS window —
+      // and the t(121) click is not < its p_ts, so no new pair appears.)
+      mem.addData((4L, t(120), 9L, "click", 1.0), (5L, t(120), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData((6L, t(121), 9L, "click", 1.0), (7L, t(121), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssleft").collect()
+      val outer = rows.filter(_.getAs[Long]("purchase_id") == 3L)
+      assert(outer.length == 1, s"expected one outer row: ${rows.toSeq}")
+      assert(outer.head.isNullAt(outer.head.fieldIndex("click_id")))
+      assert(outer.head.isNullAt(outer.head.fieldIndex("click_us")))
+      assert(outer.head.getAs[Double]("purchase_value") == 50.0)
+      // the matched pair must not duplicate into an outer row
+      assert(rows.count(_.getAs[Long]("purchase_id") == 2L) == 1)
+    } finally q.stop()
+
+    // batch equivalence: same plan on the batch events table — outer rows
+    // appear without any watermark machinery, and inner results agree with
+    // the inner-join operator.
+    val batch = graft.streaming.StreamJoins.purchaseClickLeftOuter(Tables.events(spark, sfDir))
+    val inner = graft.streaming.StreamJoins.purchaseClickJoin(Tables.events(spark, sfDir))
+    assert(batch.filter(col("click_id").isNull).count() > 0)
+    assert(batch.filter(col("click_id").isNotNull).count() == inner.count())
+  }
+
   test("session_window: gap merge, half-open boundary, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
