@@ -363,9 +363,20 @@ object Dedup {
     "dedup_clusters",
     (s, d) => {
       val edges = confirmedPairs(s, d).select(col("id1"), col("id2"))
-      val both = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      val bothWide = edges.select(col("id1").as("src"), col("id2").as("dst"))
         .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
         .localCheckpoint(true)
+      // Size the propagation loop's parallelism to the DUP GRAPH, not the
+      // corpus: the edge set is orders of magnitude smaller than its input,
+      // and each fixpoint round re-shuffles it. At bench SF this is a wash
+      // (AQE already coalesces the tiny shuffles; measured 5.5 s either
+      // way — the time is the shared LSH pair discovery, not the loop);
+      // the point is the 100 TB shape, where inheriting a corpus-sized
+      // partition count would burn thousands of near-empty tasks per round.
+      // ~50k edges/partition, capped at 3200 tasks for a 160M-edge graph.
+      val nEdges = bothWide.count()
+      val parts = math.max(2L, math.min(3200L, nEdges / 50000L)).toInt
+      val both = bothWide.repartition(parts, col("dst")).localCheckpoint(true)
       // Propagate only over docs that appear in a dup pair — at any scale
       // the dup-graph nodes are a small fraction of the corpus; everyone
       // else is trivially their own keeper (the final left join).
