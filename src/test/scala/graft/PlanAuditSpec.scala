@@ -178,4 +178,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"),
       s"first-seen week must come from a window, not a corpus-scaled broadcast:\n$plan")
   }
+
+  test("q_interval_overlap: sweep window and aggregate share one (type, day) exchange") {
+    import graft.operators.OrderedStats
+    val plan = planOf(OrderedStats.qIntervalOverlap)
+    assert(hashExchanges(plan) == 1,
+      s"boundary stream should shuffle once; agg must reuse the window partitioning:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q_cov_exact: decimal moments partially aggregate before their single exchange") {
+    import graft.operators.OrderedStats
+    val plan = planOf(OrderedStats.qCovExact)
+    assert(hashExchanges(plan) == 1, s"one agg exchange expected:\n$plan")
+    // partial (map-side) aggregate below the exchange — the tree prints
+    // top-down, so the partial agg is the HashAggregate AFTER the exchange
+    // in the string (the one before it is the final agg)
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0 && plan.indexOf("HashAggregate", exIdx) > exIdx,
+      s"no map-side partial aggregation below the shuffle:\n$plan")
+  }
+
+  test("q_streaks: map-side (user, day) dedup, then window + both aggs reuse user_id") {
+    import graft.operators.AnalyticsExt
+    val plan = planOf(AnalyticsExt.qStreaks)
+    // exchange 1: the distinct (partial-aggregated BEFORE it — raw events
+    // never re-shuffle); exchange 2: user_id, shared by the window, the
+    // island aggregate, and the per-user aggregate
+    assert(hashExchanges(plan) == 2, s"expected distinct + user_id exchanges only:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && !plan.substring(0, winIdx).contains("Exchange hashpartitioning(user_id"),
+      s"aggregates above the window must not introduce another exchange:\n$plan")
+  }
 }
