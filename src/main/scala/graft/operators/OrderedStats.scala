@@ -178,5 +178,45 @@ object OrderedStats {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(qIntervalOverlap, qRankTies, qCovExact)
+  /** EXACT 7-day sliding distinct users per day — the metric that's easy
+    * to write as a range self-join (`e.day BETWEEN d.day-6 AND d.day` —
+    * O(days × events), a non-starter at scale) and easy to approximate,
+    * but has an exact linear construction: each user's active day covers
+    * result-days `[day, day+6]` TRIMMED at the user's next active day, so
+    * the per-user coverage intervals are disjoint and each (user,
+    * result-day) pair appears exactly once — `count(*)` IS the distinct
+    * count, no distinct aggregation over the fan-out. Fan-out ≤ 7 rows per
+    * user-day (the sequence child is two longs — constant Generate cost).
+    * The ORACLE deliberately uses the naive range-join formulation:
+    * an independent computation, not a translation — a stronger check.
+    * Output restricted to days that actually occur in the data. */
+  val qSlidingDistinct: QueryDef = QueryDef(
+    "q_sliding_distinct",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val cover = ud
+        .withColumn("nxt", lead(col("day"), 1).over(w))
+        .withColumn("cend", least(col("day") + 6, coalesce(col("nxt") - 1, col("day") + 6)))
+        .select(col("user_id"), explode(sequence(col("day"), col("cend"))).as("rday"))
+      val days = ud.select(col("day")).distinct()
+      cover.join(days, cover("rday") === days("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("u7"))
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events
+      ), d AS (SELECT DISTINCT day FROM e)
+      SELECT d.day, count(DISTINCT e.user_id) AS u7
+      FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+      ORDER BY d.day
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(qIntervalOverlap, qRankTies, qCovExact, qSlidingDistinct)
 }
