@@ -565,9 +565,45 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** Out-of-order delivery audit: per key, events whose event_id (the
+    * source sequence) runs BACKWARD relative to replay order (ts,
+    * event_id) — the exact condition under which naive "apply in arrival
+    * order" and the reference's `ORDER BY ts ASC` replay diverge, and why
+    * the streaming path re-sorts each micro-batch by (ts, seq). A row is
+    * late iff some earlier-replayed row of the same key carries a LARGER
+    * event_id (running max over the preceding frame). One user_id
+    * exchange shared by the window and the aggregate. */
+  val cdcLateArrivals: QueryDef = QueryDef(
+    "cdc_late_arrivals",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("prev_max_id", max(col("event_id")).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("prev_max_id") > col("event_id"), 1L).otherwise(0L)).as("n_late"),
+          max(when(col("prev_max_id") > col("event_id"), col("prev_max_id") - col("event_id"))).as("worst_inversion"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN prev_max_id > event_id THEN 1 ELSE 0 END)::BIGINT AS n_late,
+             max(CASE WHEN prev_max_id > event_id THEN prev_max_id - event_id END) AS worst_inversion
+      FROM (
+        SELECT user_id, event_id,
+               max(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_id
+        FROM events)
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
     cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt,
-    cdcStaleness, cdcIncremental, cdcKeyLifecycle
+    cdcStaleness, cdcIncremental, cdcKeyLifecycle, cdcLateArrivals
   )
 }

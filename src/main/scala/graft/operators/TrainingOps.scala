@@ -93,5 +93,26 @@ object TrainingOps {
     None
   )
 
-  val all: Seq[QueryDef] = Seq(pipelineTrainSplit, embLabelCentroids, qApproxDistinct)
+  /** KLL/GK-style approximate quantiles (Spark's approx_percentile
+    * sketch) beside the exact per-group percentile — the scale path when
+    * the exact two-phase ranking (`q_percentile_dist`) is still too much
+    * and a rank-error bound suffices. accuracy=10000 bounds rank error at
+    * n/10000; the spec asserts the VALUE error via the exact empirical
+    * CDF. Rows-only: sketch layouts are engine-specific, no cross-engine
+    * oracle (the exact twin queries are the oracle-checked ones). */
+  val qApproxQuantile: QueryDef = QueryDef(
+    "q_approx_quantile",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
+          expr("percentile(value, 0.9)").as("p90_exact"))
+        .orderBy("event_type"),
+    None
+  )
+
+  val all: Seq[QueryDef] = Seq(pipelineTrainSplit, embLabelCentroids, qApproxDistinct, qApproxQuantile)
 }

@@ -60,6 +60,29 @@ class PipelineSpec extends SparkSpec {
     assert(dist.exceptAll(serving).count() == 0, "rows only in distributed path")
   }
 
+  test("approx sketches sit within their error bounds of the exact answers") {
+    // q_approx_distinct: HLL++ at default rsd=5% — allow 3 sigma.
+    graft.operators.TrainingOps.qApproxDistinct.fn(spark, sfDir).collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val approx = r.getAs[Long]("n_approx").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"${r.getAs[String]("event_type")}: HLL ${approx} vs exact ${exact}")
+    }
+    // q_approx_quantile: accuracy=10000 bounds RANK error at n/10000; check
+    // through the exact empirical CDF with 1% slack (>> the bound, stable).
+    val rows = graft.operators.TrainingOps.qApproxQuantile.fn(spark, sfDir).collect()
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for (r <- rows; (q, c) <- Seq(0.5 -> "p50_approx", 0.9 -> "p90_approx")) {
+      val vs = evs(r.getAs[String]("event_type"))
+      val v = r.getAs[Double](c)
+      val rankFrac = vs.count(_ <= v).toDouble / vs.length
+      assert(math.abs(rankFrac - q) <= 0.01,
+        s"${r.getAs[String]("event_type")} $c=$v sits at rank $rankFrac, wanted ~$q")
+    }
+  }
+
   test("ann_ivf reaches >= 40% recall@5 for the query set") {
     import org.apache.spark.sql.expressions.Window
     val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
