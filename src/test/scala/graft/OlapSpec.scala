@@ -6,9 +6,36 @@ class OlapSpec extends SparkSpec {
 
   test("every OLAP query runs and is non-empty at sf0.001") {
     (Olap.all ++ graft.operators.AnalyticsExt.all ++ graft.operators.ScalePatterns.all ++
-      graft.operators.Advanced.all ++ graft.operators.TpchMore.all).foreach { q =>
+      graft.operators.Advanced.all ++ graft.operators.TpchMore.all ++
+      graft.operators.OrderedStats.all).foreach { q =>
       val n = q.fn(spark, sfDir).count()
       assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q_interval_overlap equals a brute-force concurrency scan at every start point") {
+    import org.apache.spark.sql.functions._
+    // Independent recompute: max concurrency is attained at some interval
+    // start, so per (event_type, day) probe concurrency at each start with
+    // an O(n^2) count — a different algorithm than the sweep, same clamp.
+    val out = graft.operators.OrderedStats.qIntervalOverlap.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val DayUs = 86400000000L
+    val iv = Tables.events(spark, sfDir).select(
+      col("event_type"), expr("unix_micros(ts)").as("s"),
+      get_json_object(col("props"), "$.k").cast("long").as("k")).collect()
+      .map { r =>
+        val s = r.getLong(1); val day = s / DayUs
+        (r.getString(0), day, s, math.min(s + r.getLong(2) * 1000000L, (day + 1) * DayUs))
+      }
+    assert(iv.nonEmpty && out.nonEmpty)
+    iv.groupBy(t => (t._1, t._2)).foreach { case ((ty, day), g) =>
+      val brute = g.map { case (_, _, s0, _) =>
+        g.count { case (_, _, s, e) => s <= s0 && s0 < e }
+      }.max
+      val (nInt, maxC) = out((ty, day))
+      assert(nInt == g.length.toLong, s"($ty, $day): n_intervals $nInt != ${g.length}")
+      assert(maxC == brute.toLong, s"($ty, $day): max_concurrency $maxC != brute $brute")
     }
   }
 

@@ -233,6 +233,57 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter(col("click_id").isNotNull).count() == inner.count())
   }
 
+  test("windowed distinct users: chained dedup+agg state, exact, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = graft.streaming.StreamDistinct.windowedDistinctUsers(events)
+      .writeStream.format("memory").queryName("wdu").outputMode("append").start()
+    try {
+      def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      // 1700000000000 ms = 22:13:20 UTC -> hour window [22:00, 23:00)
+      mem.addData(
+        (1L, t(0), 1L, "click", 1.0),
+        (2L, t(5), 1L, "view", 1.0),  // same user, same window -> deduped
+        (3L, t(10), 2L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, t(20), 3L, "click", 1.0), (5L, t(25), 2L, "view", 1.0))
+      q.processAllAvailable()
+      // nothing emits until the watermark (2 h behind max ts) passes the
+      // window end; push it 5 hours ahead, then one more batch to flush
+      mem.addData((6L, t(300), 9L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((7L, t(301), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wdu").collect()
+      val winStart = (1700000000000L - (1700000000000L % 3600000L)) * 1000L // micros
+      val w22 = rows.filter(_.getAs[Long]("window_us") == winStart)
+      assert(w22.length == 1, s"expected one emitted row for the 22:00 window: ${rows.toSeq}")
+      assert(w22.head.getAs[Long]("n_users") == 3L) // users 1, 2, 3 — dups collapsed
+    } finally q.stop()
+
+    // batch equivalence on the real events table: the same plan, run as a
+    // batch, must equal an independent exact distinct per hour
+    import org.apache.spark.sql.functions._
+    val batch = graft.streaming.StreamDistinct.windowedDistinctUsers(Tables.events(spark, sfDir))
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("window_us"), col("n_users"))
+    assert(batch.exceptAll(exact).count() == 0 && exact.exceptAll(batch).count() == 0)
+
+    // the HLL variant stays within its 3-sigma bound of the exact counts
+    val approx = graft.streaming.StreamDistinct.windowedApproxDistinct(Tables.events(spark, sfDir))
+    val joined = approx.join(exact, "window_us").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("n_users_approx").toDouble
+      val e = r.getAs[Long]("n_users").toDouble
+      assert(math.abs(a - e) / e <= 0.15, s"window ${r.getAs[Long]("window_us")}: $a vs $e")
+    }
+  }
+
   test("session_window: gap merge, half-open boundary, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
