@@ -179,6 +179,23 @@ class PlanAuditSpec extends SparkSpec {
       s"first-seen week must come from a window, not a corpus-scaled broadcast:\n$plan")
   }
 
+  test("global plan hygiene: no cartesian product anywhere; nested-loop joins " +
+    "only where a 1-row or query-set broadcast is the design") {
+    // Every allowed BroadcastNestedLoopJoin is a deliberate tiny-side
+    // broadcast: ann_bruteforce (query set × corpus), cdc_incremental /
+    // cdc_staleness / q_decayed_sum (1-row watermark/frontier), text_tfidf
+    // (1-row corpus count). Anything new showing up here is a regression.
+    val allowNlj = Set("ann_bruteforce", "cdc_incremental", "cdc_staleness",
+      "q_decayed_sum", "text_tfidf")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!allowNlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join")
+    }
+  }
+
   test("q_interval_overlap: sweep window and aggregate share one (type, day) exchange") {
     import graft.operators.OrderedStats
     val plan = planOf(OrderedStats.qIntervalOverlap)
