@@ -533,8 +533,43 @@ object Advanced {
     """.stripMargin.trim)
   )
 
+  /** ROLLUP with `grouping()` / `grouping_id()` — the standard way to tell
+    * a subtotal row from a genuine NULL key (the other rollup/cube queries
+    * label with coalesce, which conflates the two when keys are nullable).
+    * grouping_id is computed bit-identically on the DuckDB side as
+    * 2·g(flag)+g(status); Spark's grouping_id() uses the same bit order
+    * (first grouping column = most significant bit). One Expand + one
+    * aggregation exchange, like q_grouping_sets. */
+  val qGroupingId: QueryDef = QueryDef(
+    "q_grouping_id",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("-")).as("flag"),
+          coalesce(col("l_linestatus"), lit("-")).as("status"),
+          col("g_flag"), col("g_status"), col("gid"), col("n"))
+        .orderBy("gid", "flag", "status"),
+    Some("""
+      SELECT coalesce(l_returnflag, '-') AS flag,
+             coalesce(l_linestatus, '-') AS status,
+             GROUPING(l_returnflag)::BIGINT AS g_flag,
+             GROUPING(l_linestatus)::BIGINT AS g_status,
+             (2 * GROUPING(l_returnflag) + GROUPING(l_linestatus))::BIGINT AS gid,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, flag, status
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qGroupingSets, qHistogram, qRetentionCohort, qModeHour, qMovingAvg,
     qMultiDistinct, qBloomSemiJoin, qSessionWindow, sketchTopkTokens,
-    qFirstTouch, qPropsExtract, qDecayedSum, qUnpivot, qMad)
+    qFirstTouch, qPropsExtract, qDecayedSum, qUnpivot, qMad, qGroupingId)
 }
