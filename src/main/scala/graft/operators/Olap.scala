@@ -488,6 +488,50 @@ object Olap {
     """.stripMargin.trim)
   )
 
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): each
+    * purchase matched to the user's NEXT click strictly after it in
+    * replay order — the mirror of [[qAsofJoin]]'s backward match, same
+    * union+running-extreme shape (min over the strictly-following frame
+    * instead of max over the preceding one). Still no per-row lookup, no
+    * crossJoin; one user_id exchange. */
+  val qAsofForward: QueryDef = QueryDef(
+    "q_asof_forward",
+    (s, d) => {
+      val fwd = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("next_click_ts", min(when(col("event_type") === "click", col("ts"))).over(fwd))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("next_click_ts")).as("next_click_us"),
+          round(col("value"), 2).as("purchase_value")
+        )
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(ts) AS purchase_us,
+             epoch_us(next_click_ts) AS next_click_us,
+             round(value, 2) AS purchase_value
+      FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               min(CASE WHEN event_type = 'click' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+        FROM events
+        WHERE event_type IN ('click', 'purchase'))
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """.stripMargin.trim)
+  )
+
   /** Aggregate funnel metrics: step counts and conversion ratios. */
   val qFunnelMetrics: QueryDef = QueryDef(
     "q_funnel_metrics",
@@ -584,6 +628,6 @@ object Olap {
     q1PricingSummary, q3ShippingPriority, q5LocalVolume, q6ForecastRevenue,
     qTopCustomers, qRollup, qSemiJoin, qAntiJoin, qWindowRunning,
     qPivotEvents, qSessionize, qFunnel, qAsofJoin, qPercentile, qHourlyEvents,
-    qAsofTolerance, qFunnelMetrics, qRangeFrame, qCumeDist
+    qAsofTolerance, qAsofForward, qFunnelMetrics, qRangeFrame, qCumeDist
   )
 }
