@@ -218,5 +218,45 @@ object OrderedStats {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(qIntervalOverlap, qRankTies, qCovExact, qSlidingDistinct)
+  /** PERCENTILE_DISC — the discrete quantile (an ACTUAL data value, the
+    * ceil(p·n)-th smallest), distinct from `q_percentile`'s interpolated
+    * quantile_cont. Formulated as min value whose cume_dist ≥ p, which
+    * selects the same element: cume_dist k/n is an exact IEEE quotient at
+    * the p=k/n boundaries, so the ≥ comparison agrees with DuckDB's
+    * ceil-position definition. Values flow as integer cents (the selected
+    * element is exact; only the final /100 presents a decimal). Window is
+    * per-priority like q_percentile — the pre-bucketed `_dist` family is
+    * the documented scale path for low-cardinality ranking. */
+  val qPercentileDisc: QueryDef = QueryDef(
+    "q_percentile_disc",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min(when(col("cd") >= 0.5, col("cents"))).as("p50c"),
+          min(when(col("cd") >= 0.9, col("cents"))).as("p90c"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          col("o_orderpriority"),
+          (col("p50c") / 100.0).as("p50_disc"),
+          (col("p90c") / 100.0).as("p90_disc"),
+          col("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             quantile_disc(cents, 0.5) / 100.0 AS p50_disc,
+             quantile_disc(cents, 0.9) / 100.0 AS p90_disc,
+             count(*) AS n_orders
+      FROM (SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    qIntervalOverlap, qRankTies, qCovExact, qSlidingDistinct, qPercentileDisc)
 }
