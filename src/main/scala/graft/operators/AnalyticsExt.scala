@@ -420,9 +420,42 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    * MULTIPLICITY (min/difference of per-row counts), a different operator
+    * from [[qSetOps]]/[[qExcept]]'s set semantics: a customer with 3 early
+    * and 2 late orders appears twice in the intersection and once in the
+    * difference. Spark plans both as count-aggregate + generate (one
+    * shuffle each) rather than a join per duplicate. The grouped output
+    * keeps the result deterministic. */
+  val qSetOpsAll: QueryDef = QueryDef(
+    "q_set_ops_all",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val early = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val late = o.filter(year(col("o_orderdate")) =!= 1995).select(col("o_custkey"))
+      val both = early.intersectAll(late).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val diff = early.exceptAll(late).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      both.unionByName(diff)
+        .select(col("op"), col("o_custkey"), col("n"))
+        .orderBy("op", "o_custkey")
+    },
+    Some("""
+      WITH early AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      late AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) <> 1995),
+      ia AS (SELECT o_custkey FROM early INTERSECT ALL SELECT o_custkey FROM late),
+      ea AS (SELECT o_custkey FROM early EXCEPT ALL SELECT o_custkey FROM late)
+      SELECT 'intersect_all' AS op, o_custkey, count(*) AS n FROM ia GROUP BY o_custkey
+      UNION ALL
+      SELECT 'except_all' AS op, o_custkey, count(*) AS n FROM ea GROUP BY o_custkey
+      ORDER BY op, o_custkey
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
     qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept, qZscoreOutliers,
-    qStreaks, qPercentChange
+    qStreaks, qPercentChange, qSetOpsAll
   )
 }
