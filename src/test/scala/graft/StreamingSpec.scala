@@ -233,6 +233,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter(col("click_id").isNotNull).count() == inner.count())
   }
 
+  test("stream-static enrichment: live events tagged with a static user dim, unknowns pass through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = graft.streaming.StreamEnrich.userFirstSeen(Tables.events(spark, sfDir))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = graft.streaming.StreamEnrich.withUserDim(events, dim)
+      .select(col("event_id"), col("user_id"), col("first_type"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      val knownUser = dim.select("user_id").head.getLong(0)
+      mem.addData(
+        (1L, new java.sql.Timestamp(1700000000000L), knownUser, "click", 1.0),
+        (2L, new java.sql.Timestamp(1700000000000L), 999999999L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 2, "left join must not drop unknown users")
+      val known = rows.find(_.getAs[Long]("event_id") == 1L).get
+      val unknown = rows.find(_.getAs[Long]("event_id") == 2L).get
+      val expected = dim.filter(col("user_id") === knownUser).head.getAs[String]("first_type")
+      assert(known.getAs[String]("first_type") == expected)
+      assert(unknown.isNullAt(unknown.fieldIndex("first_type")))
+    } finally q.stop()
+
+    // batch equivalence: the same enrichment over the batch table agrees
+    // with an independent window-based first-touch computation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val indep = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_type"))
+    assert(dim.select("user_id", "first_type").exceptAll(indep).count() == 0)
+    assert(indep.exceptAll(dim.select("user_id", "first_type")).count() == 0)
+  }
+
   test("windowed distinct users: chained dedup+agg state, exact, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
