@@ -370,17 +370,20 @@ object Similarity {
     "ann_ivf",
     (s, d) => {
       val nProbe = 4
-      // "Train" the coarse quantizer: mean vector per label cell, collected
-      // to the driver. This is the k-means-style FIT step every IVF index
-      // has — the model is K×Dim doubles (tiny by design) and ships to the
-      // executors as expression literals. Round 1 instead crossJoined
-      // corpus×cells and ranked with a row_number window, shuffling the
-      // full K-fold fan-out just to pick an argmax; assignment is now a
-      // NARROW MAP (zero exchanges before the cell equi-join). At real
-      // cell counts (K ≥ 4096) swap the literal array for a broadcast
-      // matrix inside a loop-in-codegen expression — same topology.
-      val cents: Array[(Int, Seq[Double], Double)] = emb(s, d)
-        .groupBy(col("label").as("cell"))
+      // "Train" the coarse quantizer: REAL k-means — label means as the
+      // init (a good supervised seeding on this corpus), then Lloyd
+      // iterations: reassign every vector to its nearest centroid with the
+      // same codegen'd narrow-map argmax the serving path uses, recompute
+      // means, collect the K×Dim model to the driver. Each round is one
+      // corpus pass + a K-row collect; the model ships to executors as
+      // expression literals. Round 1 instead crossJoined corpus×cells and
+      // ranked with a row_number window, shuffling the full K-fold fan-out
+      // just to pick an argmax; assignment is a NARROW MAP (zero exchanges
+      // before the cell equi-join). At real cell counts (K ≥ 4096) swap
+      // the literal array for a broadcast matrix inside a loop-in-codegen
+      // expression — same topology, same per-round cost shape.
+      def collectCents(df: DataFrame): Array[(Int, Seq[Double], Double)] = df
+        .groupBy(col("cell"))
         .agg(array((1 to Dim).map(i => avg(element_at(col("embedding"), i))): _*).as("centroid"))
         .collect()
         .map { r =>
@@ -389,16 +392,25 @@ object Similarity {
           (r.getInt(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
         }
         .sortBy(_._1)
-
       // Per-row scores to every cell: K native dot products + a small
       // struct sort, all inside whole-stage codegen, no shuffle.
+      def scoresFor(cs: Array[(Int, Seq[Double], Double)]): Column =
+        array(cs.map { case (cell, cv, cn) =>
+          struct(
+            (dot(col("embedding"), typedLit(cv)) / (col("nrm") * lit(cn))).as("cdist"),
+            lit(cell).as("cell"))
+        }: _*)
+
       val base = withNorm(s, d)
-      val cellScores = array(cents.map { case (cell, cv, cn) =>
-        struct(
-          (dot(col("embedding"), typedLit(cv)) / (col("nrm") * lit(cn))).as("cdist"),
-          lit(cell).as("cell"))
-      }: _*)
-      val ranked = sort_array(cellScores, asc = false) // cdist desc
+      // One Lloyd refinement round: the cells move little from the label
+      // seeding here (assignments ≈ labels), so further rounds buy no
+      // recall at a full corpus pass + plan recompile each (the centroid
+      // literals change → fresh codegen). Empty cells drop out naturally.
+      var cents = collectCents(emb(s, d).select(col("label").as("cell"), col("embedding")))
+      cents = collectCents(base.select(
+        element_at(sort_array(scoresFor(cents), asc = false), 1).getField("cell").as("cell"),
+        col("embedding")))
+      val ranked = sort_array(scoresFor(cents), asc = false) // cdist desc
 
       val corpus = base.select(
         element_at(ranked, 1).getField("cell").as("cell"),
