@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -338,6 +339,49 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** Conditional bigram probabilities — the n-gram LM ESTIMATION step on
+    * top of [[textBigramFreq]]'s raw counts: P(w2|w1) in exact permille,
+    * where the prefix total n1 = Σ_w2 n12 comes from a window over the
+    * ALREADY-AGGREGATED bigram table (no second corpus pass — the count
+    * table is vocab²-bounded, orders smaller than the corpus). Top-20 by
+    * count with a full deterministic tie-break. */
+  val textBigramLm: QueryDef = QueryDef(
+    "text_bigram_lm",
+    (s, d) => {
+      import s.implicits._
+      val pairs = docs(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (_, text) =>
+          val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          (0 until math.max(0, t.length - 1)).iterator.map(i => (t(i), t(i + 1)))
+        }
+        .toDF("w1", "w2")
+      val w = Window.partitionBy(col("w1"))
+      pairs
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n12"))
+        .withColumn("n1", sum(col("n12")).over(w))
+        .withColumn("cond_pm", expr("(10000 * n12) div n1"))
+        .orderBy(col("n12").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH b AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS w2
+        FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)
+      ), c AS (
+        SELECT w1, w2, count(*) AS n12 FROM b GROUP BY w1, w2
+      )
+      SELECT w1, w2, n12, sum(n12) OVER (PARTITION BY w1)::BIGINT AS n1,
+             ((10000 * n12) // (sum(n12) OVER (PARTITION BY w1)))::BIGINT AS cond_pm
+      FROM c
+      ORDER BY n12 DESC, w1, w2
+      LIMIT 20
+    """.stripMargin.trim)
+  )
+
   /** Vocabulary statistics: corpus document frequency per token (IDF
     * inputs). Top-30 tokens by doc frequency with tie-break. */
   val textVocab: QueryDef = QueryDef(
@@ -421,6 +465,6 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
-    textBigramFreq, textVocab, textTfidf
+    textBigramFreq, textBigramLm, textVocab, textTfidf
   )
 }
