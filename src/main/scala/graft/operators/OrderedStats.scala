@@ -257,6 +257,45 @@ object OrderedStats {
     """.stripMargin.trim)
   )
 
+  /** LOCF gap-fill (last observation carried forward): every event row
+    * carries the user's most recent purchase value — `last(..., ignoreNulls)`
+    * over the preceding frame, the IGNORE NULLS window surface none of the
+    * other operators exercise (the as-of family runs max/min over
+    * timestamps; this carries a VALUE forward through nulls). Integer
+    * cents so the carried value hash-matches exactly; one user_id
+    * exchange. */
+  val qGapFill: QueryDef = QueryDef(
+    "q_gap_fill",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("purchase_cents",
+          when(col("event_type") === "purchase", round(col("value") * 100).cast("long")))
+        .withColumn("carried_cents", last(col("purchase_cents"), ignoreNulls = true).over(w))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          (col("carried_cents") / 100.0).as("last_purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             last_value(purchase_cents IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+               AS last_purchase_value
+      FROM (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100)::BIGINT END AS purchase_cents
+        FROM events)
+      ORDER BY event_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    qIntervalOverlap, qRankTies, qCovExact, qSlidingDistinct, qPercentileDisc)
+    qIntervalOverlap, qRankTies, qCovExact, qSlidingDistinct, qPercentileDisc, qGapFill)
 }
