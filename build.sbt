@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps the LAST stdout lines of `runMain graft.Bench` for one
+// JSON line. Under sbt's default LoggedOutput the forked process's stdout
+// is re-tagged "[info] ..." and a "[success] Total time" line is appended
+// — both of which broke the driver's JSON parse in rounds 1-4. StdoutOutput
+// passes the forked stdout through verbatim; showSuccess drops the trailer.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,7 +14,9 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver merges stdout+stderr tails, and any WARN
+    // chatter after the final JSON line breaks its parse.
+    spark.sparkContext.setLogLevel("ERROR")
     // Optional comma-separated filter for profiling individual queries.
     // Sorted by name: Map iteration order would shuffle which queries pay
     // cold-codegen costs between runs, adding run-to-run noise.
@@ -97,7 +99,10 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},""" +
       s""""in_map":$nKept,"queries":{${kept.toString}},"sf":"$sfTag"}"""
-    println(line)
+    // Stop Spark BEFORE printing: anything Spark logs on shutdown would land
+    // after the JSON line the driver wants last.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -69,12 +69,15 @@ object TpchMore {
     (s, d) => {
       // Whole-frame window over the per-supplier AGGREGATE (supplier-count
       // rows, not the fact) — one lineitem scan; the scalar-aggregate
-      // crossJoin form would run the fact aggregation twice.
+      // crossJoin form would run the fact aggregation twice. partitionBy
+      // (lit(1)) rather than (): same single-partition exchange of the tiny
+      // aggregate, but without WindowExec's empty-spec WARN spam (see
+      // pipeline_domain_mix).
       val perSup = Tables.lineitem(s, d)
         .select(col("l_suppkey"), cents("l_extendedprice").as("c"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("c")).as("v"))
-        .withColumn("g", sum(col("v")).over(Window.partitionBy()))
+        .withColumn("g", sum(col("v")).over(Window.partitionBy(lit(1))))
       perSup
         .filter(col("v") * 100 > col("g"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
