@@ -601,9 +601,53 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** COMPOSITE-primary-key replica: latest state per (user_id, prop_k) —
+    * row identity is the TUPLE, matching on every PK column at once. The
+    * reference's `get_pk_cols` returns a SET and the apply WHERE is meant
+    * to AND all of them (cdc_plpgsql_functions.sql:80-99,148-155; its loop
+    * actually overwrites `pk_clause`, keeping only the last column — we
+    * implement the intended semantics, as the streaming path does via
+    * MaxwellStream.encodePk). Same single composite-key exchange as
+    * cdc_snapshot: one window over (user_id, prop_k) — keying on user_id
+    * alone would collapse each user's per-k rows into one colliding state. */
+  val cdcSnapshotComposite: QueryDef = QueryDef(
+    "cdc_snapshot_composite",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("prop_k"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && opOf(col("event_type")) =!= "delete")
+        .select(
+          col("user_id"),
+          col("prop_k"),
+          col("event_id").as("last_event_id"),
+          opOf(col("event_type")).as("last_op"),
+          unix_micros(col("ts")).as("last_ts_us"),
+          round(col("value"), 2).as("last_value")
+        )
+        .orderBy("user_id", "prop_k")
+    },
+    Some(s"""
+      SELECT user_id, prop_k, event_id AS last_event_id,
+             $opSql AS last_op,
+             epoch_us(ts) AS last_ts_us,
+             round(value, 2) AS last_value
+      FROM (
+        SELECT *, json_extract_string(props, '$$.k')::INT AS prop_k,
+               row_number() OVER (PARTITION BY user_id, json_extract_string(props, '$$.k')::INT
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id, prop_k
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
     cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt,
-    cdcStaleness, cdcIncremental, cdcKeyLifecycle, cdcLateArrivals
+    cdcStaleness, cdcIncremental, cdcKeyLifecycle, cdcLateArrivals,
+    cdcSnapshotComposite
   )
 }

@@ -127,15 +127,42 @@ object MaxwellStream {
     if (r.data == null) 0L
     else r.data.get("event_id").flatMap(_.toLongOption).getOrElse(0L)
 
-  def replicaChangelog(parsed: DataFrame, pkColumn: String = "id"): Dataset[StateChange] = {
+  /** Injective encoding of a COMPOSITE primary-key value tuple into the
+    * replica's single `pk` string. A single-column key passes through
+    * verbatim (so single-PK replicas, bucket hashes and checkpoints are
+    * byte-identical to before); a multi-column key escapes each value
+    * (`\` -> `\\`, NUL -> `\0`) and joins on NUL, which cannot collide with
+    * any other tuple because the separator can no longer occur unescaped.
+    * The reference matches UPDATE/DELETE rows on ALL PK columns —
+    * `get_pk_cols` returns a SET (cdc_plpgsql_functions.sql:80-99) and the
+    * apply loop builds `col = val [AND ...]` from it (:148-155, :185-191).
+    * (The reference's own loop assigns `pk_clause :=` instead of
+    * accumulating, so it actually matches only the LAST pk column — a bug;
+    * we implement the intended AND-of-all semantics.) */
+  def encodePk(values: Seq[String]): String =
+    if (values.lengthCompare(1) == 0) values.head
+    else values.map(v => v.replace("\\", "\\\\").replace("\u0000", "\\0"))
+      .mkString("\u0000")
+
+  /** Single-PK convenience overload (the common Maxwell `id` case). */
+  def replicaChangelog(parsed: DataFrame, pkColumn: String = "id"): Dataset[StateChange] =
+    replicaChangelog(parsed, Seq(pkColumn))
+
+  /** Composite-PK form: state is keyed on the TUPLE of all PK column values
+    * taken from `data` (the post-image — a PK-mutating UPDATE therefore
+    * lands on its new key, exactly where the reference's `WHERE pk = data->>
+    * pk` UPDATE would write). Events missing ANY pk column are not
+    * applicable and flow to [[rejectedEvents]] instead. */
+  def replicaChangelog(parsed: DataFrame, pkCols: Seq[String]): Dataset[StateChange] = {
     val spark = parsed.sparkSession
     import spark.implicits._
+    require(pkCols.nonEmpty, "at least one primary-key column")
     parsed
       .select("ts", "database_name", "table_name", "op", "data", "old")
       .as[CdcRecord]
-      .filter(r => r.data != null && r.data.contains(pkColumn) &&
+      .filter(r => r.data != null && pkCols.forall(r.data.contains) &&
         (r.op == "insert" || r.op == "update" || r.op == "delete"))
-      .groupByKey(r => (r.database_name, r.table_name, r.data(pkColumn)))
+      .groupByKey(r => (r.database_name, r.table_name, encodePk(pkCols.map(r.data))))
       .flatMapGroupsWithState[Map[String, String], StateChange](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((db, table, pk), records, state) =>
@@ -172,14 +199,21 @@ object MaxwellStream {
     * streaming engine must not kill the query for one bad table, so the
     * rejects surface here as a side output to route to a reject sink,
     * never silently dropped. Same shape for batch or streaming input. */
-  def rejectedEvents(parsed: DataFrame, pkColumn: String = "id"): Dataset[CdcRecord] = {
+  def rejectedEvents(parsed: DataFrame, pkColumn: String = "id"): Dataset[CdcRecord] =
+    rejectedEvents(parsed, Seq(pkColumn))
+
+  /** Composite-PK form: an event missing ANY of the pk columns cannot be
+    * matched to a replica row (the reference ANDs equality on every pk
+    * column) and is dead-lettered whole. */
+  def rejectedEvents(parsed: DataFrame, pkCols: Seq[String]): Dataset[CdcRecord] = {
     val spark = parsed.sparkSession
     import spark.implicits._
+    require(pkCols.nonEmpty, "at least one primary-key column")
     parsed
       .select("ts", "database_name", "table_name", "op", "data", "old")
       .as[CdcRecord]
       .filter(r => (r.op == "insert" || r.op == "update" || r.op == "delete") &&
-        (r.data == null || !r.data.contains(pkColumn)))
+        (r.data == null || !pkCols.forall(r.data.contains)))
   }
 
   /** The event archive: append-mode parquet sink partitioned by event month,

@@ -583,4 +583,85 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("composite PK: state keyed on ALL pk columns (get_pk_cols AND semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val changes = MaxwellStream.replicaChangelog(
+      MaxwellStream.parse(mem.toDF().toDF("value")), Seq("region", "id"))
+    val q = changes.writeStream.format("memory").queryName("cpk").outputMode("append").start()
+    try {
+      // (eu,1) and (us,1): single-column matching on `id` would collapse
+      // these into ONE state — the exact collision composite keys prevent.
+      mem.addData(
+        """{"database":"d","table":"orders","type":"insert","ts":100,"data":{"region":"eu","id":"1","qty":"5"}}""",
+        """{"database":"d","table":"orders","type":"insert","ts":101,"data":{"region":"us","id":"1","qty":"9"}}""")
+      q.processAllAvailable()
+      mem.addData(
+        // update targets (eu,1) only
+        """{"database":"d","table":"orders","type":"update","ts":102,"data":{"region":"eu","id":"1","qty":"6"},"old":{"qty":"5"}}""",
+        // delete targets (us,1) only
+        """{"database":"d","table":"orders","type":"delete","ts":103,"data":{"region":"us","id":"1","qty":"9"}}""")
+      q.processAllAvailable()
+      val rows = spark.table("cpk").collect()
+      assert(rows.length == 4)
+      val euKey = MaxwellStream.encodePk(Seq("eu", "1"))
+      val usKey = MaxwellStream.encodePk(Seq("us", "1"))
+      assert(euKey != usKey)
+      val euFinal = rows.filter(_.getAs[String]("pk") == euKey)
+        .maxBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+      assert(euFinal.getAs[String]("op") == "upsert")
+      assert(euFinal.getAs[Map[String, String]]("state")("qty") == "6")
+      val usFinal = rows.filter(_.getAs[String]("pk") == usKey)
+        .maxBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+      assert(usFinal.getAs[String]("op") == "tombstone",
+        "delete of (us,1) must not be absorbed by (eu,1)'s state")
+    } finally q.stop()
+  }
+
+  test("composite PK: event missing ANY pk column is dead-lettered, not applied") {
+    import spark.implicits._
+    val lines = Seq(
+      // has region but no id — unmatched under AND-of-all-pk-columns
+      """{"database":"d","table":"orders","type":"update","ts":100,"data":{"region":"eu","qty":"2"},"old":{"qty":"1"}}""",
+      """{"database":"d","table":"orders","type":"insert","ts":101,"data":{"region":"eu","id":"3","qty":"2"}}"""
+    ).toDF("value")
+    val parsed = MaxwellStream.parse(lines)
+    val rejected = MaxwellStream.rejectedEvents(parsed, Seq("region", "id")).collect()
+    assert(rejected.length == 1 && rejected.head.op == "update")
+    val applied = MaxwellStream.replicaChangelog(parsed, Seq("region", "id")).collect()
+    assert(applied.length == 1 &&
+      applied.head.pk == MaxwellStream.encodePk(Seq("eu", "3")))
+  }
+
+  test("encodePk: single-key passthrough; injective over separator/escape-bearing tuples") {
+    // single-column keys pass through verbatim (existing replicas unchanged)
+    assert(MaxwellStream.encodePk(Seq("42")) == "42")
+    // tuples engineered to collide under naive concat/join all stay distinct
+    val tricky = Seq(
+      Seq("a", "b"), Seq("a\u0000", "b"), Seq("a", "\u0000b"),
+      Seq("a\\", "b"), Seq("a", "\\b"), Seq("a\\\u0000", "b"),
+      Seq("ab", ""), Seq("", "ab"))
+    val encoded = tricky.map(MaxwellStream.encodePk)
+    assert(encoded.distinct.length == tricky.length,
+      s"collision among $tricky -> $encoded")
+  }
+
+  test("composite-PK replica end-to-end: bucketed merge holds one row per tuple") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cpk").toString + "/replica"
+    val dml = Seq(
+      """{"database":"d","table":"orders","type":"insert","ts":100,"data":{"region":"eu","id":"1","qty":"5"}}""",
+      """{"database":"d","table":"orders","type":"insert","ts":101,"data":{"region":"us","id":"1","qty":"9"}}""",
+      """{"database":"d","table":"orders","type":"update","ts":102,"data":{"region":"eu","id":"1","qty":"6"},"old":{"qty":"5"}}"""
+    ).toDF("value")
+    MaxwellStream.applyBatchToReplica(
+      MaxwellStream.replicaChangelog(MaxwellStream.parse(dml), Seq("region", "id")), dir)
+    val replica = spark.read.parquet(dir).collect()
+    assert(replica.length == 2, "one replica row per (region,id) tuple")
+    val byPk = replica.map(r => r.getAs[String]("pk") -> r.getAs[Map[String, String]]("state")).toMap
+    assert(byPk(MaxwellStream.encodePk(Seq("eu", "1")))("qty") == "6")
+    assert(byPk(MaxwellStream.encodePk(Seq("us", "1")))("qty") == "9")
+  }
 }
