@@ -428,6 +428,79 @@ object Dedup {
     """.stripMargin.trim)
   )
 
+  /** LINE-level cross-document dedup — the C4/RefinedWeb repeated-passage
+    * cut: real pretraining pipelines drop repeated lines/paragraphs ACROSS
+    * documents, not just whole-doc duplicates (doc-granularity is what the
+    * six ops above do). Each doc is segmented into ordinal "lines" (this
+    * corpus carries no newlines, so the demo segmentation is fixed 10-word
+    * chunks; a `\n`-split corpus is the identical plan with a different
+    * splitter), the corpus-wide FIRST occurrence of each distinct line wins
+    * (rank over (doc_id, line_no)), later occurrences are dropped, and docs
+    * are reconstructed from their surviving lines in order.
+    *
+    * Scale: linear — a typed flatMap (never `explode(expensiveArrayExpr)`:
+    * Generate re-evaluates per output row), ONE exchange keyed on the line
+    * for the first-occurrence window, one doc_id exchange to reconstruct.
+    * At 100 TB the window key becomes xxhash64(line) (8-byte exchange
+    * payload, like pipeline_contamination's shingle cut); the demo keys on
+    * the line text itself so the oracle comparison is hash-free and exact. */
+  val dedupLines: QueryDef = QueryDef(
+    "dedup_lines",
+    (s, d) => {
+      import s.implicits._
+      val lineWords = 10
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          t.split(' ').grouped(lineWords).zipWithIndex
+            .map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
+        }
+        .toDF("doc_id", "line_no", "line")
+      val firstWins = Window.partitionBy(col("line"))
+        .orderBy(col("doc_id"), col("line_no"))
+      chunks
+        .withColumn("rn", row_number().over(firstWins))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+          // kept lines, original order; when() without otherwise yields NULL
+          // for dropped lines and collect_list skips NULLs. The transform()
+          // HOF is interpreted but runs once per KEPT LINE (not per char) —
+          // ~n_words/10 evaluations per doc, off the hot path.
+          nullif(
+            array_join(
+              transform(
+                array_sort(collect_list(when(col("rn") === 1,
+                  struct(col("line_no"), col("line"))))),
+                x => x.getField("line")),
+              " "),
+            lit("")).as("kept_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), chunks AS (
+        SELECT doc_id, i - 1 AS line_no,
+               array_to_string(w[(i-1)*10+1:i*10], ' ') AS line
+        FROM words, LATERAL (
+          SELECT unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS i) t
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        FROM chunks
+      )
+      SELECT doc_id, count(*) AS n_lines,
+             sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+             string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no) AS kept_text
+      FROM ranked
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupClusters)
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupClusters,
+    dedupLines)
 }

@@ -162,6 +162,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.agg(sum(col("n_copies"))).head.getLong(0) == docs.count())
   }
 
+  test("dedup_lines: every distinct line survives exactly once, corpus-wide") {
+    import spark.implicits._
+    val out = Dedup.dedupLines.fn(spark, sfDir).cache()
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, t) => t.split(' ').grouped(10).map(_.mkString(" ")) }
+      .toDF("line")
+    val totalLines = chunks.count()
+    val distinctLines = chunks.distinct().count()
+    // removed = all occurrences beyond the first of each distinct line
+    assert(out.agg(sum(col("n_lines"))).head.getLong(0) == totalLines)
+    assert(out.agg(sum(col("n_removed"))).head.getLong(0) == totalLines - distinctLines)
+    // a doc that lost nothing reconstructs byte-identically (single-space corpus)
+    val untouched = out.filter(col("n_removed") === 0)
+      .join(Tables.documents(spark, sfDir), "doc_id")
+      .filter(col("kept_text") =!= col("text"))
+    assert(untouched.count() == 0, "kept_text must rebuild the original text")
+    out.unpersist()
+  }
+
   test("simhash of identical texts is identical; hamming distance small for near-dups") {
     val sim = Dedup.dedupSimhash.fn(spark, sfDir)
     val fp = TextAnalysis.textFingerprint.fn(spark, sfDir)
