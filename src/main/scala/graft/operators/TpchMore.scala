@@ -165,5 +165,105 @@ object TpchMore {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(qMinCostSupplier, qGroupShare, qOrderCountDist, qBigSpenders)
+  /** TPC-H Q21 shape: suppliers who were the SOLE slow supplier on a
+    * finished multi-supplier order ("slow" = shipped >60 days after the
+    * order date; the testdata carries no commit/receipt dates). The classic
+    * form is EXISTS + NOT EXISTS over a twice-self-joined fact — three
+    * lineitem scans. Spark-first decorrelation: both existentials are
+    * per-order supplier-set facts, so ONE window over the l_orderkey
+    * exchange (distinct-supplier count and distinct-SLOW-supplier count via
+    * collect_set — order groups are ≤13 suppliers here, bounded by order
+    * width, never corpus-scaled) replaces both self-joins: EXISTS(other
+    * supplier) ⇔ n_supp > 1, NOT EXISTS(other slow supplier) ⇔ n_slow_supp
+    * == 1 for a row that is itself slow. One fact scan, one exchange; the
+    * oracle runs the literal EXISTS/NOT-EXISTS form — an independent
+    * algorithm, not a transliteration. */
+  val qWaitingSuppliers: QueryDef = QueryDef(
+    "q_waiting_suppliers",
+    (s, d) => {
+      val slowLine = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), slowLine.as("slow"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      li
+        // one select, not two withColumn: same-spec window exprs collapse
+        // into a single Window node (no Project between them to block it)
+        .select(col("l_suppkey"), col("slow"),
+          size(collect_set(col("l_suppkey")).over(w)).as("n_supp"),
+          size(collect_set(when(col("slow"), col("l_suppkey"))).over(w)).as("n_slow_supp"))
+        .filter(col("slow") && col("n_supp") > 1 && col("n_slow_supp") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1, 2
+      ORDER BY numwait DESC, s_suppkey
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q17 shape: revenue that would be lost by refusing small-quantity
+    * orders — lines of one brand's parts with quantity under half the
+    * part's average, reported as exact-cents yearly revenue. The classic
+    * form correlates a per-part scalar subquery; decorrelated here as a
+    * window average over the SAME l_partkey partition the filter reads —
+    * one fact scan, one exchange of only the brand-filtered lines (the
+    * broadcast part filter prunes first). Quantities are integer-valued
+    * doubles, so the average is IEEE-exact and the threshold comparison
+    * cannot diverge between engines; revenue stays in integer cents with
+    * truncating div (both engines truncate toward zero on positives —
+    * settled round 4). */
+  val qSmallQtyRevenue: QueryDef = QueryDef(
+    "q_small_qty_revenue",
+    (s, d) => {
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), cents("l_extendedprice").as("c"))
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_small_lines"))
+        .select(
+          (expr("sum_c div 7") / 100.0).as("avg_yearly"),
+          col("n_small_lines"))
+    },
+    Some("""
+      SELECT (sum_c // 7) / 100.0 AS avg_yearly, n_small_lines
+      FROM (
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_c,
+               count(*) AS n_small_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey))
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(qMinCostSupplier, qGroupShare, qOrderCountDist,
+    qBigSpenders, qWaitingSuppliers, qSmallQtyRevenue)
 }
