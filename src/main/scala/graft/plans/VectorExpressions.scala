@@ -421,5 +421,30 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_ntokens"),
       info("graft_ntokens", "graft_ntokens(s) - space-separated segment count, = size(split(s, ' ')), zero-allocation"),
       (exprs: Seq[Expression]) => SpaceSegCount(exprs.head)))
+    // The SERVING surface for the whole operator library: graft_run('name')
+    // is a table-valued function splicing the named operator's LOGICAL plan
+    // into the calling query (the Greenplum poll-and-SELECT role,
+    // /root/reference/demo/05_gpdb_poll.sh). Lazy like a view: predicates
+    // and projections written around it still optimize into the scans. The
+    // data dir comes from the spark.graft.dataDir conf unless passed as a
+    // second argument.
+    ext.injectTableFunction((FunctionIdentifier("graft_run"),
+      info("graft_run",
+        "graft_run(name[, dir]) - table of the named graft operator's output over dir (default conf spark.graft.dataDir)"),
+      (exprs: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        def arg(i: Int, what: String): String = {
+          val e = exprs(i)
+          require(e.foldable, s"graft_run: $what must be a literal, got $e")
+          String.valueOf(e.eval())
+        }
+        val name = arg(0, "operator name")
+        val dir =
+          if (exprs.lengthCompare(2) >= 0) arg(1, "data dir")
+          else spark.conf.getOption(graft.GraftSql.DataDirConf).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft_run('$name'): set ${graft.GraftSql.DataDirConf} or pass a directory argument"))
+        graft.GraftSql.run(spark, name, dir).queryExecution.logical
+      }))
   }
 }

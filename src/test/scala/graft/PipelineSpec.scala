@@ -155,6 +155,59 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("graft_run TVF serves operators to a plain-SQL session (extensions only)") {
+    import org.apache.spark.sql.SparkSession
+    assert(spark.sparkContext.isLocal) // force the shared context FIRST —
+    // the extension session below builds over it (no master of its own)
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      s2.conf.set(graft.GraftSql.DataDirConf, sfDir)
+      // three operators from three families, SQL-only
+      for (name <- Seq("q1_pricing_summary", "dedup_exact", "cdc_snapshot")) {
+        val viaSql = s2.sql(s"SELECT * FROM graft_run('$name')")
+        val direct = SparkEntry.queries(name)(s2, sfDir)
+        assert(viaSql.schema == direct.schema, s"$name schema mismatch")
+        assert(viaSql.exceptAll(direct).isEmpty && direct.exceptAll(viaSql).isEmpty,
+          s"$name rows differ between SQL lane and direct call")
+      }
+      // TVF output composes with surrounding SQL (filter + projection around it)
+      val one = s2.sql(
+        "SELECT n_copies FROM graft_run('dedup_exact') WHERE n_copies > 1 ORDER BY keep_id")
+      assert(one.columns.toSeq == Seq("n_copies"))
+      // explicit dir argument overrides the conf
+      val viaArg = s2.sql(s"SELECT * FROM graft_run('dedup_exact', '$sfDir')")
+      assert(viaArg.count() == SparkEntry.queries("dedup_exact")(s2, sfDir).count())
+      // unknown name fails with the operator list, not an opaque resolver error
+      val err = intercept[Exception](s2.sql("SELECT * FROM graft_run('nope')").collect())
+      assert(err.getMessage.contains("unknown graft operator"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("GraftSql.serve registers every operator as a queryable temp view") {
+    GraftSql.serve(spark, sfDir)
+    try {
+      assert(spark.sql("SELECT * FROM q_top_customers").count() ==
+        SparkEntry.queries("q_top_customers")(spark, sfDir).count())
+      // views are composable: join an operator's output against a base table
+      val joined = spark.sql("""
+        SELECT d.doc_id FROM dedup_exact e JOIN documents d ON d.doc_id = e.keep_id""")
+      assert(joined.count() ==
+        SparkEntry.queries("dedup_exact")(spark, sfDir).count())
+    } finally {
+      val c = spark.catalog
+      (SparkEntry.queries.keys.toSeq ++ Seq("region", "nation", "customer",
+        "supplier", "part", "orders", "lineitem", "documents", "embeddings",
+        "events")).foreach(c.dropTempView)
+    }
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val out = Dedup.dedupExact.fn(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
