@@ -11,16 +11,15 @@ object Probe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
-    // scan every query's physical plan for nested-loop / cartesian joins
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, d).queryExecution.executedPlan.toString
-        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
-        if (bad.nonEmpty) println(s"PLANSCAN $name: ${bad.mkString(",")}")
-      } catch { case e: Throwable => println(s"PLANSCAN $name: ERROR ${e.getMessage}") }
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // recall@5 of the two IVF variants vs brute force at this SF
+    val exact = operators.Similarity.annBruteforce.fn(spark, d)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    for (name <- Seq("ann_ivf", "ann_ivf_k")) {
+      val approx = SparkEntry.queries(name)(spark, d).select("query_id", "neighbor_id")
+      val hit = approx.intersect(exact).count().toDouble
+      println(s"RECALL $name: ${hit / exact.count()}")
     }
-    println("PLANSCAN done")
     spark.stop()
   }
 }

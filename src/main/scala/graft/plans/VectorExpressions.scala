@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expression for the vector dot product over
   * `array<float>` / `array<double>` columns.
@@ -158,6 +158,151 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
          |  if ($acc >= 0) $out[$b >>> 6] |= 1L << ($b & 63);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Top-N nearest centroids of a vector by cosine: returns
+  * `array<struct<cell:int, cos:double>>` of the `topN` best cells, cosine
+  * descending, ties broken toward the LOWER cell index (deterministic).
+  * `cents` must be L2-NORMALIZED rows (the builder normalizes), so
+  * `cos = dot(v, c) / |v|` needs only the row vector's own norm, computed
+  * in the same pass. Zero vectors score 0 against every cell.
+  *
+  * This is the IVF coarse-quantizer kernel the round-4 verdict asked for:
+  * the K-struct-literal formulation (`sort_array(array(struct(dot(v,
+  * lit(c1))...)))`) embeds K expression trees — Janino compile time and
+  * codegen size grow with K, the measured §3 blowup — while here the
+  * centroid matrix rides along as ONE constant reference object
+  * (`ctx.addReferenceObj`, a broadcast-equivalent plan constant) and the
+  * generated code is two primitive loops plus a topN insertion, so K can
+  * scale to thousands of cells with CONSTANT compile time. Runtime is
+  * K×Dim multiply-adds per row, fully inside whole-stage codegen, zero
+  * exchanges. */
+case class NearestCells(child: Expression, cents: Array[Array[Double]], topN: Int)
+    extends UnaryExpression {
+
+  require(topN >= 1, "topN must be >= 1")
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cells expects array<float|double> input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("cell", IntegerType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def k: Int = cents.length
+  private def outN: Int = math.min(topN, k)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var vn = 0.0
+    var i = 0
+    val nd = x.numElements()
+    while (i < nd) {
+      val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      vn += xv * xv
+      i += 1
+    }
+    vn = math.sqrt(vn)
+    val bestS = Array.fill(outN)(Double.NegativeInfinity)
+    val bestI = new Array[Int](outN)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(nd, cent.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += (if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)) * cent(j)
+        j += 1
+      }
+      val score = if (vn == 0.0) 0.0 else acc / vn
+      // strict > : on ties the earlier (lower-index) cell keeps its slot
+      var pos = outN
+      while (pos > 0 && score > bestS(pos - 1)) pos -= 1
+      if (pos < outN) {
+        var m = outN - 1
+        while (m > pos) { bestS(m) = bestS(m - 1); bestI(m) = bestI(m - 1); m -= 1 }
+        bestS(pos) = score
+        bestI(pos) = c
+      }
+      c += 1
+    }
+    val rows: Array[Any] = Array.tabulate(outN) { r =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestI(r), bestS(r)))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val vn = ctx.freshName("vn")
+      val nd = ctx.freshName("nd")
+      val i = ctx.freshName("i")
+      val bestS = ctx.freshName("bestS")
+      val bestI = ctx.freshName("bestI")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val score = ctx.freshName("score")
+      val pos = ctx.freshName("pos")
+      val m = ctx.freshName("m")
+      val rows = ctx.freshName("rows")
+      val r = ctx.freshName("r")
+      def get(idx: String): String =
+        if (isFloat) s"((double) $v.getFloat($idx))" else s"$v.getDouble($idx)"
+      s"""
+         |int $nd = $v.numElements();
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $nd; $i++) { $vn += ${get(i)} * ${get(i)}; }
+         |$vn = java.lang.Math.sqrt($vn);
+         |double[] $bestS = new double[$outN];
+         |int[] $bestI = new int[$outN];
+         |java.util.Arrays.fill($bestS, java.lang.Double.NEGATIVE_INFINITY);
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double[] $cent = $centsRef[$c];
+         |  int $n = java.lang.Math.min($nd, $cent.length);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) { $acc += ${get(j)} * $cent[$j]; }
+         |  double $score = ($vn == 0.0) ? 0.0 : $acc / $vn;
+         |  int $pos = $outN;
+         |  while ($pos > 0 && $score > $bestS[$pos - 1]) $pos--;
+         |  if ($pos < $outN) {
+         |    for (int $m = $outN - 1; $m > $pos; $m--) {
+         |      $bestS[$m] = $bestS[$m - 1]; $bestI[$m] = $bestI[$m - 1];
+         |    }
+         |    $bestS[$pos] = $score;
+         |    $bestI[$pos] = $c;
+         |  }
+         |}
+         |Object[] $rows = new Object[$outN];
+         |for (int $r = 0; $r < $outN; $r++) {
+         |  $rows[$r] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{java.lang.Integer.valueOf($bestI[$r]), java.lang.Double.valueOf($bestS[$r])});
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
        """.stripMargin
     })
   }
@@ -377,6 +522,13 @@ object VectorExpressions {
   /** Column-API entry point: Jaccard of two sorted array<long> sets. */
   def sortedJaccard(a: Column, b: Column): Column =
     Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-API entry point: top-N nearest (normalized) centroids by
+    * cosine — array<struct<cell, cos>>, cosine desc, low index on ties.
+    * Constructor-parameterized like [[hyperplaneSig]] (the matrix is a plan
+    * constant), so Column-API-only. */
+  def nearestCells(v: Column, cents: Array[Array[Double]], topN: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(v), cents, topN))
 
   /** Register `graft_dot` in the session's function registry so plain
     * `spark.sql("SELECT graft_dot(a, b) ...")` reaches the native kernel. */

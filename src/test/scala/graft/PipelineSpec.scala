@@ -91,6 +91,42 @@ class PipelineSpec extends SparkSpec {
     assert(hit / exact.count() >= 0.4, s"IVF recall ${hit / exact.count()} too low")
   }
 
+  test("NearestCells kernel: cosine argmax, descending order, ties to lower cell") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.6f, 0.8f))).toDF("id", "embedding")
+    // cell 2 duplicates cell 0 — an exact tie the kernel must break low
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val out = df.select(col("id"),
+      graft.plans.VectorExpressions.nearestCells(col("embedding"), cents, 2).as("nc"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getDouble(1))))
+      .toMap
+    assert(out(1L).map(_._1) == Seq(0, 2), s"tie must keep cell 0 first: ${out(1L)}")
+    assert(out(1L).forall(c => math.abs(c._2 - 1.0) < 1e-12))
+    assert(out(2L).map(_._1) == Seq(1, 0))
+    // float32 inputs: 0.6f/0.8f are not exact doubles — tolerance ~1e-6
+    assert(math.abs(out(2L).head._2 - 0.8) < 1e-6 &&
+      math.abs(out(2L)(1)._2 - 0.6) < 1e-6)
+    // topN > K clamps to K entries
+    val clamped = df.select(
+      graft.plans.VectorExpressions.nearestCells(col("embedding"), cents.take(1), 5))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(clamped.length == 1)
+  }
+
+  test("ann_ivf_k (parameterized K=64, k-means|| seeding) reaches >= 40% recall@5") {
+    val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val approx = Similarity.annIvfK.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = approx.intersect(exact).count().toDouble
+    assert(hit / exact.count() >= 0.4, s"IVF-K recall ${hit / exact.count()} too low")
+    // the trained quantizer really has ~K cells (not the 10 labels)
+    val seeds = Similarity.kmeansParSeeds(spark, sfDir, 64)
+    assert(seeds.length == 64, s"k-means|| produced ${seeds.length} seeds")
+    // seeding is deterministic: same corpus, same seeds
+    val again = Similarity.kmeansParSeeds(spark, sfDir, 64)
+    assert(seeds.zip(again).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("ngram-jaccard block cap bounds pairwise join input per block") {
     // With an artificially tiny cap, no (lang, source) block feeds more
     // than cap docs into the pairwise join — the worst case is
