@@ -293,7 +293,66 @@ object Curation {
     """.stripMargin.trim)
   )
 
+  /** Demo shard size in tokens. Real shard builds target ~10⁸ tokens per
+    * shard; the testdata streams hold a few hundred tokens each, so the
+    * demo size keeps multiple shards per stream actually exercised. */
+  private[graft] val ShardTokens = 128
+
+  /** Greedy in-order shard assignment: within each (lang, source) stream,
+    * docs pack into shards of ~[[ShardTokens]] tokens — a doc's shard is
+    * `tokens-before-it div size` (the running sum EXCLUDING the doc, so a
+    * doc that overflows a shard starts it rather than splitting). One
+    * stream-keyed exchange; the running sum is a ROWS frame over the same
+    * partitioning the manifest aggregate reuses. */
+  private[graft] def shardAssignment(s: SparkSession, d: String, size: Int): DataFrame = {
+    val before = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        graft.plans.StringKernels.spaceSegCount(col("text")).as("n_tokens"))
+      .withColumn("run_before", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .withColumn("shard_no", expr(s"run_before div $size"))
+  }
+
+  /** Shard MANIFEST — the table a 100 TB shard build publishes next to its
+    * data: per (lang, source, shard_no), the doc count, token mass and
+    * doc_id range. Deterministic by construction (in-order packing over
+    * doc_id), so retries/rebuilds produce byte-identical manifests.
+    * [[graft.sources.ShardWriter]] materializes this exact layout to disk;
+    * the query IS its manifest, oracle-checked. */
+  val pipelineShardManifest: QueryDef = QueryDef(
+    "pipeline_shard_manifest",
+    (s, d) =>
+      shardAssignment(s, d, ShardTokens)
+        .groupBy(col("lang"), col("source"), col("shard_no"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "source", "shard_no"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+      ), r AS (
+        SELECT *, coalesce(sum(n_tokens) OVER (
+                 PARTITION BY lang, source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+        FROM t
+      )
+      SELECT lang, source, (run_before // $ShardTokens)::BIGINT AS shard_no,
+             count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM r
+      GROUP BY 1, 2, 3
+      ORDER BY lang, source, shard_no
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     pipelineContamination, pipelinePackSequences, pipelineStratifiedSample,
-    pipelineQualityFilter, textTokenLenHist, pipelineDomainMix)
+    pipelineQualityFilter, textTokenLenHist, pipelineDomainMix,
+    pipelineShardManifest)
 }

@@ -264,6 +264,48 @@ object TpchMore {
     """.stripMargin.trim)
   )
 
+  /** TPC-H Q22 shape: well-funded customers with NO orders of a class
+    * (urgent), grouped by nation — the scalar-average threshold + anti-join
+    * decorrelation pattern. (Classic Q22 anti-joins ALL orders; every
+    * testdata customer has some order, so the class filter keeps the shape
+    * AND a non-empty result.) Balances compare in integer cents against a
+    * 1-row broadcast average (float sums would order-diverge across
+    * engines); the anti join is a broadcast of the filtered key set at this
+    * SF and a shuffled left-anti at scale — both AQE's call. */
+  val qIdleCustomers: QueryDef = QueryDef(
+    "q_idle_customers",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), cents("c_acctbal").as("cb"))
+      // 1-row positive-balance average: broadcast, not a correlated rescan
+      val avgPos = cust.filter(col("cb") > 0).agg(avg(col("cb")).as("a"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      cust
+        .join(broadcast(avgPos))
+        .filter(col("cb") > col("a"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), (sum(col("cb")) / 100.0).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      WITH cb AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cb
+        FROM customer
+      ), ab AS (SELECT avg(cb) AS a FROM cb WHERE cb > 0)
+      SELECT c_nationkey, count(*) AS numcust, sum(cb) / 100.0 AS totacctbal
+      FROM cb, ab
+      WHERE cb > a
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = cb.c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(qMinCostSupplier, qGroupShare, qOrderCountDist,
-    qBigSpenders, qWaitingSuppliers, qSmallQtyRevenue)
+    qBigSpenders, qWaitingSuppliers, qSmallQtyRevenue, qIdleCustomers)
 }

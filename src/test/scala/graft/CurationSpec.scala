@@ -115,4 +115,39 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("decayed_fp") == expected(r.getAs[Long]("user_id")))
     }
   }
+
+  test("ShardWriter: data and manifest agree; layout prunes; greedy packing holds") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val manifest = graft.sources.ShardWriter.write(spark, sfDir, out)
+    val viaQuery = Curation.pipelineShardManifest.fn(spark, sfDir)
+    // the published manifest IS the oracle-gated query's result
+    assert(manifest.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(manifest).isEmpty)
+    // the manifest agrees with the data files exactly
+    val reAgg = spark.read.parquet(s"$out/data")
+      .groupBy(col("lang"), col("source"), col("shard_no"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    assert(reAgg.exceptAll(manifest).isEmpty && manifest.exceptAll(reAgg).isEmpty)
+    // partition layout prunes: one shard directory holds exactly its docs
+    val first = manifest.orderBy("lang", "source", "shard_no").head
+    val oneDir = spark.read.parquet(
+      s"$out/data/lang=${first.getAs[String]("lang")}/source=${first.getAs[String]("source")}/shard_no=${first.getAs[Long]("shard_no")}")
+    assert(oneDir.count() == first.getAs[Long]("n_docs"))
+    // greedy packing invariant: a stream opens shard k+1 only after the
+    // cumulative token mass through shard k reached (k+1) x size
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(col("lang"), col("source")).orderBy(col("shard_no"))
+    val lastShard = Window.partitionBy(col("lang"), col("source"))
+    val bad = manifest
+      .withColumn("cum_tokens", sum(col("tokens")).over(cum))
+      .withColumn("max_shard", max(col("shard_no")).over(lastShard))
+      .filter(col("shard_no") < col("max_shard") &&
+        col("cum_tokens") < (col("shard_no") + 1) * Curation.ShardTokens)
+    assert(bad.count() == 0, "a non-final shard closed before filling")
+    // rebuilds are deterministic at the row level (materialize the first
+    // manifest BEFORE the overwrite invalidates its files)
+    val firstRows = manifest.collect().toSet
+    val again = graft.sources.ShardWriter.write(spark, sfDir, out)
+    assert(again.collect().toSet == firstRows)
+  }
 }

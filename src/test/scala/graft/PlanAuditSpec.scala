@@ -184,9 +184,10 @@ class PlanAuditSpec extends SparkSpec {
     // Every allowed BroadcastNestedLoopJoin is a deliberate tiny-side
     // broadcast: ann_bruteforce (query set × corpus), cdc_incremental /
     // cdc_staleness / q_decayed_sum (1-row watermark/frontier), text_tfidf
-    // (1-row corpus count). Anything new showing up here is a regression.
+    // (1-row corpus count), q_idle_customers (1-row balance average).
+    // Anything new showing up here is a regression.
     val allowNlj = Set("ann_bruteforce", "cdc_incremental", "cdc_staleness",
-      "q_decayed_sum", "text_tfidf")
+      "q_decayed_sum", "text_tfidf", "q_idle_customers")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
