@@ -584,6 +584,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamTopK: sharded Misra-Gries guarantee holds; counters lower-bound truth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 256
+    val shards = 4
+    // the batch twin's token stream, verbatim (lowercase, keep empties)
+    val allTokens = Tables.documents(spark, sfDir).select(col("text")).as[String]
+      .collect().flatMap(_.toLowerCase(java.util.Locale.ROOT).split(" ", -1))
+    val mem = MemoryStream[String]
+    val sketches = graft.streaming.StreamTopK.heavyHitters(
+      mem.toDF().toDF("token"), k, shards)
+    val q = sketches.writeStream.format("memory").queryName("topk")
+      .outputMode("update").start()
+    try {
+      val (a, b) = allTokens.splitAt(allTokens.length / 2)
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+      // final state per shard = the row with that shard's max n
+      val finalSketch = spark.table("topk").as[graft.streaming.StreamTopK.ShardSketch]
+        .collect().groupBy(_.shard).map { case (sh, rows) => sh -> rows.maxBy(_.n) }
+      val truth = allTokens.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+      // token mass conservation across shards
+      assert(finalSketch.values.map(_.n).sum == allTokens.length.toLong)
+      finalSketch.foreach { case (sh, sk) =>
+        // every token above the shard's n/(k+1) bound survived
+        truth.filter { case (t, c) =>
+          graft.streaming.StreamTopK.shardOf(t, shards) == sh && c > sk.n / (k + 1.0)
+        }.foreach { case (t, c) =>
+          assert(sk.tokens.contains(t), s"shard $sh lost guaranteed token '$t' (count $c)")
+        }
+        // counters never exceed the true count (lower bounds)
+        sk.tokens.foreach { case (t, c) =>
+          assert(c <= truth(t), s"'$t' overcounted: $c > ${truth(t)}")
+        }
+      }
+      // the batch sketch_topk_tokens output (>0.5% of corpus) is a subset
+      // of the streaming candidates: 0.005·N > N/(4·257) by a wide margin
+      val candidates = finalSketch.values.flatMap(_.tokens.keys).toSet
+      graft.operators.Advanced.sketchTopkTokens.fn(spark, sfDir)
+        .select("token").as[String].collect()
+        .foreach(t => assert(candidates.contains(t), s"batch top token '$t' missing"))
+    } finally q.stop()
+  }
+
   test("composite PK: state keyed on ALL pk columns (get_pk_cols AND semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
