@@ -382,6 +382,72 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** Per-document LM quality score — the CCNet-style filter signal: how
+    * typical each doc's word transitions are under the corpus-trained
+    * bigram LM ([[textBigramLm]]'s estimation, un-truncated to the full
+    * table). Per doc: the mean and minimum conditional permille of its
+    * bigram occurrences — low mean ⇒ atypical text (the mass real
+    * pipelines route to the LM-perplexity cut), min ⇒ the single most
+    * surprising transition. All-integer arithmetic (truncating div both
+    * engines), so scores are engine-exact.
+    *
+    * Scale shape: the bigram stream is a typed flatMap computed twice —
+    * once aggregated into the vocab²-bounded LM table, once joined against
+    * it (deliberate: caching the full token stream is what does NOT scale
+    * at 100 TB, same trade as sketch_topk_tokens); the join is keyed on
+    * (w1, w2) — broadcastable while the LM fits, a plain shuffled
+    * equi-join beyond. Docs with <2 tokens have no bigrams and drop out on
+    * both engines. */
+  val textLmScore: QueryDef = QueryDef(
+    "text_lm_score",
+    (s, d) => {
+      import s.implicits._
+      def pairs = docs(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          (0 until math.max(0, t.length - 1)).iterator.map(i => (id, t(i), t(i + 1)))
+        }
+        .toDF("doc_id", "w1", "w2")
+      val w = Window.partitionBy(col("w1"))
+      val lm = pairs
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n12"))
+        .withColumn("n1", sum(col("n12")).over(w))
+        .select(col("w1"), col("w2"), expr("(10000 * n12) div n1").as("cond_pm"))
+      pairs
+        .join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("cond_pm")).as("s_pm"),
+          min(col("cond_pm")).as("min_pm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("s_pm div n_bigrams").as("avg_pm"), col("min_pm"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS w2
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      ), c AS (
+        SELECT w1, w2, count(*) AS n12 FROM b GROUP BY w1, w2
+      ), lm AS (
+        SELECT w1, w2,
+               ((10000 * n12) // (sum(n12) OVER (PARTITION BY w1)))::BIGINT AS cond_pm
+        FROM c
+      )
+      SELECT doc_id, count(*) AS n_bigrams,
+             (sum(cond_pm) // count(*))::BIGINT AS avg_pm,
+             min(cond_pm) AS min_pm
+      FROM b JOIN lm USING (w1, w2)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
   /** Vocabulary statistics: corpus document frequency per token (IDF
     * inputs). Top-30 tokens by doc frequency with tie-break. */
   val textVocab: QueryDef = QueryDef(
@@ -465,6 +531,6 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
-    textBigramFreq, textBigramLm, textVocab, textTfidf
+    textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf
   )
 }

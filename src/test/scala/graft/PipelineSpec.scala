@@ -114,6 +114,24 @@ class PipelineSpec extends SparkSpec {
     assert(clamped.length == 1)
   }
 
+  test("NearestCells at K=4096: constant codegen, bounded end-to-end time") {
+    // The scale claim behind ann_ivf_k: the centroid matrix is ONE
+    // reference object, so codegen size/compile time do not grow with K
+    // (4096 struct literals would blow the Janino method limit). Bound is
+    // generous for box noise — the failure mode it guards is minutes/OOM.
+    val k = 4096
+    val cents = Array.tabulate(k)(i =>
+      Array.tabulate(Similarity.Dim)(j => math.sin(i * 31 + j).abs + 0.01))
+    val t0 = System.nanoTime()
+    val out = Tables.embeddings(spark, sfDir).limit(50)
+      .select(graft.plans.VectorExpressions.nearestCells(col("embedding"), cents, 4).as("nc"))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 50 &&
+      out.forall(_.getSeq[org.apache.spark.sql.Row](0).length == 4))
+    assert(secs < 60, s"K=$k probe took $secs s — codegen no longer constant in K?")
+  }
+
   test("ann_ivf_k (parameterized K=64, k-means|| seeding) reaches >= 40% recall@5") {
     val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
     val approx = Similarity.annIvfK.fn(spark, sfDir).select("query_id", "neighbor_id")
