@@ -179,6 +179,38 @@ class PlanAuditSpec extends SparkSpec {
       s"first-seen week must come from a window, not a corpus-scaled broadcast:\n$plan")
   }
 
+  test("dedup_lines: exactly the line exchange + the doc rebuild exchange") {
+    import graft.operators.Dedup
+    val plan = planOf(Dedup.dedupLines)
+    assert(hashExchanges(plan) == 2,
+      s"dedup_lines must shuffle once on the line and once on doc_id:\n$plan")
+    assert(!plan.contains("Generate"), "line stream must be a typed flatMap, not explode")
+  }
+
+  test("q_waiting_suppliers: one fact pass — a single window exchange replaces both self-joins") {
+    import graft.operators.TpchMore
+    val plan = planOf(TpchMore.qWaitingSuppliers)
+    // lineitem is scanned exactly once (the classic Q21 form scans it 3x)
+    assert("Scan parquet".r.findAllIn(plan).length <= 3, plan) // lineitem + orders + supplier
+    assert("lineitem".r.findAllIn(plan).length <= 1, s"fact scanned more than once:\n$plan")
+    // both existential facts come from ONE Window node over one exchange
+    assert("Window".r.findAllIn(plan).length == 1, s"windows did not collapse:\n$plan")
+  }
+
+  test("pipeline_shard_manifest: assignment window and manifest agg share the stream exchange") {
+    import graft.operators.Curation
+    val plan = planOf(Curation.pipelineShardManifest)
+    assert(hashExchanges(plan) == 1,
+      s"running sum and manifest aggregate must share one (lang, source) exchange:\n$plan")
+  }
+
+  test("text_lm_score: LM join keyed on the bigram, no cartesian fan-out") {
+    import graft.operators.TextAnalysis
+    val plan = planOf(TextAnalysis.textLmScore)
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("global plan hygiene: no cartesian product anywhere; nested-loop joins " +
     "only where a 1-row or query-set broadcast is the design") {
     // Every allowed BroadcastNestedLoopJoin is a deliberate tiny-side
