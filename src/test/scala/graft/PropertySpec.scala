@@ -152,4 +152,20 @@ class PropertySpec extends SparkSpec {
     assert("".compareTo("😀") > 0)
     assert(c("", "😀") < 0)
   }
+
+  test("encodePk: injective over arbitrary same-arity tuples (incl. NUL/backslash)") {
+    import graft.streaming.MaxwellStream.encodePk
+    // values drawn from an alphabet that stresses the escaping: the NUL
+    // separator, the backslash escape char, empties, and ordinary text
+    val trickyChar = Gen.oneOf('\u0000', '\\', 'a', 'b', '0')
+    val value = Gen.listOf(trickyChar).map(_.mkString)
+    val pair = for {
+      n <- Gen.choose(2, 4)
+      t1 <- Gen.listOfN(n, value)
+      t2 <- Gen.listOfN(n, value)
+    } yield (t1, t2)
+    assertProp(Prop.forAll(pair) { case (t1, t2) =>
+      (encodePk(t1) == encodePk(t2)) == (t1 == t2)
+    }, n = 500)
+  }
 }
