@@ -181,7 +181,15 @@ object MaxwellStream {
               case "update" =>
                 val changedKeys: Set[String] =
                   if (r.old != null && r.old.nonEmpty) r.old.keySet else r.data.keySet
-                cur = cur ++ r.data.view.filterKeys(changedKeys).toMap
+                // No prior state for this key (stream attached after the row
+                // existed — e.g. a bootstrapReplica'd table): recover from
+                // the event's FULL post-image (Maxwell `data` carries the
+                // whole row; `old` is what identifies the changed subset).
+                // With prior state, apply only the changed columns — the
+                // reference's SET-only-changed semantics
+                // (cdc_plpgsql_functions.sql:128-144).
+                cur = if (cur.isEmpty) r.data
+                      else cur ++ r.data.view.filterKeys(changedKeys).toMap
                 out += StateChange(db, table, pk, "upsert", cur, r.ts, seqOf(r))
               case "delete" =>
                 cur = Map.empty
@@ -373,6 +381,32 @@ object MaxwellStream {
     touched.filterNot(survivors).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(replicaPath, s"bucket=$b"), true)
     }
+  }
+
+  /** INITIAL-SNAPSHOT bootstrap — the `mysql_dump_ddl.sh` onboarding role
+    * (dump the source, load the target, THEN start streaming): seed the
+    * replica from a batch snapshot of the source table before the CDC
+    * stream attaches. Every snapshot row becomes an upsert at `ts0`
+    * (epoch 0 by default), so ANY subsequently streamed event — which
+    * carries a real timestamp — wins its latest-per-key merge against the
+    * bootstrap copy; re-running the bootstrap is idempotent for the same
+    * snapshot. Schema-side bootstrap is [[applyDdl]] over the dumped DDL
+    * (the script's mysqldump half). Composite keys use the same
+    * [[encodePk]] tuple encoding as the streaming lane. */
+  def bootstrapReplica(snapshot: DataFrame, database: String, table: String,
+      pkCols: Seq[String], replicaDir: String, nBuckets: Int = 16,
+      ts0: java.sql.Timestamp = new java.sql.Timestamp(0L)): Unit = {
+    val s = snapshot.sparkSession
+    import s.implicits._
+    val cols = snapshot.schema.fieldNames.toSeq
+    require(pkCols.nonEmpty && pkCols.forall(cols.contains),
+      s"pk columns $pkCols must exist in ${cols.mkString(",")}")
+    val changes = snapshot
+      .select(map(cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("state"))
+      .as[Map[String, String]]
+      .map(m => StateChange(database, table, encodePk(pkCols.map(m(_))),
+        "upsert", m.filter(_._2 != null), ts0, 0L))
+    applyBatchToReplica(changes, replicaDir, nBuckets)
   }
 
   /** The `get_type` role (`cdc_plpgsql_functions.sql:62-77`): the reference

@@ -692,6 +692,36 @@ class StreamingSpec extends SparkSpec {
       s"collision among $tricky -> $encoded")
   }
 
+  test("bootstrapReplica: snapshot seeds the replica; streamed events always win") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_boot").toString + "/replica"
+    val snap = Seq(("eu", "1", "5"), ("us", "1", "9"), ("eu", "2", "7"))
+      .toDF("region", "id", "qty")
+    def byPk() = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("pk") -> r.getAs[Map[String, String]]("state")).toMap
+    MaxwellStream.bootstrapReplica(snap, "d", "orders", Seq("region", "id"), dir)
+    assert(byPk().size == 3)
+    assert(byPk()(MaxwellStream.encodePk(Seq("eu", "1")))("qty") == "5")
+    // idempotent re-run of the same snapshot
+    MaxwellStream.bootstrapReplica(snap, "d", "orders", Seq("region", "id"), dir)
+    assert(byPk().size == 3)
+    // a streamed partial UPDATE (no prior state-store entry) recovers the
+    // full row from the post-image and beats the bootstrap copy
+    val dml = Seq(
+      """{"database":"d","table":"orders","type":"update","ts":100,"data":{"region":"eu","id":"1","qty":"6"},"old":{"qty":"5"}}"""
+    ).toDF("value")
+    MaxwellStream.applyBatchToReplica(
+      MaxwellStream.replicaChangelog(MaxwellStream.parse(dml), Seq("region", "id")), dir)
+    val merged = byPk()
+    assert(merged(MaxwellStream.encodePk(Seq("eu", "1")))("qty") == "6")
+    assert(merged(MaxwellStream.encodePk(Seq("eu", "1")))("region") == "eu",
+      "post-image recovery must keep the whole row, not just changed columns")
+    assert(merged(MaxwellStream.encodePk(Seq("us", "1")))("qty") == "9")
+    // re-bootstrapping AFTER streaming can never roll the stream back
+    MaxwellStream.bootstrapReplica(snap, "d", "orders", Seq("region", "id"), dir)
+    assert(byPk()(MaxwellStream.encodePk(Seq("eu", "1")))("qty") == "6")
+  }
+
   test("composite-PK replica end-to-end: bucketed merge holds one row per tuple") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_cpk").toString + "/replica"
