@@ -233,6 +233,55 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter(col("click_id").isNotNull).count() == inner.count())
   }
 
+  test("stream-stream FULL OUTER join: both sides' unmatched rows evict exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = graft.streaming.StreamJoins.purchaseClickFullOuter(events)
+    val q = joined.writeStream.format("memory").queryName("ssfull").outputMode("append").start()
+    try {
+      def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData(
+        (1L, t(0), 7L, "click", 1.0),
+        (2L, t(10), 7L, "purchase", 99.0), // pair -> immediate
+        (3L, t(10), 8L, "purchase", 50.0), // never clicked -> purchase_only later
+        (4L, t(0), 9L, "click", 1.0)       // never converted -> click_only later
+      )
+      q.processAllAvailable()
+      val now = spark.table("ssfull").collect()
+      assert(now.exists(r => r.getAs[String]("side") == "pair"
+        && r.getAs[Long]("purchase_id") == 2L && r.getAs[Long]("click_id") == 1L))
+      assert(!now.exists(_.getAs[String]("side") != "pair"),
+        "outer rows cannot emit before the watermark closes their window")
+      // advance BOTH sides' watermarks (global watermark = min), two batches
+      // so eviction lands after the watermark update
+      mem.addData((5L, t(120), 10L, "click", 1.0), (6L, t(120), 10L, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData((7L, t(121), 10L, "click", 1.0), (8L, t(121), 10L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssfull").collect()
+      val pOnly = rows.filter(_.getAs[String]("side") == "purchase_only")
+      assert(pOnly.map(_.getAs[Long]("purchase_id")).toSeq == Seq(3L), rows.toSeq.toString)
+      assert(pOnly.head.isNullAt(pOnly.head.fieldIndex("click_id")))
+      assert(pOnly.head.getAs[Long]("user_id") == 8L)
+      val cOnly = rows.filter(_.getAs[String]("side") == "click_only")
+      assert(cOnly.map(_.getAs[Long]("click_id")).toSeq == Seq(4L), rows.toSeq.toString)
+      assert(cOnly.head.isNullAt(cOnly.head.fieldIndex("purchase_id")))
+      assert(cOnly.head.getAs[Long]("user_id") == 9L)
+      // the pair appears exactly once — never re-emitted as an outer row
+      assert(rows.count(_.getAs[Long]("purchase_id") == 2L) == 1)
+    } finally q.stop()
+
+    // batch equivalence: inner rows agree with the inner operator; both
+    // outer lanes are non-empty on the real events table
+    val batch = graft.streaming.StreamJoins.purchaseClickFullOuter(Tables.events(spark, sfDir))
+    val inner = graft.streaming.StreamJoins.purchaseClickJoin(Tables.events(spark, sfDir))
+    assert(batch.filter(col("side") === "pair").count() == inner.count())
+    assert(batch.filter(col("side") === "purchase_only").count() > 0)
+    assert(batch.filter(col("side") === "click_only").count() > 0)
+  }
+
   test("stream-static enrichment: live events tagged with a static user dim, unknowns pass through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
