@@ -282,6 +282,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter(col("side") === "click_only").count() > 0)
   }
 
+  test("StreamStaleness: keys go stale on EVENT time; active keys never fire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    // stale after 20 min of event-time silence; 10 min watermark delay
+    val stale = graft.streaming.StreamStaleness.staleKeys(events, 20L * 60000L)
+    val q = stale.writeStream.format("memory").queryName("stale").outputMode("append").start()
+    try {
+      def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData((7L, t(0)), (7L, t(5)), (8L, t(0)))
+      q.processAllAvailable()
+      assert(spark.table("stale").count() == 0, "nothing is stale yet")
+      // user 7 keeps talking; event time advances enough that 8's alarm
+      // (t(20)) is behind the watermark (t(45) - 10 min = t(35)), 7's
+      // (t(40) + 20 = t(60)) is not
+      mem.addData((7L, t(40)), (9L, t(45)))
+      q.processAllAvailable()
+      mem.addData((9L, t(46))) // second batch so the timeout fires post-update
+      q.processAllAvailable()
+      val rows = spark.table("stale").collect()
+      assert(rows.map(_.getAs[Long]("user_id")).toSet == Set(8L), rows.toSeq.toString)
+      assert(rows.head.getAs[Long]("last_us") == t(0).getTime * 1000L)
+      assert(rows.head.getAs[Long]("n_events") == 1L)
+      // a resumed key starts a fresh lifecycle: user 8 returns, goes quiet
+      // again, and surfaces a SECOND stale report for the new quiet period
+      mem.addData((8L, t(50)))
+      q.processAllAvailable()
+      mem.addData((9L, t(100)))
+      q.processAllAvailable()
+      mem.addData((9L, t(101)))
+      q.processAllAvailable()
+      val again = spark.table("stale").collect()
+        .filter(_.getAs[Long]("user_id") == 8L)
+      assert(again.length == 2, again.toSeq.toString)
+      assert(again.map(_.getAs[Long]("last_us")).max == t(50).getTime * 1000L)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: live events tagged with a static user dim, unknowns pass through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
