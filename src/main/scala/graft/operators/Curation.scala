@@ -351,8 +351,72 @@ object Curation {
     """.stripMargin.trim)
   )
 
+  /** The WHOLE curation pipeline as ONE declarative plan — raw corpus →
+    * quality waterfall (length gate + exact-dedup keeper + lexical
+    * repetition gate) → deterministic stratified downsample → packed
+    * ~2048-token training bins per (lang, source) stream, reported as the
+    * final shard manifest. This is the "switch the reference user's whole
+    * job to one query" flagship: every stage is the SAME logic its
+    * standalone operator verifies, composed so Catalyst sees one tree —
+    * two hash exchanges total (the md5(text) dedup window and the stream
+    * window, whose partitioning the manifest aggregate reuses), and the
+    * length/quality/sample predicates all run in the first pass before
+    * anything shuffles at doc granularity. */
+  val pipelineE2eManifest: QueryDef = QueryDef(
+    "pipeline_e2e_manifest",
+    (s, d) => {
+      val toks = split(lower(col("text")), " ")
+      val kept = Tables.documents(s, d)
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .withColumn("n_tokens", graft.plans.StringKernels.spaceSegCount(col("text")))
+        .filter(col("n_chars") >= 100 &&
+          col("doc_id") === col("keeper") &&
+          col("n_tokens") >= 30 &&
+          size(array_distinct(toks)) * 10 >= size(toks) * 4 &&
+          md5Bucket(1000) < when(col("lang") === "en", 200L).otherwise(600L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      val before = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      kept
+        .withColumn("off", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+        .groupBy(col("lang"), col("source"), expr("off div 2048").as("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "source", "bin")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+      ), kept AS (
+        SELECT doc_id, lang, source, n_tokens
+        FROM t
+        WHERE n_chars >= 100 AND doc_id = keeper AND n_tokens >= 30
+          AND n_distinct * 10 >= n_tokens * 4
+          AND $bucketSql % 1000 < CASE WHEN lang = 'en' THEN 200 ELSE 600 END
+      ), o AS (
+        SELECT *, coalesce(sum(n_tokens) OVER (
+                 PARTITION BY lang, source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM kept
+      )
+      SELECT lang, source, (off // 2048)::BIGINT AS bin, count(*) AS n_docs,
+             sum(n_tokens)::BIGINT AS bin_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM o
+      GROUP BY 1, 2, 3
+      ORDER BY lang, source, bin
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     pipelineContamination, pipelinePackSequences, pipelineStratifiedSample,
     pipelineQualityFilter, textTokenLenHist, pipelineDomainMix,
-    pipelineShardManifest)
+    pipelineShardManifest, pipelineE2eManifest)
 }

@@ -204,6 +204,15 @@ class PlanAuditSpec extends SparkSpec {
       s"running sum and manifest aggregate must share one (lang, source) exchange:\n$plan")
   }
 
+  test("pipeline_e2e_manifest: whole curation chain = two hash exchanges") {
+    import graft.operators.Curation
+    val plan = planOf(Curation.pipelineE2eManifest)
+    // md5(text) dedup window + the (lang, source) stream window; the
+    // manifest aggregate must reuse the stream partitioning
+    assert(hashExchanges(plan) == 2,
+      s"waterfall+sample+pack should cost exactly the two windows:\n$plan")
+  }
+
   test("text_lm_score: LM join keyed on the bigram, no cartesian fan-out") {
     import graft.operators.TextAnalysis
     val plan = planOf(TextAnalysis.textLmScore)
