@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, AnalyticsExt, Cdc, Curation, Dedup, Multimodal, Olap, OrderedStats, ScalePatterns, Similarity, TextAnalysis, TpchMore, TrainingOps}
+import graft.operators.{Advanced, AnalyticsExt, Cdc, Curation, Dedup, Multimodal, Olap, OrderedStats, ScalePatterns, Similarity, TextAnalysis, TpchMore, TpchThird, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** All registered operators, in SURVEY §2 order. */
   def defs: Seq[QueryDef] =
     Cdc.all ++ Olap.all ++ AnalyticsExt.all ++ ScalePatterns.all ++ Advanced.all ++
-      TpchMore.all ++ OrderedStats.all ++ TrainingOps.all ++ Curation.all ++ Dedup.all ++
+      TpchMore.all ++ TpchThird.all ++ OrderedStats.all ++ TrainingOps.all ++ Curation.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Third TPC-H-shape wave — the remaining classic warehouse shapes the
+  * Greenplum serve lane (`/root/reference/README.md:14-16`,
+  * `demo/05_gpdb_poll.sh`) answers that waves one and two don't cover:
+  * date-windowed EXISTS (Q4), the two-bucket CASE rollup (Q12), the
+  * conditional-share scalar (Q14), the excluded-set distinct count (Q16),
+  * the disjunctive OR-of-ANDs pushdown probe (Q19), and the half-of-total
+  * correlated threshold (Q20). Column substitutions (the testdata carries
+  * no commitdate/shipmode/partsupp) keep every JOIN/decorrelation shape
+  * intact — the shape, not the column, is what's exercised.
+  *
+  * Monetary sums run on exact integer cents; shares are integer basis
+  * points via truncating div (both engines truncate toward zero — settled
+  * round 4); every query ends in a total ORDER BY.
+  */
+object TpchThird {
+
+  private def cents(c: String) = round(col(c) * 100).cast("long")
+
+  /** TPC-H Q4: orders placed in a quarter that had at least one LATE line
+    * (shipped >30 days after order date; the testdata has no
+    * commit/receipt dates), counted by priority. The correlated EXISTS is
+    * a LEFT SEMI join on orderkey with the lateness predicate riding in
+    * the join condition — the quarter filter prunes orders BEFORE the
+    * join, lineitem sends only (orderkey, shipdate), and the semi join
+    * stops probing an order at its first late line. One exchange per side
+    * on orderkey; at 100 TB both sides bucket on orderkey and the
+    * exchange disappears. */
+  val qOrderPriority: QueryDef = QueryDef(
+    "q_order_priority",
+    (s, d) => {
+      val q = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-04-01").cast("date"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      q.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1996-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q12: lines shipped in a year, bucketed by linestatus (the
+    * testdata's stand-in for shipmode), counting critical-priority orders
+    * (URGENT/HIGH) against the rest — the two-bucket CASE rollup. The year
+    * filter prunes the fact scan (pushed to parquet); orders project only
+    * (orderkey, priority); one orderkey exchange each side. */
+  val qPriorityShipping: QueryDef = QueryDef(
+    "q_priority_shipping",
+    (s, d) => {
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    Some("""
+      SELECT l_linestatus,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q14: share of a month's line revenue coming from PROMO-type
+    * parts — the conditional-share scalar. One fact scan month-pruned at
+    * the parquet level, the part type broadcasts, and the share is exact
+    * integer basis points ((10000·promo) div total) beside the two exact
+    * cent sums — no float ratio to diverge between engines. */
+  val qPromoRevenue: QueryDef = QueryDef(
+    "q_promo_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("date") &&
+          col("l_shipdate") < lit("1996-04-01").cast("date"))
+        .select(col("l_partkey"), cents("l_extendedprice").as("c"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("c")).otherwise(0L)).as("promo_cents"),
+          sum(col("c")).as("total_cents"))
+        .select(
+          col("promo_cents"), col("total_cents"),
+          expr("(10000 * promo_cents) div total_cents").as("promo_share_bp"))
+    },
+    Some("""
+      SELECT promo_cents, total_cents,
+             (10000 * promo_cents) // total_cents AS promo_share_bp
+      FROM (
+        SELECT sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                        ELSE 0 END)::BIGINT AS promo_cents,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS total_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-03-01'
+          AND l_shipdate < DATE '1996-04-01')
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q16: how many distinct suppliers can deliver each
+    * (brand, type, size) combination, excluding a brand, restricting to
+    * the classic size IN-list, and dropping "complained-about" suppliers
+    * (negative balance — the NOT IN subquery). The testdata has no
+    * partsupp, so the part↔supplier association is the distinct
+    * (l_partkey, l_suppkey) pairs actually shipped — same shape, one extra
+    * distinct. The exclusion set is tiny → broadcast LEFT ANTI; the
+    * distinct + count-distinct both key on partkey-derived groups. */
+  val qSupplierVariety: QueryDef = QueryDef(
+    "q_supplier_variety",
+    (s, d) => {
+      val badSupp = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .distinct()
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q19: revenue from three disjunctive brand×size×quantity
+    * channels — the OR-of-ANDs predicate probe. The per-branch part
+    * predicates OR together into one broadcast-side filter (so only parts
+    * matching SOME branch ship to the join at all), and the full
+    * disjunction evaluates in the join condition; the quantity bounds
+    * cover all branches (1..30), pushed to the fact scan. */
+  val qDisjunctiveRev: QueryDef = QueryDef(
+    "q_disjunctive_rev",
+    (s, d) => {
+      def branch(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      val anyBrand = col("p_brand").isin("Brand#2", "Brand#3", "Brand#4")
+      val disj = branch("Brand#2", 1, 5, 1, 11) ||
+        branch("Brand#3", 1, 10, 10, 20) ||
+        branch("Brand#4", 1, 15, 20, 30)
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 30))
+        .select(col("l_partkey"), col("l_quantity"), cents("l_extendedprice").as("c"))
+        .join(broadcast(Tables.part(s, d)
+            .filter(anyBrand && col("p_size").between(1, 15))
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey") && disj)
+        .agg((sum(col("c")) / 100.0).as("revenue"), count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q20 shape: suppliers who DOMINATED a part — shipped more than
+    * half of some 'small …' part's total 1997 volume. Classic Q20
+    * correlates ps_availqty against a scalar half-sum per (part, supplier);
+    * with no partsupp the threshold is re-anchored to shipped volume:
+    * per-(part, supplier) quantity vs half the part's total. Decorrelated
+    * as a window sum over the SAME l_partkey exchange the pair aggregation
+    * already made — one fact scan, one exchange, no self-join; the oracle
+    * runs the literal correlated-subquery form. Quantities are integral
+    * doubles → the 2·q > total comparison is exact. */
+  val qDominantSuppliers: QueryDef = QueryDef(
+    "q_dominant_suppliers",
+    (s, d) => {
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_name").startsWith("small ")).select(col("p_partkey"))
+      val pairQty = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      pairQty
+        .withColumn("total", sum(col("sq")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("sq") * 2 > col("total"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts_dominated"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
+        .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
+    },
+    Some("""
+      WITH pq AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small %'
+          AND l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+      )
+      SELECT s_suppkey, s_name, count(*) AS n_parts_dominated
+      FROM pq
+      JOIN supplier ON s_suppkey = pq.l_suppkey
+      WHERE sq * 2 > (SELECT sum(sq) FROM pq p2 WHERE p2.l_partkey = pq.l_partkey)
+      GROUP BY s_suppkey, s_name
+      ORDER BY n_parts_dominated DESC, s_suppkey
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(qOrderPriority, qPriorityShipping, qPromoRevenue,
+    qSupplierVariety, qDisjunctiveRev, qDominantSuppliers)
+}

@@ -269,4 +269,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx >= 0 && !plan.substring(0, winIdx).contains("Exchange hashpartitioning(user_id"),
       s"aggregates above the window must not introduce another exchange:\n$plan")
   }
+
+  test("q_dominant_suppliers: half-of-total threshold as ONE window over the pair exchange") {
+    import graft.operators.TpchThird
+    val plan = planOf(TpchThird.qDominantSuppliers)
+    // classic Q20 rescans the fact per correlated threshold; here the pair
+    // aggregate and the per-part total share one l_partkey-compatible
+    // exchange — one fact scan, one Window node
+    assert("lineitem".r.findAllIn(plan).length <= 1, s"fact scanned more than once:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 1, plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"part filter and supplier dim must broadcast:\n$plan")
+  }
+
+  test("q_order_priority: the EXISTS is a semi join probing each order at most once") {
+    import graft.operators.TpchThird
+    val plan = planOf(TpchThird.qOrderPriority)
+    assert(plan.contains("LeftSemi"), s"EXISTS should plan as a semi join:\n$plan")
+    assert("lineitem".r.findAllIn(plan).length <= 1, s"fact scanned more than once:\n$plan")
+  }
+
+  test("q_promo_revenue and q_disjunctive_rev: part broadcasts; date/qty bounds reach the scan") {
+    import graft.operators.TpchThird
+    val promo = planOf(TpchThird.qPromoRevenue)
+    assert(promo.contains("BroadcastHashJoin"), promo)
+    assert(promo.contains("PushedFilters") && promo.contains("l_shipdate"),
+      s"month bounds not pushed to the fact scan:\n$promo")
+    val disj = planOf(TpchThird.qDisjunctiveRev)
+    assert(disj.contains("BroadcastHashJoin"), disj)
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(disj).isDefined,
+      s"quantity envelope not pushed to the fact scan:\n$disj")
+  }
 }
