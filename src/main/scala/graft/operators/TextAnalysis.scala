@@ -529,8 +529,75 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc
+    * duplicate-token fraction and top n-gram fraction, the filters real
+    * pretraining pipelines apply before dedup. All ratios are exact
+    * integer per-mille (truncating div — both engines truncate toward
+    * zero on positives, settled round 4), so the repetitive flag cannot
+    * float-diverge between engines.
+    *
+    * Scale: each doc scores independently in ONE typed map (per-doc
+    * hash counting in JVM code — per-element HOF math would run
+    * interpreted; see the `spark-perf-pitfalls` rule) — a narrow pass,
+    * zero exchanges before the output ORDER BY, trivially linear at
+    * 100 TB. Thresholds (60‰ top-bigram, 600‰ dup-token) sit at ~p85 of
+    * this corpus so the flag genuinely splits it. */
+  val textRepetition: QueryDef = QueryDef(
+    "text_repetition",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          val n = t.length.toLong
+          val nd = t.distinct.length.toLong
+          var topBg = 0L
+          if (n >= 2) {
+            val counts = new java.util.HashMap[String, Int]()
+            var i = 0
+            while (i < t.length - 1) {
+              val k = t(i) + " " + t(i + 1)
+              val c = counts.merge(k, 1, Integer.sum)
+              if (c > topBg) topBg = c
+              i += 1
+            }
+          }
+          val dupPm = if (n > 0) (1000L * (n - nd)) / n else 0L
+          val topPm = if (n >= 2) (1000L * topBg) / (n - 1) else 0L
+          (id, n, nd, dupPm, topBg, topPm, topPm >= 60 || dupPm >= 600)
+        }
+        .toDF("doc_id", "n_tokens", "n_distinct", "dup_token_pm",
+          "top_bigram_n", "top_bigram_pm", "repetitive")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM t),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS b
+        FROM t
+      ), bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+      topb AS (SELECT doc_id, max(c) AS top FROM bc GROUP BY doc_id),
+      m AS (
+        SELECT base.doc_id, n, nd,
+               CASE WHEN n > 0 THEN (1000 * (n - nd)) // n ELSE 0 END AS dup_pm,
+               coalesce(top, 0) AS topn,
+               CASE WHEN n >= 2 THEN (1000 * coalesce(top, 0)) // (n - 1) ELSE 0 END AS top_pm
+        FROM base LEFT JOIN topb ON base.doc_id = topb.doc_id
+      )
+      SELECT doc_id, n::BIGINT AS n_tokens, nd::BIGINT AS n_distinct,
+             dup_pm::BIGINT AS dup_token_pm, topn::BIGINT AS top_bigram_n,
+             top_pm::BIGINT AS top_bigram_pm,
+             (top_pm >= 60 OR dup_pm >= 600) AS repetitive
+      FROM m
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
-    textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf
+    textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
+    textRepetition
   )
 }

@@ -353,4 +353,34 @@ class PipelineSpec extends SparkSpec {
     val joined = out.join(direct, "doc_id").filter(col("n_bytes") =!= col("expect_bytes"))
     assert(joined.count() == 0)
   }
+
+  test("text_repetition matches an independent Column-expression recomputation and stays narrow") {
+    val out = TextAnalysis.textRepetition.fn(spark, sfDir)
+    // independent algorithm: explode bigrams + groupBy max, not a per-doc hash map
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(lower(col("text")), " ", -1).as("t"))
+    val base = toks.select(col("doc_id"),
+      size(col("t")).cast("long").as("n"),
+      size(array_distinct(col("t"))).cast("long").as("nd"))
+    val topBg = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top"))
+    val expect = base.join(topBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"), col("nd").as("n_distinct"),
+        (lit(1000L) * (col("n") - col("nd")) / col("n")).cast("long").as("dup_token_pm"),
+        coalesce(col("top"), lit(0L)).as("top_bigram_n"),
+        when(col("n") >= 2, (lit(1000L) * coalesce(col("top"), lit(0L)) / (col("n") - 1))
+          .cast("long")).otherwise(0L).as("top_bigram_pm"))
+    val cmp = out.drop("repetitive")
+    assert(cmp.exceptAll(expect).count() == 0 && expect.exceptAll(cmp).count() == 0)
+    // flag thresholds must actually split the corpus (no degenerate flag)
+    val flags = out.groupBy(col("repetitive")).count().collect()
+    assert(flags.length == 2, s"repetitive flag is degenerate: ${flags.mkString(",")}")
+    // scale audit: a narrow per-doc pass — no hash exchange before the output sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"text_repetition must not shuffle before the output ORDER BY:\n$plan")
+  }
 }
