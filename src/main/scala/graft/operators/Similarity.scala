@@ -544,5 +544,117 @@ object Similarity {
     None // approximate: verified by recall spec against ann_bruteforce
   )
 
-  val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf, annIvfK)
+  /** SemDeDup (Abbas et al. 2023): cluster the embedding space, then keep
+    * ONE representative of every within-cluster group of semantically
+    * near-identical vectors — the embedding-space analogue of dedup_exact.
+    * Clusters are nearest-centroid assignments against the K label-mean
+    * centroids (each coordinate `round(avg, 5)`, so the model is
+    * bit-identical to the oracle's SQL recomputation — the reason this
+    * uses explicit rounded centroids + a K-struct argmax rather than the
+    * [[graft.plans.NearestCells]] kernel, which ranks on normalized-row
+    * cosines the oracle can't reproduce bit-for-bit; at real K swap the
+    * kernel in and drop to a recall spec, as ann_ivf_k does). The keep
+    * rule is greedy first-wins: a vector is dropped iff some lower-id
+    * vector in its cluster has rounded cosine ≥ τ. τ = 0.38 sits in the
+    * upper tail of this corpus's in-cluster cosines (uniform random
+    * vectors — no true semantic dups; production τ ≈ 0.95+), so the drop
+    * lane is genuinely exercised.
+    *
+    * Scale: assignment is a narrow zero-exchange map (K literal structs,
+    * K = 10 here); the pairwise stage is the SemDeDup design itself —
+    * quadratic only WITHIN a cluster, with the same [[blockCap]] bound as
+    * dedup_embedding, so worst case is clusters × cap² at any corpus
+    * size. */
+  val dedupSemantic: QueryDef = QueryDef(
+    "dedup_semantic",
+    (s, d) => {
+      val tau = 0.38
+      // K-row centroid model: one aggregate pass + a K-row collect (the
+      // declared model-build collect, as in ann_ivf's Lloyd round)
+      val cents: Array[(Int, Array[Double])] = emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 5).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("c"))
+        .orderBy("label")
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val scoreCols = cents.map { case (cl, c) =>
+        // same left-to-right fold the oracle's list_sum uses
+        var a = 0.0; var i = 0
+        while (i < c.length) { a += c(i) * c(i); i += 1 }
+        val cnrm = math.sqrt(a)
+        struct(
+          round(dot(col("embedding"), typedlit(c)) / (col("nrm") * lit(cnrm)), 6).as("cos"),
+          // negated label: lexicographic DESC sort then breaks cosine
+          // ties toward the LOWEST cluster id, matching the oracle
+          lit(-cl).as("ncl"))
+      }
+      val assigned = withNorm(s, d)
+        .withColumn("best", element_at(sort_array(array(scoreCols.toIndexedSeq: _*), asc = false), 1))
+        .select(col("vec_id"), (-col("best").getField("ncl")).cast("int").as("cluster"),
+          col("embedding"), col("nrm"))
+      val capW = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
+      val capped = assigned
+        .withColumn("brn", row_number().over(capW))
+        .filter(col("brn") <= blockCap)
+      val a = capped.select(col("cluster"), col("vec_id").as("id1"),
+        col("embedding").as("v1"), col("nrm").as("n1"))
+      val b = capped.select(col("cluster"), col("vec_id").as("id2"),
+        col("embedding").as("v2"), col("nrm").as("n2"))
+      val dropped = a.join(b, Seq("cluster"))
+        .filter(col("id1") < col("id2"))
+        .filter(round(cosPre(col("v1"), col("v2"), col("n1"), col("n2")), 6) >= tau)
+        .select(col("id2").as("vec_id")).distinct()
+        .withColumn("drp", lit(true))
+      assigned.select(col("vec_id"), col("cluster"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("drp").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label AS cl, r.i AS dim, round(avg(embedding[r.i]), 5) AS cv
+        FROM embeddings CROSS JOIN range(1, ${Dim + 1}) AS r(i)
+        GROUP BY cl, dim
+      ),
+      carr AS (SELECT cl, list(cv ORDER BY dim) AS c FROM cent GROUP BY cl),
+      cn AS (
+        SELECT cl, c,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> c[i] * c[i]))) AS cnrm
+        FROM carr
+      ),
+      vn AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings
+      ),
+      scored AS (
+        SELECT vec_id, cl,
+               round(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * c[i])) / (nrm * cnrm), 6) AS cos
+        FROM vn CROSS JOIN cn
+      ),
+      assign AS (
+        SELECT vec_id, cl AS cluster FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) = 1
+      ),
+      capped AS (
+        SELECT a.vec_id, a.cluster, v.embedding, v.nrm
+        FROM assign a JOIN vn v USING (vec_id)
+        QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= $blockCap
+      ),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM capped a JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(generate_series(1, $Dim), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.38
+      )
+      SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+      FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, dedupSemantic,
+    annLsh, annIvf, annIvfK)
 }

@@ -354,6 +354,44 @@ class PipelineSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("dedup_semantic matches an independent crossJoin+window recomputation") {
+    import graft.operators.Similarity
+    val out = Similarity.dedupSemantic.fn(spark, sfDir)
+    // independent algorithm: per-(vec, centroid) ROWS + a rank window for
+    // the assignment (the op argmaxes a K-struct array on one row), and
+    // EXISTS-style semi join for the drop set
+    val embN = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(graft.plans.VectorExpressions.floatDot(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = Tables.embeddings(spark, sfDir)
+      .select(col("label").as("cl"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cl"), col("dim")).agg(round(avg(col("v")), 5).as("cv"))
+      .groupBy(col("cl"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("c"))
+      .withColumn("cnrm", sqrt(graft.plans.VectorExpressions.floatDot(col("c"), col("c"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cl"))
+    val assigned = embN.crossJoin(broadcast(cents))
+      .withColumn("cos", round(
+        graft.plans.VectorExpressions.floatDot(col("embedding"), col("c")) /
+          (col("nrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cl").as("cluster"), col("embedding"), col("nrm"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
+    val dropIds = l.join(r, Seq("cluster")).filter(col("id1") < col("id2"))
+      .filter(round(graft.plans.VectorExpressions.floatDot(col("v1"), col("v2")) /
+        (col("n1") * col("n2")), 6) >= 0.38)
+      .select(col("id2").as("vec_id")).distinct().withColumn("drp", lit(true))
+    val expect = assigned.select(col("vec_id"), col("cluster"))
+      .join(dropIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("drp").isNull.as("kept"))
+    assert(out.exceptAll(expect).count() == 0 && expect.exceptAll(out).count() == 0)
+    // the op's assignment stage must stay narrow: its only exchanges are
+    // the cluster self-join + final output sort, never a per-centroid row blowup
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("text_repetition matches an independent Column-expression recomputation and stays narrow") {
     val out = TextAnalysis.textRepetition.fn(spark, sfDir)
     // independent algorithm: explode bigrams + groupBy max, not a per-doc hash map
