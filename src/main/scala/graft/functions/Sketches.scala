@@ -21,11 +21,11 @@ object Sketches {
   private def frac(u: Long): Double =
     (u.toDouble - Long.MinValue.toDouble) / 1.8446744073709552e19
 
-  /** KMV sketch aggregator over pre-hashed Long inputs (e.g. xxhash64).
-    * Buffer: the k smallest distinct hashes in UNSIGNED order, kept
-    * ascending by storing them sign-bit-flipped (signed order of the
+  /** Shared KMV buffer mechanics over pre-hashed Long inputs (e.g.
+    * xxhash64). Buffer: the k smallest distinct hashes in UNSIGNED order,
+    * kept ascending by storing them sign-bit-flipped (signed order of the
     * flipped value == unsigned order of the hash). */
-  final class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Double] {
+  sealed abstract class KmvBase[OUT](k: Int) extends Aggregator[Long, Seq[Long], OUT] {
     override def zero: Seq[Long] = Vector.empty
 
     override def reduce(b: Seq[Long], h0: Long): Seq[Long] = {
@@ -38,18 +38,46 @@ object Sketches {
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
       ((a ++ b).distinct.sorted: Seq[Long]).take(k)
 
+    override def bufferEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+  }
+
+  /** KMV distinct-count estimate (the classic finisher). */
+  final class KmvDistinct(k: Int) extends KmvBase[Double](k) {
     override def finish(b: Seq[Long]): Double =
       if (b.length < k) b.length.toDouble
       else (k - 1).toDouble / frac(b.last)
-
-    override def bufferEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** KMV finisher that emits the STATE itself (the ascending flipped-hash
+    * array) instead of the estimate — the materialized-partial form: persist
+    * per-slice states, answer any window by merging states (KMV union is
+    * lossless: the k smallest of a union are among the union of per-slice
+    * k-smallest), never rescanning the raw data. */
+  final class KmvState(k: Int) extends KmvBase[Seq[Long]](k) {
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   /** Untyped Column form usable in `groupBy(...).agg(...)`; input must be a
     * 64-bit hash column. */
   def kmvDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new KmvDistinct(k), Encoders.scalaLong)
+
+  /** Column form of [[KmvState]]; emits `array<bigint>`. */
+  def kmvState(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvState(k), Encoders.scalaLong)
+
+  /** Estimate from a (merged) KMV state column — the Column twin of
+    * [[KmvDistinct.finish]], bit-identical arithmetic. */
+  def kmvEstimate(state: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    when(size(state) < k, size(state).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        ((element_at(state, k).cast("double") - lit(Long.MinValue.toDouble)) /
+          lit(1.8446744073709552e19)))
+  }
 
   /** Misra–Gries heavy-hitters sketch: k counters, O(k) state per partition.
     *

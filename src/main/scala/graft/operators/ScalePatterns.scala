@@ -297,7 +297,59 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** Mergeable-sketch window rollup — the materialized-partial pattern that
+    * makes 100 TB distinct counts cheap: persist a tiny KMV state per
+    * (day), then answer ANY window (week here; month, quarter, arbitrary
+    * ranges identically) by merging states — the raw corpus is scanned
+    * ONCE ever, not once per window. KMV union is lossless (the k smallest
+    * hashes of a union are among the union of per-day k-smallest), so the
+    * merged estimate is BIT-IDENTICAL to a direct single-pass sketch of
+    * the window — both are emitted side by side, and the spec asserts
+    * their equality plus the 3σ error bound vs the exact count (k=64 →
+    * σ ≈ 1/√62 ≈ 12.7%). sf0.001 weeks hold < k distinct users (exact
+    * mode, estimate == count); sf0.01+ exercise the k-th-minimum
+    * estimator branch.
+    *
+    * Approximate by construction → no SQL oracle (the driver's rows-only
+    * check applies); `n_users_exact` rides along so every row still shows
+    * the truth it approximates. */
+  val sketchWindowMerge: QueryDef = QueryDef(
+    "sketch_window_merge",
+    (s, d) => {
+      val k = 64
+      val st = graft.functions.Sketches.kmvState(k)
+      val hashed = Tables.events(s, d).select(
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      // the persisted layer: one k-long state per day (k·8 bytes each)
+      val daily = hashed
+        .groupBy(col("week"), col("day"))
+        .agg(st(xxhash64(col("user_id"))).as("state"))
+      // window answer = merge of its days' states; collect_list order is
+      // nondeterministic but distinct+sort+slice makes the merge canonical
+      val merged = daily
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n_days"),
+          slice(array_sort(array_distinct(flatten(collect_list(col("state"))))), 1, k)
+            .as("mstate"))
+        .select(col("week"), col("n_days"),
+          round(graft.functions.Sketches.kmvEstimate(col("mstate"), k), 2)
+            .as("est_merged"))
+      // direct one-pass sketch + exact truth, for the equality/error columns
+      val direct = hashed
+        .groupBy(col("week"))
+        .agg(round(graft.functions.Sketches.kmvDistinct(k)(xxhash64(col("user_id"))), 2)
+          .as("est_direct"))
+      val exact = hashed.select(col("week"), col("user_id")).distinct()
+        .groupBy(col("week")).agg(count(lit(1)).as("n_users_exact"))
+      merged.join(direct, "week").join(exact, "week")
+        .orderBy("week")
+    },
+    None // approximate: merged==direct equality + 3σ bound in the spec
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
-    qPercentileDist, qCumeDistDist)
+    qPercentileDist, qCumeDistDist, sketchWindowMerge)
 }

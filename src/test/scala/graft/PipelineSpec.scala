@@ -339,6 +339,26 @@ class PipelineSpec extends SparkSpec {
       s"KMV k=8 estimate $small vs exact $exact")
   }
 
+  test("sketch_window_merge: state merge is lossless and within 3 sigma of exact") {
+    import graft.operators.ScalePatterns
+    val out = ScalePatterns.sketchWindowMerge.fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val se = 1.0 / math.sqrt(64 - 2)
+    out.foreach { r =>
+      val (merged, direct) = (r.getAs[Double]("est_merged"), r.getAs[Double]("est_direct"))
+      val exact = r.getAs[Long]("n_users_exact")
+      // KMV union is lossless: merging the persisted daily states must give
+      // the SAME estimate as a fresh single-pass sketch of the whole window
+      assert(merged == direct,
+        s"week ${r.getAs[String]("week")}: merged $merged != direct $direct")
+      assert(math.abs(merged - exact) / exact <= 3 * se,
+        s"week ${r.getAs[String]("week")}: estimate $merged vs exact $exact")
+    }
+    // determinism across independent runs (collect_list order must not leak)
+    val again = ScalePatterns.sketchWindowMerge.fn(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.operators.Similarity // touch
     graft.plans.VectorExpressions.register(spark)
