@@ -644,10 +644,66 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** Multi-source changelog merge — the reference runs a LIVE pipeline
+    * (Maxwell → Kafka → gpdb) beside PERIODIC batch loads of the same
+    * tables (`/root/reference/cdc_periodic_load.sql`,
+    * `demo/04_mysql_traffic.sh`); when both lanes carry the same key the
+    * replica must resolve to one truth. Model: even event_ids are the
+    * "stream" lane, odd the "backfill" lane; the winner per key is the
+    * last writer across the UNION in (ts, event_id) order — the same
+    * total order every replay op here uses — with per-lane counts and a
+    * conflict flag (both lanes touched the key) for reconciliation
+    * audits.
+    *
+    * Scale: ONE user_id exchange; the ranking window and both lane
+    * counters are window functions over that same partitioning (no
+    * join-back, no second exchange before the output sort). */
+  val cdcMergeSources: QueryDef = QueryDef(
+    "cdc_merge_sources",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val wAll = Window.partitionBy(col("user_id"))
+      ev(s, d)
+        .withColumn("source", when(col("event_id") % 2 === 0, "stream").otherwise("backfill"))
+        .select(col("user_id"), col("source"), col("ts"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"),
+          sum(when(col("source") === "stream", 1L).otherwise(0L)).over(wAll).as("n_stream"),
+          sum(when(col("source") === "backfill", 1L).otherwise(0L)).over(wAll).as("n_backfill"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("source").as("winner_source"),
+          round(col("value"), 2).as("final_value"),
+          unix_micros(col("ts")).as("last_ts_us"),
+          col("n_stream"), col("n_backfill"),
+          (col("n_stream") > 0 && col("n_backfill") > 0).as("conflict"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT *, CASE WHEN event_id % 2 = 0 THEN 'stream' ELSE 'backfill' END AS source
+        FROM events
+      ), r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+               sum(CASE WHEN source = 'stream' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS n_stream,
+               sum(CASE WHEN source = 'backfill' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS n_backfill
+        FROM t
+      )
+      SELECT user_id, source AS winner_source, round(value, 2) AS final_value,
+             epoch_us(ts) AS last_ts_us, n_stream::BIGINT AS n_stream,
+             n_backfill::BIGINT AS n_backfill,
+             (n_stream > 0 AND n_backfill > 0) AS conflict
+      FROM r
+      WHERE rn = 1
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
     cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt,
     cdcStaleness, cdcIncremental, cdcKeyLifecycle, cdcLateArrivals,
-    cdcSnapshotComposite
+    cdcSnapshotComposite, cdcMergeSources
   )
 }

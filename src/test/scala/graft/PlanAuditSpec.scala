@@ -14,8 +14,9 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(q: QueryDef): String =
     q.fn(spark, sfDir).queryExecution.executedPlan.toString
 
-  test("single hash exchange: snapshot, scd2, sessionize, as-of join, q1") {
-    Seq(Cdc.cdcSnapshot, Cdc.cdcScd2, Olap.qSessionize, Olap.qAsofJoin, Olap.q1PricingSummary)
+  test("single hash exchange: snapshot, scd2, sessionize, as-of join, q1, merge_sources") {
+    Seq(Cdc.cdcSnapshot, Cdc.cdcScd2, Olap.qSessionize, Olap.qAsofJoin, Olap.q1PricingSummary,
+      Cdc.cdcMergeSources)
       .foreach { q =>
         val n = hashExchanges(planOf(q))
         assert(n <= 1, s"${q.name}: expected <=1 hash exchange, found $n")
