@@ -296,6 +296,63 @@ object OrderedStats {
     """.stripMargin.trim)
   )
 
+  /** Online 3σ anomaly detection, batch form: each event is scored against
+    * the running statistics of its user's PRIOR events only (exclusive
+    * prefix frame), exactly as a live detector that has seen the stream up
+    * to that point would score it — so the streaming twin
+    * ([[graft.streaming.StreamAnomaly]]) converges to bit-equal rows
+    * (spec-asserted). The 3σ test runs in EXACT integer arithmetic:
+    * (x−S/n)² > 9·(nQ−S²)/n²  ⟺  (n·x−S)² > 9·(n·Q−S²) over cents, so no
+    * float variance can diverge between engines or between batch and
+    * stream. Warm-up: a user's first 8 events only feed the stats.
+    * Magnitudes: every term is ≤ n²·cents² ≈ 4×10¹⁶ at sf0.1 — Long-safe;
+    * at 100 TB per-key event counts push n·Q past 2⁶³, the documented swap
+    * to DECIMAL(38) (the q_cov_exact pattern).
+    *
+    * Scale: count/sum/sum-of-squares share ONE (user_id) exchange and one
+    * Window node; anomalies filter before the output sort. */
+  val qValueAnomalies: QueryDef = QueryDef(
+    "q_value_anomalies",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          count(lit(1)).over(w).as("n_prior"),
+          sum(col("cents")).over(w).as("s"),
+          sum(col("cents") * col("cents")).over(w).as("q"))
+        .filter(col("n_prior") >= 8 &&
+          (col("n_prior") * col("cents") - col("s")) *
+            (col("n_prior") * col("cents") - col("s")) >
+            lit(9L) * (col("n_prior") * col("q") - col("s") * col("s")))
+        .select(col("event_id"), col("user_id"), col("cents"), col("n_prior"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), r AS (
+        SELECT user_id, event_id, cents,
+               count(*) OVER w AS n_prior,
+               sum(cents) OVER w AS s,
+               sum(cents * cents) OVER w AS q
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_id, user_id, cents, n_prior::BIGINT AS n_prior
+      FROM r
+      WHERE n_prior >= 8
+        AND (n_prior * cents - s) * (n_prior * cents - s) > 9 * (n_prior * q - s * s)
+      ORDER BY event_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
-    qIntervalOverlap, qRankTies, qCovExact, qSlidingDistinct, qPercentileDisc, qGapFill)
+    qIntervalOverlap, qRankTies, qCovExact, qSlidingDistinct, qPercentileDisc, qGapFill,
+    qValueAnomalies)
 }

@@ -826,4 +826,37 @@ class StreamingSpec extends SparkSpec {
     assert(byPk(MaxwellStream.encodePk(Seq("eu", "1")))("qty") == "6")
     assert(byPk(MaxwellStream.encodePk(Seq("us", "1")))("qty") == "9")
   }
+
+  test("StreamAnomaly emits bit-equal rows with batch q_value_anomalies") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAnomaly
+    // Feed the corpus in replay order (the batch op's window order); split
+    // into three micro-batches to exercise cross-batch state carry.
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy { case (_, eid, us, _) => (us, eid) }
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val streamIn = mem.toDF().toDF("user_id", "event_id", "us", "value")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(us)").as("ts"), col("value"))
+    val q = StreamAnomaly.anomalies(streamIn)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode(StreamAnomaly.outputMode).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("anom")
+        .select("event_id", "user_id", "cents", "n_prior").collect()
+        .map(_.toString).sorted
+      val batch = graft.operators.OrderedStats.qValueAnomalies.fn(spark, sfDir)
+        .select("event_id", "user_id", "cents", "n_prior").collect()
+        .map(_.toString).sorted
+      assert(batch.nonEmpty, "batch detector found no anomalies — degenerate corpus")
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream (${streamed.length}) != batch (${batch.length}) anomaly rows")
+    } finally q.stop()
+  }
 }
