@@ -595,9 +595,57 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** Zipf rank–frequency diagnostic: the least-squares slope of
+    * ln(freq) ~ ln(rank) over the corpus vocabulary (natural text ≈ −1;
+    * this synthetic word-soup corpus is near-uniform, slope ≈ 0 — itself
+    * the diagnostic: a corpus whose slope is far from −1 isn't
+    * distributionally natural). One token exchange for the counts; the
+    * ranking window and the regression run over the VOCABULARY-sized
+    * aggregate (tiny — `partitionBy(lit(1))` per the WindowExec rule),
+    * never the corpus.
+    *
+    * Parity: regr_slope/intercept/r2 are float sums over vocab-count
+    * points; both engines compute the same closed form and outputs round
+    * to 4 dp (the text_tfidf ln-precedent). */
+  val qZipfSlope: QueryDef = QueryDef(
+    "q_zipf_slope",
+    (s, d) => {
+      import s.implicits._
+      val tokens = docs(s, d)
+        .select(col("text"))
+        .as[String]
+        .flatMap(t => t.toLowerCase(java.util.Locale.ROOT).split(" ", -1).iterator)
+        .toDF("token")
+      val ranked = tokens
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("n").desc, col("token"))))
+      ranked.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        round(expr("regr_slope(ln(n), ln(rank))"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(ln(n), ln(rank))"), 4).as("zipf_intercept"),
+        round(expr("regr_r2(ln(n), ln(rank))"), 4).as("zipf_r2"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        GROUP BY token
+      ), r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM f
+      )
+      SELECT count(*) AS n_types, sum(n)::BIGINT AS n_tokens,
+             round(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+             round(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept,
+             round(regr_r2(ln(n), ln(rank)), 4) AS zipf_r2
+      FROM r
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
     textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
-    textRepetition
+    textRepetition, qZipfSlope
   )
 }
