@@ -177,5 +177,64 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
-  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub, mmFrameSample, mmResizeStub)
+  /** Exact binary-payload dedup — the multimodal twin of `dedup_exact`:
+    * identical payload bytes (content SHA-256) are stored once corpus-wide
+    * regardless of which source re-crawled them, the first doc_id wins,
+    * and the per-source report shows how many payloads/bytes each source
+    * actually contributes after dedup (savings in exact integer
+    * per-mille).
+    *
+    * Scale: the keep decision is a window MIN over the content-hash
+    * exchange (the pipeline_quality_filter pattern — no join-back); the
+    * per-source rollup is a tiny second exchange. At 100 TB the hash
+    * exchange carries (hash, doc_id, source, byte_len), never payload
+    * bytes. */
+  val mmDedupBinary: QueryDef = QueryDef(
+    "mm_dedup_binary",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), col("source"),
+          length(col("payload")).cast("long").as("byte_len"),
+          sha2(col("payload"), 256).as("h"))
+      val w = Window.partitionBy(col("h"))
+      hashed
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_payloads"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("byte_len")).as("bytes_total"),
+          sum(when(col("doc_id") === col("keep_id"), col("byte_len")).otherwise(0L))
+            .as("bytes_kept"))
+        .withColumn("savings_pm",
+          expr("(1000 * (bytes_total - bytes_kept)) div bytes_total"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, source,
+               octet_length(text::BLOB)::BIGINT AS byte_len,
+               sha256(text) AS h
+        FROM documents
+      ), k AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY h) AS keep_id FROM h
+      )
+      SELECT source,
+             count(*) AS n_payloads,
+             sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             sum(byte_len)::BIGINT AS bytes_total,
+             sum(CASE WHEN doc_id = keep_id THEN byte_len ELSE 0 END)::BIGINT AS bytes_kept,
+             ((1000 * (sum(byte_len) - sum(CASE WHEN doc_id = keep_id THEN byte_len ELSE 0 END)))
+               // sum(byte_len))::BIGINT AS savings_pm
+      FROM k
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim)
+  )
+
+  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub, mmFrameSample, mmResizeStub,
+    mmDedupBinary)
 }

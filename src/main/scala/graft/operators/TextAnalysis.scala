@@ -643,9 +643,62 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** Language-ID evaluation: confusion matrix of [[textLangid]]'s
+    * stopword-profile prediction against the corpus's labeled `lang`
+    * column, with per-true-language recall in exact integer per-mille —
+    * the classifier-eval op every filtering pipeline needs before trusting
+    * a heuristic gate (zh has no profile here, so its row is all
+    * off-diagonal: the eval SURFACES the heuristic's blind spot rather
+    * than hiding it). Composes the langid operator's own output
+    * (operators are ordinary DataFrames, so they compose); the matrix
+    * aggregate and recall window run over the ≤langs² cells. */
+  val textLangidEval: QueryDef = QueryDef(
+    "text_langid_eval",
+    (s, d) => {
+      val pred = textLangid.fn(s, d).select(col("doc_id"), col("pred_lang"))
+      val cells = docs(s, d).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      cells
+        .withColumn("lang_total",
+          sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("pred_lang"), col("n_docs"),
+          when(col("lang") === col("pred_lang"),
+            expr("(1000 * n_docs) div lang_total")).otherwise(0L).as("recall_pm"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+                    WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+                    WHEN s_es >= s_de THEN 'es'
+                    ELSE 'de' END AS pred_lang
+        FROM (
+          SELECT doc_id,
+                 len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+                 len(list_filter(toks, t -> t IN ('le', 'la', 'de', 'et', 'un'))) AS s_fr,
+                 len(list_filter(toks, t -> t IN ('el', 'los', 'de', 'y', 'un'))) AS s_es,
+                 len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ein'))) AS s_de
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+      ), cells AS (
+        SELECT d.lang, p.pred_lang, count(*) AS n_docs
+        FROM documents d JOIN p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang
+      )
+      SELECT lang, pred_lang, n_docs,
+             (CASE WHEN lang = pred_lang
+                   THEN (1000 * n_docs) // (sum(n_docs) OVER (PARTITION BY lang))
+                   ELSE 0 END)::BIGINT AS recall_pm
+      FROM cells
+      ORDER BY lang, pred_lang
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
     textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
-    textRepetition, qZipfSlope
+    textRepetition, qZipfSlope, textLangidEval
   )
 }
