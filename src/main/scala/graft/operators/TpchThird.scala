@@ -265,6 +265,134 @@ object TpchThird {
     """.stripMargin.trim)
   )
 
+  /** TPC-H Q7: trade volume between nation PAIRS — supplier nation on the
+    * line side, customer nation through orders, grouped by (pair, year).
+    * Both nation dims broadcast twice under different aliases; the only
+    * fact-scaled exchange is the lineitem↔orders orderkey join; the
+    * (pair, year) rollup is partially aggregated map-side. */
+  val qNationTrade: QueryDef = QueryDef(
+    "q_nation_trade",
+    (s, d) => {
+      val supNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custNation = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"), cents("l_extendedprice").as("c"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg((sum(col("c")) / 100.0).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1998-01-01'
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q10: customers who returned goods in a quarter, ranked by lost
+    * revenue — the returned-item report. The return-flag + quarter filters
+    * prune the fact before its only exchange; customer joins after the
+    * per-customer aggregate (key-sized, not fact-sized). */
+  val qReturnedRevenue: QueryDef = QueryDef(
+    "q_returned_revenue",
+    (s, d) => {
+      val perCust = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), cents("l_extendedprice").as("c"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate") < lit("1996-04-01").cast("date"))
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("c")).as("rc"), count(lit(1)).as("n_ret_lines"))
+      perCust
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          (col("rc") / 100.0).as("revenue"), col("n_ret_lines"))
+        .orderBy(col("rc").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue,
+             count(*) AS n_ret_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1996-04-01'
+      GROUP BY 1, 2, 3
+      ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)) DESC, c_custkey
+      LIMIT 20
+    """.stripMargin.trim)
+  )
+
+  /** TPC-H Q15: the top supplier(s) by a quarter's revenue — the
+    * view-then-max shape, WITH ties kept (the spec's revenue0 view can
+    * return several). The global max is a whole-frame window over the
+    * supplier-count aggregate (partitionBy(lit(1)) per the WindowExec
+    * rule), never a rescan; exact-cents revenue means ties are real ties,
+    * not float accidents. */
+  val qTopSupplier: QueryDef = QueryDef(
+    "q_top_supplier",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1996-04-01").cast("date"))
+        .select(col("l_suppkey"), cents("l_extendedprice").as("c"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("c")).as("rc"))
+      rev
+        .withColumn("mx", max(col("rc")).over(Window.partitionBy(lit(1))))
+        .filter(col("rc") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), (col("rc") / 100.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rc
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, rc / 100.0 AS total_revenue
+      FROM rev
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rc = (SELECT max(rc) FROM rev)
+      ORDER BY s_suppkey
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(qOrderPriority, qPriorityShipping, qPromoRevenue,
-    qSupplierVariety, qDisjunctiveRev, qDominantSuppliers)
+    qSupplierVariety, qDisjunctiveRev, qDominantSuppliers, qNationTrade,
+    qReturnedRevenue, qTopSupplier)
 }
