@@ -700,10 +700,74 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** Purge audit — the compliance lane a CDC archive needs: (a) ERASURE:
+    * a key whose stream carries a delete tombstone must have its ENTIRE
+    * event history purged from the archive (the reference only stops
+    * replicating the row — `process_events` applies the DELETE and moves
+    * on, the month-partitioned `maxwell_event` archive keeps the full
+    * history forever, `maxwell_gpdb.sql:25-31`); erasure requests arrive
+    * OUT OF BAND (a forget-list), not as stream tombstones; (b)
+    * RETENTION: events
+    * older than the retention horizon (21 days before the stream
+    * frontier) purge regardless. The audit reports, per affected key, the
+    * reason ('erasure' dominates), how many events go, and the
+    * aggregate-then-forget value total that may be retained anonymously
+    * after the rows are gone.
+    *
+    * Scale: frontier is a 1-row broadcast (the cdc_incremental pattern);
+    * the erased-key set broadcasts; ONE user_id exchange aggregates the
+    * audit. */
+  val cdcPurgeAudit: QueryDef = QueryDef(
+    "cdc_purge_audit",
+    (s, d) => {
+      val horizonUs = 21L * 86400000000L
+      val frontier = ev(s, d).agg(max(unix_micros(col("ts"))).as("f"))
+      // The forget-list is an EXTERNAL input in real systems (erasure
+      // requests arrive out of band, not in the stream); stand-in: every
+      // 20th key filed one. Every key here has delete EVENTS (row deletes,
+      // not account erasure), so keying on tombstones would purge everyone.
+      val erased = ev(s, d).filter(col("user_id") % 20 === 0)
+        .select(col("user_id")).distinct().withColumn("er", lit(1))
+      ev(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .join(broadcast(frontier))
+        .join(broadcast(erased), Seq("user_id"), "left")
+        .filter(col("er").isNotNull || col("us") < col("f") - horizonUs)
+        .groupBy(col("user_id"))
+        .agg(
+          max(coalesce(col("er"), lit(0))).as("erflag"),
+          count(lit(1)).as("n_purged"),
+          sum(col("cents")).as("cents_forgotten"))
+        .select(col("user_id"),
+          when(col("erflag") === 1, "erasure").otherwise("retention").as("purge_reason"),
+          col("n_purged"), col("cents_forgotten"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH f AS (SELECT max(epoch_us(ts)) AS f FROM events),
+      er AS (SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 0),
+      c AS (
+        SELECT e.user_id, epoch_us(e.ts) AS us,
+               CAST(round(e.value * 100) AS BIGINT) AS cents,
+               (er.user_id IS NOT NULL) AS erased
+        FROM events e CROSS JOIN f LEFT JOIN er ON e.user_id = er.user_id
+        WHERE er.user_id IS NOT NULL OR epoch_us(e.ts) < f - 21 * 86400000000
+      )
+      SELECT user_id,
+             CASE WHEN bool_or(erased) THEN 'erasure' ELSE 'retention' END AS purge_reason,
+             count(*) AS n_purged,
+             sum(cents)::BIGINT AS cents_forgotten
+      FROM c
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
     cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt,
     cdcStaleness, cdcIncremental, cdcKeyLifecycle, cdcLateArrivals,
-    cdcSnapshotComposite, cdcMergeSources
+    cdcSnapshotComposite, cdcMergeSources, cdcPurgeAudit
   )
 }

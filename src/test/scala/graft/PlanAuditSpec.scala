@@ -229,7 +229,7 @@ class PlanAuditSpec extends SparkSpec {
     // (1-row corpus count), q_idle_customers (1-row balance average).
     // Anything new showing up here is a regression.
     val allowNlj = Set("ann_bruteforce", "cdc_incremental", "cdc_staleness",
-      "q_decayed_sum", "text_tfidf", "q_idle_customers")
+      "q_decayed_sum", "text_tfidf", "q_idle_customers", "cdc_purge_audit")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
