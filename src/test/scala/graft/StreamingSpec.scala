@@ -827,6 +827,45 @@ class StreamingSpec extends SparkSpec {
     assert(byPk(MaxwellStream.encodePk(Seq("us", "1")))("qty") == "9")
   }
 
+  test("union of live + backfill streams replays to ONE consistent replica in (ts, seq) order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The cdc_merge_sources topology, streaming form: two independent
+    // sources (live pipeline + periodic backfill) union BEFORE the replica
+    // state store, so one keyed state covers both lanes.
+    val live = MemoryStream[String]
+    val back = MemoryStream[String]
+    val unioned = live.toDF().union(back.toDF()).toDF("value")
+    val changes = MaxwellStream.replicaChangelog(MaxwellStream.parse(unioned))
+    val q = changes.writeStream.format("memory").queryName("merged_replica")
+      .outputMode("append").start()
+    try {
+      // same key from both lanes in ONE micro-batch: the (ts, seq) winner
+      // must hold regardless of which union branch delivered first
+      back.addData(
+        """{"database":"d","table":"t","type":"insert","ts":1000,"data":{"id":7,"v":"backfill","event_id":1}}""")
+      live.addData(
+        """{"database":"d","table":"t","type":"update","ts":5000,"data":{"id":7,"v":"live","event_id":10},"old":{"v":"backfill"}}""",
+        """{"database":"d","table":"t","type":"insert","ts":2000,"data":{"id":8,"v":"live-only","event_id":5}}""")
+      q.processAllAvailable()
+      val rows = spark.table("merged_replica").collect()
+      val last7 = rows.filter(_.getAs[String]("pk") == "7")
+        .maxBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("seq")))
+      assert(last7.getAs[Map[String, String]]("state")("v") == "live",
+        "newer live update must win over the backfill insert within the batch")
+      assert(rows.exists(_.getAs[String]("pk") == "8"), "live-only key must land")
+      // a second batch from the backfill lane only: state carries across
+      // batches and across lanes (the union shares one state store)
+      back.addData(
+        """{"database":"d","table":"t","type":"update","ts":6000,"data":{"id":8,"v":"backfilled","event_id":11},"old":{"v":"live-only"}}""")
+      q.processAllAvailable()
+      val last8 = spark.table("merged_replica").collect()
+        .filter(_.getAs[String]("pk") == "8")
+        .maxBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("seq")))
+      assert(last8.getAs[Map[String, String]]("state")("v") == "backfilled")
+    } finally q.stop()
+  }
+
   test("StreamAnomaly emits bit-equal rows with batch q_value_anomalies") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
