@@ -616,7 +616,10 @@ object Cdc {
       val w = Window.partitionBy(col("user_id"), col("prop_k"))
         .orderBy(col("ts").desc, col("event_id").desc)
       ev(s, d)
-        .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("int"))
+        // project BEFORE the window: the exchange must carry the extracted
+        // key, never the raw props JSON blob it came from
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"),
+          get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && opOf(col("event_type")) =!= "delete")
         .select(
