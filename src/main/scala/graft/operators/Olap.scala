@@ -624,10 +624,88 @@ object Olap {
     """.stripMargin.trim)
   )
 
+  /** NEAREST-in-time as-of join, completing the as-of family (backward =
+    * q_asof_join, forward = q_asof_forward, bounded = q_asof_tolerance):
+    * each purchase pairs with its temporally closest click in EITHER
+    * direction — the sensor-fusion alignment rule. Both directional
+    * candidates come from cumulative windows over the SAME user_id
+    * exchange (the forward lane is the same cumulative aggregate on the
+    * reversed order — an extra sort, never an extra exchange); ties at
+    * equal distance break backward (the earlier click), deterministically
+    * on both engines because all arithmetic is epoch-microsecond
+    * integers. */
+  val qAsofNearest: QueryDef = QueryDef(
+    "q_asof_nearest",
+    (s, d) => {
+      val back = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isClick = col("event_type") === "click"
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("back_us", max(when(isClick, unix_micros(col("ts")))).over(back))
+        .withColumn("fwd_us", min(when(isClick, unix_micros(col("ts")))).over(fwd))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"), col("back_us"), col("fwd_us"))
+        .withColumn("direction",
+          when(col("back_us").isNull && col("fwd_us").isNull, lit(null).cast("string"))
+            .when(col("fwd_us").isNull, "backward")
+            .when(col("back_us").isNull, "forward")
+            .when(col("purchase_us") - col("back_us") <= col("fwd_us") - col("purchase_us"),
+              "backward")
+            .otherwise("forward"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+          when(col("direction") === "backward", col("back_us"))
+            .when(col("direction") === "forward", col("fwd_us")).as("click_us"),
+          when(col("direction") === "backward", col("purchase_us") - col("back_us"))
+            .when(col("direction") === "forward", col("fwd_us") - col("purchase_us"))
+            .as("dt_us"),
+          col("direction"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, ts, event_id, event_type,
+               max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+               min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+      ), p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us,
+               back_us, fwd_us,
+               CASE WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+                    WHEN fwd_us IS NULL THEN 'backward'
+                    WHEN back_us IS NULL THEN 'forward'
+                    WHEN epoch_us(ts) - back_us <= fwd_us - epoch_us(ts) THEN 'backward'
+                    ELSE 'forward' END AS direction
+        FROM c
+        WHERE event_type = 'purchase'
+      )
+      SELECT purchase_id, user_id, purchase_us,
+             CASE direction WHEN 'backward' THEN back_us
+                            WHEN 'forward' THEN fwd_us END AS click_us,
+             CASE direction WHEN 'backward' THEN purchase_us - back_us
+                            WHEN 'forward' THEN fwd_us - purchase_us END AS dt_us,
+             direction
+      FROM p
+      ORDER BY purchase_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalVolume, q6ForecastRevenue,
     qTopCustomers, qRollup, qSemiJoin, qAntiJoin, qWindowRunning,
     qPivotEvents, qSessionize, qFunnel, qAsofJoin, qPercentile, qHourlyEvents,
-    qAsofTolerance, qAsofForward, qFunnelMetrics, qRangeFrame, qCumeDist
+    qAsofTolerance, qAsofForward, qFunnelMetrics, qRangeFrame, qCumeDist,
+    qAsofNearest
   )
 }

@@ -16,7 +16,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("single hash exchange: snapshot, scd2, sessionize, as-of join, q1, merge_sources") {
     Seq(Cdc.cdcSnapshot, Cdc.cdcScd2, Olap.qSessionize, Olap.qAsofJoin, Olap.q1PricingSummary,
-      Cdc.cdcMergeSources)
+      Cdc.cdcMergeSources, Olap.qAsofNearest)
       .foreach { q =>
         val n = hashExchanges(planOf(q))
         assert(n <= 1, s"${q.name}: expected <=1 hash exchange, found $n")
