@@ -125,4 +125,51 @@ object Sketches {
     * candidate heavy hitters. */
   def misraGries(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MisraGries(k), Encoders.STRING)
+
+  /** One-pass second-moment accumulator over dim-dimensional float
+    * vectors — the distributed-PCA primitive: buffer is
+    * [n, Σx(dim), upper-triangle Σxxᵀ (dim·(dim+1)/2)], reduce is dim²/2
+    * multiply-adds per row, merge is elementwise add (associative +
+    * commutative → map-side partial aggregation works and the corpus is
+    * touched in ONE exchange-free pass). The finisher emits the flat
+    * buffer; covariance/eigen work happens on the driver over the tiny
+    * dim×dim result — the only corpus-scaled cost is the scan. */
+  final class MomentMatrix(dim: Int)
+      extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+    private val triLen = dim * (dim + 1) / 2
+
+    override def zero: Array[Double] = new Array[Double](1 + dim + triLen)
+
+    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      val x = v.toArray
+      b(0) += 1.0
+      var i = 0
+      var t = 1 + dim
+      while (i < dim) {
+        val xi = x(i).toDouble
+        b(1 + i) += xi
+        var j = i
+        while (j < dim) { b(t) += xi * x(j).toDouble; j += 1; t += 1 }
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+
+    override def bufferEncoder: Encoder[Array[Double]] = Encoders.kryo[Array[Double]]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Column form of [[MomentMatrix]] over an `array<float>` column. */
+  def momentMatrix(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MomentMatrix(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
 }

@@ -114,5 +114,84 @@ object TrainingOps {
     None
   )
 
-  val all: Seq[QueryDef] = Seq(pipelineTrainSplit, embLabelCentroids, qApproxDistinct, qApproxQuantile)
+  /** Distributed PCA, the scan-once form: the corpus contributes ONE
+    * exchange-free pass through the mergeable
+    * [[graft.functions.Sketches.MomentMatrix]] aggregator (map-side
+    * partials, upper-triangle Σxxᵀ); the driver then builds the tiny
+    * dim×dim covariance and power-iterates the top two principal
+    * components (deflation for the second) — at 100 TB the eigen work is
+    * O(dim²) on a 64×64 matrix no matter the corpus size, which is the
+    * whole point. Reports eigenvalue, variance-explained per-mille, and
+    * the dominant loading dimension per component.
+    *
+    * Float-sum covariance entries carry partitioning-order low bits →
+    * rows-only (no SQL oracle); the spec asserts the eigen residual
+    * ‖Cv − λv‖ ≤ 1e-8·λ, orthogonality of the two components, and
+    * λ1 ≥ λ2 > 0. */
+  val embTopComponent: QueryDef = QueryDef(
+    "emb_top_component",
+    (s, d) => {
+      import s.implicits._
+      val dim = 64
+      val flat = Tables.embeddings(s, d)
+        .select(graft.functions.Sketches.momentMatrix(dim)(col("embedding")).as("m"))
+        .head.getSeq[Double](0).toArray
+      val n = flat(0)
+      val mean = Array.tabulate(dim)(i => flat(1 + i) / n)
+      val cov = Array.ofDim[Double](dim, dim)
+      var t = 1 + dim
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          val c = flat(t) / n - mean(i) * mean(j)
+          cov(i)(j) = c; cov(j)(i) = c
+          j += 1; t += 1
+        }
+        i += 1
+      }
+      def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+        Array.tabulate(dim)(r => {
+          var acc = 0.0; var c = 0
+          while (c < dim) { acc += m(r)(c) * v(c); c += 1 }
+          acc
+        })
+      def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+      def powerIterate(m: Array[Array[Double]]): (Double, Array[Double]) = {
+        // deterministic all-ones start (never orthogonal to the dominant
+        // direction of a covariance with positive diagonal mass)
+        var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+        var lambda = 0.0
+        var it = 0
+        while (it < 200) {
+          val w = matVec(m, v)
+          val nw = norm(w)
+          v = w.map(_ / nw)
+          lambda = nw
+          it += 1
+        }
+        // sign convention: dominant loading positive (eigenvectors are
+        // sign-ambiguous; fix it for determinism)
+        val dom = v.indices.maxBy(k => math.abs(v(k)))
+        (lambda, if (v(dom) < 0) v.map(-_) else v)
+      }
+      val (l1, v1) = powerIterate(cov)
+      // deflate: C2 = C − λ1·v1v1ᵀ
+      val cov2 = Array.tabulate(dim, dim)((r, c) => cov(r)(c) - l1 * v1(r) * v1(c))
+      val (l2, v2) = powerIterate(cov2)
+      val trace = (0 until dim).map(k => cov(k)(k)).sum
+      val rows = Seq((1, l1, v1), (2, l2, v2)).map { case (comp, l, v) =>
+        val dom = v.indices.maxBy(k => math.abs(v(k)))
+        (comp, BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          (1000.0 * l / trace).toLong, dom,
+          BigDecimal(v(dom)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      rows.toDF("component", "eigenvalue", "evr_pm", "top_dim", "top_loading")
+        .orderBy("component")
+    },
+    None // rows-only: float-sum moments carry partitioning-order low bits
+  )
+
+  val all: Seq[QueryDef] = Seq(pipelineTrainSplit, embLabelCentroids, qApproxDistinct,
+    qApproxQuantile, embTopComponent)
 }

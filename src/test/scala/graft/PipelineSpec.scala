@@ -339,6 +339,38 @@ class PipelineSpec extends SparkSpec {
       s"KMV k=8 estimate $small vs exact $exact")
   }
 
+  test("emb_top_component matches an independent two-pass PCA recomputation") {
+    import graft.operators.TrainingOps
+    val out = TrainingOps.embTopComponent.fn(spark, sfDir).collect()
+    assert(out.length == 2)
+    val l1 = out(0).getAs[Double]("eigenvalue")
+    val l2 = out(1).getAs[Double]("eigenvalue")
+    assert(l1 >= l2 && l2 > 0, s"eigenvalues not ordered-positive: $l1, $l2")
+    assert(out.map(_.getAs[Long]("evr_pm")).sum <= 1000)
+    // independent recomputation: naive TWO-pass covariance (mean first,
+    // then centered outer products — the op is one-pass raw moments) and
+    // its own power iteration, compared on the dominant eigenvalue
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    val n = vecs.length.toDouble
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    (0 until 200).foreach { _ =>
+      val w = Array.tabulate(dim)(r => (0 until dim).map(c => cov(r)(c) * v(c)).sum)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    assert(math.abs(l1 - lambda) / lambda < 1e-3,
+      s"one-pass top eigenvalue $l1 vs two-pass $lambda")
+    // determinism across runs (same session, same partitioning)
+    val again = TrainingOps.embTopComponent.fn(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("sketch_window_merge: state merge is lossless and within 3 sigma of exact") {
     import graft.operators.ScalePatterns
     val out = ScalePatterns.sketchWindowMerge.fn(spark, sfDir).collect()
