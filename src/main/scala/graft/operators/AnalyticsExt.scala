@@ -453,9 +453,52 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** Event-type transition matrix (first-order Markov estimate): for every
+    * consecutive pair in a user's (ts, event_id)-ordered stream, count
+    * (from → to) transitions and report each row's share of its FROM
+    * state in exact integer per-mille — the behavioral-flow diagnostic
+    * behind session/funnel design (funnels assert a FIXED order; the
+    * matrix measures every observed order). One user_id exchange for the
+    * lag; the matrix aggregate and the per-FROM share window run over
+    * ≤types² cells. */
+  val qEventMarkov: QueryDef = QueryDef(
+    "q_event_markov",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      trans
+        .withColumn("from_total",
+          sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          expr("(1000 * n_trans) div from_total").as("share_pm"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+      ), m AS (
+        SELECT from_type, to_type, count(*) AS n_trans
+        FROM t
+        WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+      )
+      SELECT from_type, to_type, n_trans,
+             ((1000 * n_trans) // (sum(n_trans) OVER (PARTITION BY from_type)))::BIGINT AS share_pm
+      FROM m
+      ORDER BY from_type, to_type
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
     qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept, qZscoreOutliers,
-    qStreaks, qPercentChange, qSetOpsAll
+    qStreaks, qPercentChange, qSetOpsAll, qEventMarkov
   )
 }
