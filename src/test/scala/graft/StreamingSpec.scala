@@ -866,6 +866,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamAnomaly state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAnomaly
+    val ckpt = java.nio.file.Files.createTempDirectory("anom_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("anom_out").toString
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy { case (_, eid, us, _) => (us, eid) }
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    // parquet sink: the memory sink refuses checkpoint recovery; a file
+    // sink is also what a real restartable deployment writes
+    def start() = StreamAnomaly.anomalies(
+        mem.toDF().toDF("user_id", "event_id", "us", "value")
+          .select(col("user_id"), col("event_id"),
+            expr("timestamp_micros(us)").as("ts"), col("value")))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(StreamAnomaly.outputMode).start()
+    val q1 = start()
+    try { mem.addData(first.toSeq: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart from the checkpoint: per-key (n, Σx, Σx²) must resume, not reset
+    val q2 = start()
+    try {
+      mem.addData(second.toSeq: _*); q2.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .select("event_id", "user_id", "cents", "n_prior").collect()
+        .map(_.toString).sorted
+      val batch = graft.operators.OrderedStats.qValueAnomalies.fn(spark, sfDir)
+        .select("event_id", "user_id", "cents", "n_prior").collect()
+        .map(_.toString).sorted
+      assert(batch.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq,
+        s"post-restart stream (${streamed.length}) != batch (${batch.length})")
+    } finally q2.stop()
+  }
+
   test("StreamAnomaly emits bit-equal rows with batch q_value_anomalies") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
