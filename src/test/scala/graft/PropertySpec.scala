@@ -168,4 +168,39 @@ class PropertySpec extends SparkSpec {
       (encodePk(t1) == encodePk(t2)) == (t1 == t2)
     }, n = 500)
   }
+
+  test("KmvState carries exactly the KmvDistinct buffer; estimator agrees bit-for-bit") {
+    import graft.functions.Sketches
+    val st = new Sketches.KmvState(64)
+    val kd = new Sketches.KmvDistinct(64)
+    val gen = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    assertProp(Prop.forAll(gen) { hashes =>
+      val state = hashes.foldLeft(st.zero)(st.reduce)
+      val buffer = hashes.foldLeft(kd.zero)(kd.reduce)
+      // same shared-base mechanics → identical buffers; the Column-side
+      // estimator formula must equal KmvDistinct.finish exactly
+      val est =
+        if (state.length < 64) state.length.toDouble
+        else 63.0 / ((state.last.toDouble - Long.MinValue.toDouble) / 1.8446744073709552e19)
+      st.finish(state) == buffer && est == kd.finish(buffer)
+    })
+  }
+
+  test("MomentMatrix merge of split halves equals the sequential fold (within fp assoc)") {
+    import graft.functions.Sketches
+    val dim = 4
+    val mm = new Sketches.MomentMatrix(dim)
+    val vecGen = Gen.listOfN(dim, Gen.choose(-10.0f, 10.0f))
+    val gen = Gen.nonEmptyListOf(vecGen)
+    assertProp(Prop.forAll(gen) { vecs =>
+      val whole = vecs.foldLeft(mm.zero)(mm.reduce)
+      val (a, b) = vecs.splitAt(vecs.length / 2)
+      val merged = mm.merge(a.foldLeft(mm.zero)(mm.reduce), b.foldLeft(mm.zero)(mm.reduce))
+      // double addition is order-sensitive: split-merge associates
+      // differently than the sequential fold, so compare to 1e-9 relative
+      whole.zip(merged).forall { case (x, y) =>
+        math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+      } && whole(0) == vecs.length.toDouble
+    })
+  }
 }
