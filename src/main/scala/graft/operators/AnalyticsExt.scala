@@ -496,9 +496,52 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** Cumulative adoption curve per event type: running distinct users is
+    * NOT windowable directly at scale (a cumulative count(DISTINCT)
+    * buffers every key per frame) — the linear form reduces each
+    * (user, type) pair to its FIRST day (one exchange, min-aggregated
+    * map-side), rolls those up to per-(type, day) first-adoptions, and
+    * prefix-sums the ≤types×days aggregate. The daily adopter delta rides
+    * along. */
+  val qRunningDistinct: QueryDef = QueryDef(
+    "q_running_distinct",
+    (s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("day")).as("first_day"))
+      firstSeen
+        .groupBy(col("event_type"), col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_adopters"))
+        .withColumn("cum_adopters",
+          sum(col("new_adopters")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        .select(col("event_type"), col("day"), col("new_adopters"), col("cum_adopters"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH fs AS (
+        SELECT user_id, event_type,
+               min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS first_day
+        FROM events
+        GROUP BY user_id, event_type
+      ), daily AS (
+        SELECT event_type, first_day AS day, count(*) AS new_adopters
+        FROM fs GROUP BY event_type, first_day
+      )
+      SELECT event_type, day, new_adopters,
+             (sum(new_adopters) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum_adopters
+      FROM daily
+      ORDER BY event_type, day
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
     qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept, qZscoreOutliers,
-    qStreaks, qPercentChange, qSetOpsAll, qEventMarkov
+    qStreaks, qPercentChange, qSetOpsAll, qEventMarkov, qRunningDistinct
   )
 }
