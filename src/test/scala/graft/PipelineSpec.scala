@@ -179,6 +179,23 @@ class PipelineSpec extends SparkSpec {
       .join(lab.select(col("doc_id").as("id2"), col("keep_id").as("k2")), "id2")
       .filter(col("k1") =!= col("k2"))
     assert(mismatched.count() == 0)
+    // exact independent recomputation: union-find over the collected pair
+    // list (the dup graph is tiny at any SF — that's the point of LSH)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getAs[Long]("id1")), find(r.getAs[Long]("id2")))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val expectKeep = parent.keys.map(x => x -> find(x)).toMap
+    clusters.collect().foreach { r =>
+      val (doc, keep) = (r.getAs[Long]("doc_id"), r.getAs[Long]("keep_id"))
+      assert(keep == expectKeep.getOrElse(doc, doc),
+        s"doc $doc: op keep_id $keep != union-find ${expectKeep.getOrElse(doc, doc)}")
+    }
   }
 
   test("GraftExtensions exposes every kernel to a plain-SQL session") {
