@@ -767,10 +767,59 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** Bucketed replica checksums — the pt-table-checksum reconciliation
+    * role: source and replica each compute per-bucket order-independent
+    * digests of final state and compare 16 rows instead of every key;
+    * a diverged bucket pinpoints where row-level repair
+    * (`cdc_snapshot` on that bucket) must run. Digest: md5 of the
+    * canonical state string → 60-bit int (the md5Bucket parity trick —
+    * `conv(hex)` on Spark ≡ `('0x'||…)::BIGINT` on DuckDB) reduced
+    * mod 2³¹, SUMMED per bucket — addition is order-independent, and
+    * 31-bit terms keep the Long sum exact to ~4×10⁹ rows per bucket (the
+    * documented DECIMAL(38) swap beyond).
+    *
+    * Scale: the snapshot's ONE pk exchange plus a 16-row aggregate. */
+  val cdcReplicaChecksum: QueryDef = QueryDef(
+    "cdc_replica_checksum",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val state = ev(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && opOf(col("event_type")) =!= "delete")
+        .select(col("user_id"), col("event_id"), col("cents"))
+      state
+        .withColumn("h",
+          pmod(conv(substring(md5(concat_ws("|",
+            col("user_id"), col("event_id"), col("cents"))), 1, 15), 16, 10)
+            .cast("long"), lit(2147483648L)))
+        .groupBy(pmod(col("user_id"), lit(16)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("h")).as("checksum"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH snap AS (
+        SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND event_type <> 'error'
+      )
+      SELECT CAST(user_id % 16 AS INT) AS bucket, count(*) AS n_keys,
+             sum(('0x' || substr(md5(user_id || '|' || event_id || '|' || cents), 1, 15))::BIGINT
+                 % 2147483648)::BIGINT AS checksum
+      FROM snap
+      GROUP BY bucket
+      ORDER BY bucket
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
     cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt,
     cdcStaleness, cdcIncremental, cdcKeyLifecycle, cdcLateArrivals,
-    cdcSnapshotComposite, cdcMergeSources, cdcPurgeAudit
+    cdcSnapshotComposite, cdcMergeSources, cdcPurgeAudit, cdcReplicaChecksum
   )
 }
