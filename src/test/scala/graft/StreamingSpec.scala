@@ -905,6 +905,40 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("StreamChecksum digests converge bit-equal to batch cdc_replica_checksum") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamChecksum
+    val lines = MaxwellStream.maxwellify(Tables.events(spark, sfDir))
+      .as[String].collect()
+    val mem = MemoryStream[String]
+    val digests = StreamChecksum.bucketDigests(
+      MaxwellStream.replicaChangelog(MaxwellStream.parse(mem.toDF().toDF("value")),
+        "id"))
+    val q = digests.writeStream.format("memory").queryName("digests")
+      .outputMode(StreamChecksum.outputMode).start()
+    try {
+      val (a, b) = lines.splitAt(lines.length / 2)
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+      // Update mode re-emits a bucket's row per touched batch — keep the
+      // LAST emission per bucket (memory sink preserves batch order)
+      val streamed = spark.table("digests").collect()
+        .zipWithIndex
+        .groupBy(_._1.getAs[Int]("bucket"))
+        .map { case (bkt, rs) => bkt -> rs.maxBy(_._2)._1 }
+      val batch = graft.operators.Cdc.cdcReplicaChecksum.fn(spark, sfDir).collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val bkt = r.getAs[Int]("bucket")
+        val srow = streamed(bkt)
+        assert(srow.getAs[Long]("checksum") == r.getAs[Long]("checksum"),
+          s"bucket $bkt: stream checksum != batch")
+        assert(srow.getAs[Long]("n_keys") == r.getAs[Long]("n_keys"))
+      }
+    } finally q.stop()
+  }
+
   test("StreamAnomaly emits bit-equal rows with batch q_value_anomalies") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
