@@ -392,7 +392,53 @@ object TpchThird {
     """.stripMargin.trim)
   )
 
+  /** TPC-H Q9 shape: product-line profit by supplier nation and order
+    * year (the testdata carries no ps_supplycost, so "profit" is the
+    * revenue-minus-10%-of-retail proxy — same 5-table star + 3-key rollup
+    * shape: part type × nation × year). All three dims broadcast; the
+    * fact pays only the lineitem↔orders orderkey exchange; exact cents
+    * throughout. */
+  val qProductProfit: QueryDef = QueryDef(
+    "q_product_profit",
+    (s, d) => {
+      val supNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_type"), cents("p_retailprice").as("rp"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), cents("l_extendedprice").as("c"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        // profit proxy: line revenue minus 10% of retail per unit, exact
+        // cents (qty is an integral double → the product is exact; `div`,
+        // not `/`, which would be double division)
+        .withColumn("profit_c",
+          col("c") - expr("(rp * CAST(l_quantity AS BIGINT)) div 10"))
+        .groupBy(col("n_name").as("nation"), col("o_year"), col("p_type"))
+        .agg((sum(col("profit_c")) / 100.0).as("profit"), count(lit(1)).as("n_lines"))
+        .orderBy("nation", "o_year", "p_type")
+    },
+    Some("""
+      SELECT n_name AS nation, year(o_orderdate) AS o_year, p_type,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 - (CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) // 10) / 100.0 AS profit,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(qOrderPriority, qPriorityShipping, qPromoRevenue,
     qSupplierVariety, qDisjunctiveRev, qDominantSuppliers, qNationTrade,
-    qReturnedRevenue, qTopSupplier)
+    qReturnedRevenue, qTopSupplier, qProductProfit)
 }
