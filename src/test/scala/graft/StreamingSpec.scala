@@ -905,6 +905,48 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("StreamFunnel stage rows aggregate to the exact batch q_funnel_metrics row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamFunnel
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamFunnel.userStages(
+        mem.toDF().toDF("user_id", "event_type", "us")
+          .select(col("user_id"), col("event_type"),
+            expr("timestamp_micros(us)").as("ts")))
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(StreamFunnel.outputMode).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+      // minima only decrease across emissions → per-user min of each
+      // column over all emissions IS the final state
+      val stages = spark.table("funnel").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (_, rs) =>
+          def m(c: String): Option[Long] = {
+            val vs = rs.flatMap(r => Option(r.getAs[java.lang.Long](c)).map(_.toLong))
+            if (vs.isEmpty) None else Some(vs.min)
+          }
+          (m("t_signup_us"), m("t_view_us"), m("t_purchase_us"))
+        }.toSeq
+      val nSignup = stages.count(_._1.isDefined)
+      val nToView = stages.count(s =>
+        s._1.isDefined && s._2.isDefined && s._1.get < s._2.get)
+      val nToPurchase = stages.count(s =>
+        s._1.isDefined && s._2.isDefined && s._3.isDefined &&
+          s._1.get < s._2.get && s._2.get < s._3.get)
+      val batch = graft.operators.Olap.qFunnelMetrics.fn(spark, sfDir).head
+      assert(nSignup == batch.getAs[Long]("n_signup"))
+      assert(nToView == batch.getAs[Long]("n_to_view"))
+      assert(nToPurchase == batch.getAs[Long]("n_to_purchase"))
+    } finally q.stop()
+  }
+
   test("StreamChecksum digests converge bit-equal to batch cdc_replica_checksum") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
