@@ -27,6 +27,24 @@ object StreamAnomaly {
   /** One anomaly report, matching the batch op's row shape. */
   case class Anomaly(event_id: Long, user_id: Long, cents: Long, n_prior: Long)
 
+  /** Score one observation against the prior state and fold it in.
+    * Every multiplication/sum runs through `Math.*Exact`, so once per-key
+    * volume pushes n·Q (or lhs²) past 2⁶³ the operator FAILS LOUDLY with
+    * ArithmeticException instead of silently emitting wrong anomaly flags
+    * — the batch twin documents the same ceiling as its DECIMAL(38) swap
+    * point (q_value_anomalies, OrderedStats.scala). Exact-arithmetic
+    * parity below the ceiling is unchanged (spec-asserted bit-equality
+    * with the batch op; the overflow path has its own spec). */
+  def step(st: StatState, x: Long): (Boolean, StatState) = {
+    val lhs = Math.subtractExact(Math.multiplyExact(st.n, x), st.s)
+    val anomaly = st.n >= 8 &&
+      Math.multiplyExact(lhs, lhs) > Math.multiplyExact(9L,
+        Math.subtractExact(Math.multiplyExact(st.n, st.q),
+          Math.multiplyExact(st.s, st.s)))
+    (anomaly, StatState(st.n + 1, Math.addExact(st.s, x),
+      Math.addExact(st.q, Math.multiplyExact(x, x))))
+  }
+
   /** `events`: streaming DataFrame with (user_id, event_id, ts, value). */
   def anomalies(events: DataFrame): Dataset[Anomaly] = {
     val s = events.sparkSession
@@ -44,10 +62,9 @@ object StreamAnomaly {
           val out = Vector.newBuilder[Anomaly]
           it.toVector.sortBy { case (_, eid, us, _) => (us, eid) }.foreach {
             case (_, eid, _, x) =>
-              val lhs = st.n * x - st.s
-              if (st.n >= 8 && lhs * lhs > 9L * (st.n * st.q - st.s * st.s))
-                out += Anomaly(eid, uid, x, st.n)
-              st = StatState(st.n + 1, st.s + x, st.q + x * x)
+              val (anomaly, next) = step(st, x)
+              if (anomaly) out += Anomaly(eid, uid, x, st.n)
+              st = next
           }
           state.update(st)
           out.result().iterator

@@ -34,6 +34,32 @@ object StreamChecksum {
     java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483648L
   }
 
+  /** The batch op's `round(value * 100).cast("long")` in JVM arithmetic.
+    * Spark's `round()` on doubles is `BigDecimal(d).setScale(0, HALF_UP)`
+    * — away-from-zero on .5 for BOTH signs, unlike `math.round` (toward
+    * +∞, so -50.5 → -50 instead of -51). Parity spec'd against a Spark
+    * session on adversarial negative half-values. */
+  def centsOf(raw: String): Long =
+    BigDecimal(raw.toDouble * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** The batch op's `pmod(user_id, buckets)` in JVM arithmetic —
+    * `floorMod`, not `abs(%)` (abs(-1)%16 = 1 but pmod(-1,16) = 15).
+    * The digest state string keys on numeric ids, so a composite or
+    * non-numeric encoded pk (see [[MaxwellStream.encodePk]]) cannot be
+    * digested compatibly — reject it loudly instead of crashing with a
+    * bare NumberFormatException inside a task. */
+  def bucketOf(pk: String, buckets: Int): Int = {
+    val n = try pk.toLong catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"StreamChecksum requires a single numeric primary key " +
+          s"(bucket = pmod(pk, $buckets) must match the batch op); got " +
+          s"non-numeric pk '$pk' — composite/string-keyed tables need a " +
+          s"dedicated bucketing rule on both engines first", e)
+    }
+    Math.floorMod(n, buckets.toLong).toInt
+  }
+
   /** `changes`: the replica changelog (e.g. [[MaxwellStream.replicaChangelog]]
     * over a maxwellified feed, whose `state` carries id/value/event_id).
     * Emits every touched bucket's updated digest each micro-batch
@@ -43,7 +69,7 @@ object StreamChecksum {
     val s = changes.sparkSession
     import s.implicits._
     changes
-      .groupByKey(c => (math.abs(c.pk.toLong) % buckets).toInt)
+      .groupByKey(c => bucketOf(c.pk, buckets))
       // flatMapGroupsWithState in APPEND mode, not mapGroupsWithState:
       // this runs downstream of replicaChangelog's own stateful operator,
       // and Spark only allows chained state ops when ALL are
@@ -56,12 +82,8 @@ object StreamChecksum {
           // (ts, seq) apply order within the batch, as everywhere in replay
           it.toVector.sortBy(c => (c.ts.getTime, c.seq)).foreach { c =>
             if (c.op == "tombstone") m -= c.pk
-            else {
-              // same rounding as the batch op's round(value*100) on positive
-              // doubles (HALF_UP)
-              val cents = math.round(c.state("value").toDouble * 100)
-              m += c.pk -> digestOf(c.state("id"), c.state("event_id"), cents)
-            }
+            else m += c.pk -> digestOf(c.state("id"), c.state("event_id"),
+              centsOf(c.state("value")))
           }
           state.update(m)
           Iterator.single(BucketDigest(bucket, m.size.toLong, m.values.sum))

@@ -1013,4 +1013,62 @@ class StreamingSpec extends SparkSpec {
         s"stream (${streamed.length}) != batch (${batch.length}) anomaly rows")
     } finally q.stop()
   }
+
+  test("StreamChecksum.centsOf matches Spark round() on both signs incl. half-values") {
+    import spark.implicits._
+    import graft.streaming.StreamChecksum
+    // math.round would get every negative .5 case wrong (-50.5 → -50);
+    // Spark round() is HALF_UP away from zero for both signs
+    val adversarial = Seq(-0.505, -0.515, -1.115, -0.005, 0.005, 0.505,
+      -123.455, 123.455, -0.004999, 0.0, -0.0, 99.999, -99.999) ++
+      (1 to 50).map(i => (i * 7919 % 1000 - 500) / 101.0)
+    val sparkCents = adversarial.toDF("value")
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(_.getLong(0))
+    val jvmCents = adversarial.map(v => StreamChecksum.centsOf(v.toString))
+    assert(jvmCents == sparkCents.toSeq,
+      adversarial.zip(jvmCents.zip(sparkCents)).filter { case (_, (a, b)) => a != b }.toString)
+  }
+
+  test("StreamChecksum.bucketOf is pmod (negative keys) and rejects non-numeric pks loudly") {
+    import graft.streaming.StreamChecksum
+    assert(StreamChecksum.bucketOf("-1", 16) == 15)        // abs(-1)%16 would say 1
+    assert(StreamChecksum.bucketOf("-17", 16) == 15)
+    assert(StreamChecksum.bucketOf("5", 16) == 5)
+    assert(StreamChecksum.bucketOf(Long.MinValue.toString, 16) ==
+      Math.floorMod(Long.MinValue, 16L).toInt)
+    // pmod parity against Spark itself
+    import spark.implicits._
+    val keys = Seq(-33L, -16L, -1L, 0L, 1L, 15L, 16L, 8675309L)
+    val sparkBuckets = keys.toDF("k")
+      .select(pmod(col("k"), lit(16)).cast("int")).collect().map(_.getInt(0))
+    assert(keys.map(k => StreamChecksum.bucketOf(k.toString, 16)) == sparkBuckets.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      StreamChecksum.bucketOf(MaxwellStream.encodePk(Seq("3", "us-east")), 16)
+    }
+    assert(e.getMessage.contains("numeric primary key"))
+  }
+
+  test("StreamAnomaly.step fails loudly on Long overflow instead of mis-flagging") {
+    import graft.streaming.StreamAnomaly
+    import graft.streaming.StreamAnomaly.StatState
+    // n·Q already past 2⁶³/9: the silent-wrap version would compare garbage
+    val hot = StatState(n = 100, s = 0L, q = Long.MaxValue / 50)
+    intercept[ArithmeticException] { StreamAnomaly.step(hot, 10L) }
+    // Σx² accumulation overflow also refuses to wrap
+    val nearFull = StatState(n = 9, s = 0L, q = Long.MaxValue - 5)
+    intercept[ArithmeticException] { StreamAnomaly.step(nearFull, 1000L) }
+    // and below the ceiling the exact test agrees with BigInt arithmetic
+    val rnd = new scala.util.Random(42)
+    var st = StatState(0, 0, 0)
+    (1 to 200).foreach { _ =>
+      val x = rnd.nextInt(20001).toLong - 10000
+      val (flag, next) = StreamAnomaly.step(st, x)
+      val (n, s, q) = (BigInt(st.n), BigInt(st.s), BigInt(st.q))
+      val expect = st.n >= 8 &&
+        (n * x - s).pow(2) > 9 * (n * q - s * s)
+      assert(flag == expect, s"state $st x=$x")
+      st = next
+    }
+  }
 }
