@@ -23,4 +23,20 @@ object Registry {
 
   def oracleMap(defs: Seq[QueryDef]): Map[String, String] =
     defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Partition key for a DELIBERATE whole-frame window (always over an
+    * already-aggregated tiny frame here, never the fact). A bare
+    * `partitionBy()` — and any foldable key like `lit(1)`, which Spark 4's
+    * EliminateWindowPartitions strips back to the same empty spec — makes
+    * WindowExec log a per-task "moving all data to a single partition"
+    * WARN. `coalesce(pmod(anchor, 1), 0)` evaluates to 0 for EVERY row
+    * (pmod(x,1)=0; null anchors coalesce to 0) but is anchored to a column,
+    * so no optimizer rule can fold it: same single-partition exchange,
+    * clean log. The agg+broadcast alternative was measured to RE-SCAN the
+    * fact (no exchange reuse across the two aggregation branches) — the
+    * window form is the one-scan plan. `anchor`: any numeric column. */
+  def wholeFrameKey(anchor: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(pmod(anchor, lit(1)), lit(0))
+  }
 }

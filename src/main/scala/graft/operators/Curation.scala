@@ -264,17 +264,16 @@ object Curation {
       // The global total is a whole-frame window over the ALREADY-AGGREGATED
       // ≤ langs×sources rows (not the corpus) — one corpus scan total; a
       // scalar-subquery formulation would recompute the aggregate twice.
-      // partitionBy(lit(1)), not partitionBy(): an empty partition spec makes
-      // WindowExec log a per-plan "moving all data to a single partition"
-      // WARN that buries the bench output; the constant spec is the same
-      // single-partition exchange (of the tiny aggregate) without the WARN.
+      // Partition key: Registry.wholeFrameKey — lit(1) is constant-folded
+      // back to an empty spec, which makes WindowExec WARN per task.
       val perStream = Tables.documents(s, d)
         .select(col("lang"), col("source"),
           graft.plans.StringKernels.spaceSegCount(col("text")).as("n_tokens"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
       perStream
-        .withColumn("g", sum(col("tokens")).over(Window.partitionBy(lit(1))))
+        .withColumn("g", sum(col("tokens")).over(
+          Window.partitionBy(graft.Registry.wholeFrameKey(col("tokens")))))
         .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
           expr("(10000 * tokens) div g").as("share_bp"))
         .orderBy("lang", "source")

@@ -601,7 +601,7 @@ object TextAnalysis {
     * the diagnostic: a corpus whose slope is far from −1 isn't
     * distributionally natural). One token exchange for the counts; the
     * ranking window and the regression run over the VOCABULARY-sized
-    * aggregate (tiny — `partitionBy(lit(1))` per the WindowExec rule),
+    * aggregate (tiny — `Registry.wholeFrameKey` per the WindowExec rule),
     * never the corpus.
     *
     * Parity: regr_slope/intercept/r2 are float sums over vocab-count
@@ -619,7 +619,8 @@ object TextAnalysis {
       val ranked = tokens
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .withColumn("rank", row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("n").desc, col("token"))))
+          Window.partitionBy(graft.Registry.wholeFrameKey(col("n")))
+            .orderBy(col("n").desc, col("token"))))
       ranked.agg(
         count(lit(1)).as("n_types"),
         sum(col("n")).as("n_tokens"),

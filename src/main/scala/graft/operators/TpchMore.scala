@@ -69,15 +69,15 @@ object TpchMore {
     (s, d) => {
       // Whole-frame window over the per-supplier AGGREGATE (supplier-count
       // rows, not the fact) — one lineitem scan; the scalar-aggregate
-      // crossJoin form would run the fact aggregation twice. partitionBy
-      // (lit(1)) rather than (): same single-partition exchange of the tiny
-      // aggregate, but without WindowExec's empty-spec WARN spam (see
-      // pipeline_domain_mix).
+      // crossJoin form was measured to re-scan the fact (no exchange
+      // reuse). Partition key: Registry.wholeFrameKey (survives constant
+      // folding, so no WindowExec empty-spec WARN).
       val perSup = Tables.lineitem(s, d)
         .select(col("l_suppkey"), cents("l_extendedprice").as("c"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("c")).as("v"))
-        .withColumn("g", sum(col("v")).over(Window.partitionBy(lit(1))))
+        .withColumn("g", sum(col("v")).over(
+          Window.partitionBy(graft.Registry.wholeFrameKey(col("v")))))
       perSup
         .filter(col("v") * 100 > col("g"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))

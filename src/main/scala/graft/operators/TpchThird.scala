@@ -357,7 +357,7 @@ object TpchThird {
   /** TPC-H Q15: the top supplier(s) by a quarter's revenue — the
     * view-then-max shape, WITH ties kept (the spec's revenue0 view can
     * return several). The global max is a whole-frame window over the
-    * supplier-count aggregate (partitionBy(lit(1)) per the WindowExec
+    * supplier-count aggregate (Registry.wholeFrameKey per the WindowExec
     * rule), never a rescan; exact-cents revenue means ties are real ties,
     * not float accidents. */
   val qTopSupplier: QueryDef = QueryDef(
@@ -370,7 +370,8 @@ object TpchThird {
         .groupBy(col("l_suppkey"))
         .agg(sum(col("c")).as("rc"))
       rev
-        .withColumn("mx", max(col("rc")).over(Window.partitionBy(lit(1))))
+        .withColumn("mx", max(col("rc")).over(
+          Window.partitionBy(graft.Registry.wholeFrameKey(col("rc")))))
         .filter(col("rc") === col("mx"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), (col("rc") / 100.0).as("total_revenue"))

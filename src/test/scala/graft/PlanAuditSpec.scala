@@ -301,4 +301,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(disj).isDefined,
       s"quantity envelope not pushed to the fact scan:\n$disj")
   }
+
+  test("no registered query plans an empty-partition Window (Registry.wholeFrameKey rule)") {
+    // lit(1) keys are folded + stripped by EliminateWindowPartitions, so a
+    // naive "constant partition" regresses to the per-task WindowExec WARN;
+    // deliberate whole-frame windows must use Registry.wholeFrameKey, which
+    // survives optimization. Planning-only: no query executes here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect { case w: LWindow if w.partitionSpec.isEmpty => name }.headOption
+    }
+    assert(offenders.isEmpty, s"empty-partition Window in: $offenders")
+  }
 }
