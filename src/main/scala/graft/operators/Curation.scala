@@ -414,8 +414,120 @@ object Curation {
     """.stripMargin.trim)
   )
 
+  /** Dedup waterfall report — the stage-by-stage table a pipeline owner
+    * reads after an ingest run: how many docs each dedup pass dropped, in
+    * pass order (each stage sees only the previous stage's survivors):
+    *   1. `exact` — byte-identical text (md5(text), first doc_id wins);
+    *   2. `bag`   — token-SET fingerprint (reordered copies; the
+    *                [[Dedup.dedupIncremental]] key);
+    *   3. `lines` — cross-doc repeated 10-word chunks (the
+    *                [[Dedup.dedupLines]] rule): drops no docs, reports
+    *                the chunk volume removed and docs touched.
+    *
+    * Scale: ONE corpus scan through two per-doc window flags (md5 and
+    * fingerprint exchanges; the fingerprint ranking partitions dropped
+    * docs into a null key, so their presence can't shift survivor ranks),
+    * then the line flatMap over survivors with its line exchange. The
+    * tiny per-doc flag frame is cached for its two aggregate consumers
+    * (typed-subtree recompute rule, CLAUDE.md); the stage rows are a
+    * `stack` over ONE assembled row — no collect. */
+  val pipelineDedupReport: QueryDef = QueryDef(
+    "pipeline_dedup_report",
+    (s, d) => {
+      import s.implicits._
+      val wExact = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      // survivors of exact rank among themselves on the bag key; dropped
+      // docs get a NULL partition so they can't occupy a bag rank
+      val bagKey = md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col("text")), " ")))))
+      val wBag = Window
+        .partitionBy(when(col("rn_exact") === 1, bagKey))
+        .orderBy(col("doc_id"))
+      val flags = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("rn_exact", row_number().over(wExact))
+        .withColumn("rn_bag", when(col("rn_exact") === 1,
+          row_number().over(wBag)))
+        .cache()
+      val stageCounts = flags.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("rn_exact") > 1, 1L).otherwise(0L)).as("drop_exact"),
+        sum(when(col("rn_bag") > 1, 1L).otherwise(0L)).as("drop_bag"))
+      val lineWords = 10
+      val chunks = flags.filter(col("rn_bag") === 1)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          t.split(' ').grouped(lineWords).zipWithIndex
+            .map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
+        }
+        .toDF("doc_id", "line_no", "line")
+      val wLine = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("line_no"))
+      val lineCounts = chunks
+        .withColumn("rn", row_number().over(wLine))
+        .agg(
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("lines_removed"),
+          countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_touched"))
+      stageCounts.crossJoin(lineCounts)
+        .selectExpr("""stack(3,
+          1, 'exact', n_total, drop_exact, 0L, 0L,
+          2, 'bag', n_total - drop_exact, drop_bag, 0L, 0L,
+          3, 'lines', n_total - drop_exact - drop_bag, 0L, lines_removed, docs_touched)
+          AS (stage_no, stage, docs_in, docs_dropped, lines_removed, docs_touched)""")
+        .withColumn("docs_out", col("docs_in") - col("docs_dropped"))
+        .orderBy("stage_no")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn_exact
+        FROM documents
+      ), bagged AS (
+        SELECT doc_id, text, rn_exact,
+               CASE WHEN rn_exact = 1 THEN row_number() OVER (
+                 PARTITION BY CASE WHEN rn_exact = 1 THEN
+                   md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                 END ORDER BY doc_id) END AS rn_bag
+        FROM flagged
+      ), stages AS (
+        SELECT count(*) AS n_total,
+               sum(CASE WHEN rn_exact > 1 THEN 1 ELSE 0 END)::BIGINT AS drop_exact,
+               sum(CASE WHEN rn_bag > 1 THEN 1 ELSE 0 END)::BIGINT AS drop_bag
+        FROM bagged
+      ), words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM bagged WHERE rn_bag = 1
+      ), chunks AS (
+        SELECT doc_id, i - 1 AS line_no,
+               array_to_string(w[(i-1)*10+1:i*10], ' ') AS line
+        FROM words, LATERAL (
+          SELECT unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS i) t
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        FROM chunks
+      ), lines AS (
+        SELECT sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS lines_removed,
+               count(DISTINCT CASE WHEN rn > 1 THEN doc_id END)::BIGINT AS docs_touched
+        FROM ranked
+      )
+      SELECT stage_no, stage, docs_in, docs_dropped, lines_removed, docs_touched,
+             docs_in - docs_dropped AS docs_out
+      FROM (
+        SELECT 1 AS stage_no, 'exact' AS stage, n_total AS docs_in,
+               drop_exact AS docs_dropped, 0::BIGINT AS lines_removed,
+               0::BIGINT AS docs_touched FROM stages, lines
+        UNION ALL
+        SELECT 2, 'bag', n_total - drop_exact, drop_bag, 0::BIGINT, 0::BIGINT
+        FROM stages, lines
+        UNION ALL
+        SELECT 3, 'lines', n_total - drop_exact - drop_bag, 0::BIGINT,
+               lines_removed, docs_touched FROM stages, lines
+      )
+      ORDER BY stage_no
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     pipelineContamination, pipelinePackSequences, pipelineStratifiedSample,
     pipelineQualityFilter, textTokenLenHist, pipelineDomainMix,
-    pipelineShardManifest, pipelineE2eManifest)
+    pipelineShardManifest, pipelineE2eManifest, pipelineDedupReport)
 }

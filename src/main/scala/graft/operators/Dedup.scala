@@ -82,7 +82,7 @@ object Dedup {
     * typed flatMap runs the shingle loop exactly once per document.
     * Semantics match [[shingles]]: lower-case, single-space split with
     * trailing empties kept, distinct 3-grams joined by '_'. */
-  private def shingleTokens(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingleTokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))

@@ -655,6 +655,76 @@ object Similarity {
     """.stripMargin.trim)
   )
 
+  /** Label-outlier surfacing — the data-cleaning lens over the embedding
+    * corpus: each label's 3 vectors FARTHEST from their own label
+    * centroid (lowest cosine), i.e. the mislabel/noise candidates a
+    * curation pass reviews first. Centroid model: rounded label means
+    * (the [[dedupSemantic]] oracle-recomputable pattern, one aggregate
+    * pass + a K-row collect); scoring is a NARROW map — a K-deep
+    * when-chain over the model constants, zero exchanges before the
+    * label-keyed rank window, which WindowGroupLimit prunes to 3 rows
+    * per label ahead of the sort. */
+  val embOutliers: QueryDef = QueryDef(
+    "emb_outliers",
+    (s, d) => {
+      val cents: Array[(Int, Array[Double])] = emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 5).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("c"))
+        .orderBy("label")
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      // cosine to the vector's OWN label centroid (not the argmax — the
+      // question is "how typical is this vector of its label")
+      val ownCos = cents.foldLeft(lit(null).cast("double")) { case (acc, (cl, c)) =>
+        var a = 0.0; var i = 0
+        while (i < c.length) { a += c(i) * c(i); i += 1 }
+        val cnrm = math.sqrt(a)
+        when(col("label") === cl,
+          round(dot(col("embedding"), typedlit(c)) / (col("nrm") * lit(cnrm)), 6))
+          .otherwise(acc)
+      }
+      val w = Window.partitionBy(col("label")).orderBy(col("cos_centroid"), col("vec_id"))
+      withNorm(s, d)
+        .withColumn("cos_centroid", ownCos)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("label"), col("rank"), col("vec_id"), col("cos_centroid"))
+        .orderBy("label", "rank")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label AS cl, r.i AS dim, round(avg(embedding[r.i]), 5) AS cv
+        FROM embeddings CROSS JOIN range(1, ${Dim + 1}) AS r(i)
+        GROUP BY cl, dim
+      ),
+      carr AS (SELECT cl, list(cv ORDER BY dim) AS c FROM cent GROUP BY cl),
+      cn AS (
+        SELECT cl, c,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> c[i] * c[i]))) AS cnrm
+        FROM carr
+      ),
+      vn AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings
+      ),
+      scored AS (
+        SELECT vec_id, label,
+               round(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * c[i])) / (nrm * cnrm), 6) AS cos_centroid
+        FROM vn JOIN cn ON vn.label = cn.cl
+      )
+      SELECT label, rank, vec_id, cos_centroid FROM (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY cos_centroid, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY label, rank
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, dedupSemantic,
-    annLsh, annIvf, annIvfK)
+    annLsh, annIvf, annIvfK, embOutliers)
 }

@@ -697,9 +697,55 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** Per-document n-gram novelty — the RefinedWeb/C4 "duplicate text
+    * fraction" quality signal: what share of a doc's distinct word
+    * 3-gram shingles also occur in at least one OTHER document. High
+    * shared fraction = boilerplate/templated content even when no single
+    * whole-doc duplicate exists; pipelines threshold on it between the
+    * exact and fuzzy dedup passes. Exact integer per-mille.
+    *
+    * Scale: the [[Dedup.shingleTokens]] typed flatMap (distinct shingles
+    * per doc, one pass), a corpus-wide count over the shingle exchange,
+    * and the per-doc re-aggregate — two linear exchanges of 8-byte-ish
+    * rows, never doc×doc. Docs under 3 tokens carry no shingles and are
+    * absent by construction on both engines. */
+  val textNgramNovelty: QueryDef = QueryDef(
+    "text_ngram_novelty",
+    (s, d) => {
+      val wTok = Window.partitionBy(col("tok"))
+      Dedup.shingleTokens(s, d)
+        .withColumn("docs_with", count(lit(1)).over(wTok))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          expr("(1000 * (n_shingles - n_shared)) div n_shingles").as("novelty_pm"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS tok
+        FROM w, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t
+        WHERE len(w) >= 3
+      ), c AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY tok) AS docs_with FROM sh
+      )
+      SELECT doc_id, n_shingles, n_shared,
+             (1000 * (n_shingles - n_shared)) // n_shingles AS novelty_pm
+      FROM (
+        SELECT doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        FROM c GROUP BY doc_id)
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
     textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
-    textRepetition, qZipfSlope, textLangidEval
+    textRepetition, qZipfSlope, textLangidEval, textNgramNovelty
   )
 }

@@ -306,6 +306,109 @@ object TpchMore {
     """.stripMargin.trim)
   )
 
+  /** RFM customer segmentation — the classic CRM cube: per-customer
+    * Recency (days since last order, against the corpus's latest order
+    * date), Frequency (order count) and Monetary (exact cents) quintiles,
+    * rolled up to the ≤125 (r,f,m) cells with customer counts and cell
+    * value. Quintile ties are broken by custkey so the buckets are
+    * deterministic on both engines.
+    *
+    * Scale: one orders scan → per-customer aggregate (the only data-sized
+    * exchange); the three ntile windows sort the per-CUSTOMER frame
+    * (0.1% of fact rows) on one `Registry.wholeFrameKey` partition — the
+    * demo form, with q_ntile_dist's bucketed two-phase ranking as the
+    * documented 100 TB swap; the latest-order scalar rides the same
+    * single-partition exchange as a whole-frame max. */
+  val qRfmSegments: QueryDef = QueryDef(
+    "q_rfm_segments",
+    (s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(cents("o_totalprice")).as("monetary_c"))
+      val whole = graft.Registry.wholeFrameKey(col("freq"))
+      val scored = per
+        .withColumn("latest", max(col("last_order")).over(Window.partitionBy(whole)))
+        .withColumn("recency_days", datediff(col("latest"), col("last_order")))
+        .withColumn("r_score", ntile(5).over(Window.partitionBy(whole)
+          .orderBy(col("recency_days"), col("o_custkey"))))
+        .withColumn("f_score", ntile(5).over(Window.partitionBy(whole)
+          .orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m_score", ntile(5).over(Window.partitionBy(whole)
+          .orderBy(col("monetary_c").desc, col("o_custkey"))))
+      scored
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("monetary_c")) / 100.0, 2).as("cell_value"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS monetary_c
+        FROM orders GROUP BY o_custkey
+      ), latest AS (
+        SELECT max(last_order) AS mx FROM per
+      ), scored AS (
+        SELECT o_custkey, monetary_c,
+               ntile(5) OVER (ORDER BY datediff('day', last_order, mx),
+                              o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_score
+        FROM per, latest
+      )
+      SELECT r_score, f_score, m_score, count(*) AS n_customers,
+             round(sum(monetary_c) / 100.0, 2) AS cell_value
+      FROM scored
+      GROUP BY r_score, f_score, m_score
+      ORDER BY r_score, f_score, m_score
+    """.stripMargin.trim)
+  )
+
+  /** Market-basket affinity: the 20 part pairs most often bought together
+    * (distinct parts per order, so a double-shipped part can't inflate
+    * its pairs). The classic co-purchase/recommendation seed query.
+    *
+    * Scale: NOT a self-join — each order's distinct parts collapse to one
+    * sorted set (orderkey exchange), pairs stream out of a typed flatMap
+    * (order sizes are bounded — ≤13 here, so ≤78 pairs/order), and the
+    * pair aggregate is the second exchange; top-20 is TakeOrdered
+    * (per-partition heaps + driver merge), never a whole-frame rank.
+    * Ties at the cut break deterministically by (p1, p2). */
+  val qCopurchasePairs: QueryDef = QueryDef(
+    "q_copurchase_pairs",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps")).as[Seq[Long]]
+        .flatMap { ps =>
+          for {
+            i <- ps.indices.iterator
+            j <- (i + 1) until ps.length
+          } yield (ps(i), ps(j))
+        }
+        .toDF("p1", "p2")
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_orders
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY p1, p2
+      ORDER BY n_orders DESC, p1, p2
+      LIMIT 20
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(qMinCostSupplier, qGroupShare, qOrderCountDist,
-    qBigSpenders, qWaitingSuppliers, qSmallQtyRevenue, qIdleCustomers)
+    qBigSpenders, qWaitingSuppliers, qSmallQtyRevenue, qIdleCustomers, qRfmSegments,
+    qCopurchasePairs)
 }

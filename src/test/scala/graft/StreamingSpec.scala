@@ -1014,6 +1014,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamScd2 last-emission rows reconstruct batch cdc_scd2 bit-equal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamScd2
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, String, Long, Double)].collect()
+      .sortBy { case (_, eid, _, us, _) => (us, eid) }
+    val mem = MemoryStream[(Long, Long, String, Long, Double)]
+    val q = StreamScd2.versions(
+        mem.toDF().toDF("user_id", "event_id", "event_type", "us", "value")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("timestamp_micros(us)").as("ts"), col("value")))
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode(StreamScd2.outputMode).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      // a version emits at most twice (open, then closed); the memory sink
+      // preserves batch order, so LAST emission per version is its final row
+      val streamed = spark.table("scd2").collect()
+        .zipWithIndex
+        .groupBy(r => (r._1.getAs[Long]("user_id"), r._1.getAs[Long]("event_id")))
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("op"), r.getAs[Long]("valid_from_us"),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+          r.getAs[Double]("value")).toString)
+        .toSeq.sorted
+      val batch = graft.operators.Cdc.cdcScd2.fn(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("op"), r.getAs[Long]("valid_from_us"),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+          r.getAs[Double]("value")).toString)
+        .toSeq.sorted
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream (${streamed.length}) != batch (${batch.length}) version rows")
+    } finally q.stop()
+  }
+
   test("StreamChecksum.centsOf matches Spark round() on both signs incl. half-values") {
     import spark.implicits._
     import graft.streaming.StreamChecksum
