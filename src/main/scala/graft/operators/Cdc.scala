@@ -816,10 +816,124 @@ object Cdc {
     """.stripMargin.trim)
   )
 
+  /** Targeted replica repair — the second half of the pt-table-checksum
+    * story [[cdcReplicaChecksum]] starts: given a stale replica (state as
+    * of the [[cdcReplayAt]] cutoff) and the current source state, compare
+    * ONLY the 16 bucket digests, and emit row-level repair actions
+    * (upsert/delete with the fresh payload) for keys in DIVERGED buckets
+    * alone — the partition-scoped fix, never a full re-sync.
+    *
+    * Scale: BOTH snapshots ride one user_id exchange (the stale head is a
+    * rank-1 window whose sort simply orders pre-cutoff rows first), the
+    * per-key head pairs collapse to one row each (reusing that exchange),
+    * digests are a 16-row aggregate, and the diverged-bucket list
+    * broadcasts back over the cached per-key frame (O(keys) — the same
+    * frame a real repairer would scan; two consumers, so cached per the
+    * typed-subtree rule). Digest arithmetic identical to
+    * cdc_replica_checksum (md5 → 60-bit → mod 2³¹, summed). */
+  val cdcBucketRepair: QueryDef = QueryDef(
+    "cdc_bucket_repair",
+    (s, d) => {
+      val cutoff = lit("2024-01-15 00:00:00")
+      val wNow = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wOld = Window.partitionBy(col("user_id"))
+        .orderBy((col("ts") <= cutoff).desc, col("ts").desc, col("event_id").desc)
+      val heads = ev(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn_now", row_number().over(wNow))
+        .withColumn("rn_old", row_number().over(wOld))
+        .withColumn("now_live",
+          col("rn_now") === 1 && opOf(col("event_type")) =!= "delete")
+        .withColumn("old_live",
+          col("rn_old") === 1 && col("ts") <= cutoff &&
+            opOf(col("event_type")) =!= "delete")
+        .filter(col("now_live") || col("old_live"))
+      val perUser = heads
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("now_live"), struct(col("event_id"), col("cents")))).as("nowS"),
+          max(when(col("old_live"), struct(col("event_id"), col("cents")))).as("oldS"))
+        .withColumn("bucket", pmod(col("user_id"), lit(16)).cast("int"))
+        .cache()
+      def dig(c: Column): Column = sum(when(c.isNotNull,
+        pmod(conv(substring(md5(concat_ws("|",
+          col("user_id"), c.getField("event_id"), c.getField("cents"))), 1, 15), 16, 10)
+          .cast("long"), lit(2147483648L))).otherwise(0L))
+      val diverged = perUser
+        .groupBy(col("bucket"))
+        .agg(dig(col("nowS")).as("d_now"), dig(col("oldS")).as("d_old"),
+          count(col("nowS")).as("k_now"), count(col("oldS")).as("k_old"))
+        .filter(col("d_now") =!= col("d_old") || col("k_now") =!= col("k_old"))
+        .select(col("bucket"))
+      perUser
+        .join(broadcast(diverged), Seq("bucket"))
+        .filter(!(col("nowS") <=> col("oldS")))
+        .select(col("bucket"), col("user_id"),
+          when(col("nowS").isNull, "delete").otherwise("upsert").as("action"),
+          col("nowS").getField("event_id").as("event_id"),
+          col("nowS").getField("cents").as("cents"))
+        .orderBy("bucket", "user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), r AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn_now,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY (ts <= TIMESTAMP '2024-01-15 00:00:00') DESC,
+                                      ts DESC, event_id DESC) AS rn_old
+        FROM e
+      ), h AS (
+        SELECT *,
+               (rn_now = 1 AND event_type <> 'error') AS now_live,
+               (rn_old = 1 AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+                AND event_type <> 'error') AS old_live
+        FROM r
+        WHERE (rn_now = 1 AND event_type <> 'error')
+           OR (rn_old = 1 AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+               AND event_type <> 'error')
+      ), p AS (
+        SELECT user_id, CAST(user_id % 16 AS INT) AS bucket,
+               max(CASE WHEN now_live THEN event_id END) AS now_eid,
+               max(CASE WHEN now_live THEN cents END) AS now_cents,
+               bool_or(now_live) AS has_now,
+               max(CASE WHEN old_live THEN event_id END) AS old_eid,
+               max(CASE WHEN old_live THEN cents END) AS old_cents,
+               bool_or(old_live) AS has_old
+        FROM h GROUP BY user_id
+      ), dg AS (
+        SELECT bucket,
+               sum(CASE WHEN has_now THEN ('0x' || substr(md5(user_id || '|' || now_eid || '|' || now_cents), 1, 15))::BIGINT % 2147483648 ELSE 0 END)::BIGINT AS d_now,
+               sum(CASE WHEN has_old THEN ('0x' || substr(md5(user_id || '|' || old_eid || '|' || old_cents), 1, 15))::BIGINT % 2147483648 ELSE 0 END)::BIGINT AS d_old,
+               count(CASE WHEN has_now THEN 1 END) AS k_now,
+               count(CASE WHEN has_old THEN 1 END) AS k_old
+        FROM p GROUP BY bucket
+      ), div AS (
+        SELECT bucket FROM dg WHERE d_now <> d_old OR k_now <> k_old
+      )
+      SELECT p.bucket, user_id,
+             CASE WHEN NOT has_now THEN 'delete' ELSE 'upsert' END AS action,
+             CASE WHEN has_now THEN now_eid END AS event_id,
+             CASE WHEN has_now THEN now_cents END AS cents
+      FROM p JOIN div ON p.bucket = div.bucket
+      WHERE has_now <> has_old
+         OR now_eid IS DISTINCT FROM old_eid
+         OR now_cents IS DISTINCT FROM old_cents
+      ORDER BY p.bucket, user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     cdcParse, cdcChangelog, cdcArchiveStats, cdcSnapshot, cdcSnapshotMerge,
     cdcScd2, cdcOpCounts, cdcDedupEvents, translateDdl, cdcUndo, cdcReplayAt,
     cdcStaleness, cdcIncremental, cdcKeyLifecycle, cdcLateArrivals,
-    cdcSnapshotComposite, cdcMergeSources, cdcPurgeAudit, cdcReplicaChecksum
+    cdcSnapshotComposite, cdcMergeSources, cdcPurgeAudit, cdcReplicaChecksum,
+    cdcBucketRepair
   )
 }

@@ -743,9 +743,62 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** Per-document token Shannon entropy — the lexical-diversity quality
+    * signal (low entropy = repetitive/templated text, the same family as
+    * [[textRepetition]] but distribution-shaped rather than top-k):
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n over the doc's token counts, plus the
+    * type-normalized H/ln(types) ∈ [0,1]. One typed map per doc — zero
+    * exchanges before the output sort, trivially linear.
+    *
+    * Parity: both engines sum ≤types ln-terms in doubles (≤1e-13 relative
+    * divergence) and round to 4 dp — the text_tfidf/zipf ln precedent. */
+  val textEntropy: QueryDef = QueryDef(
+    "text_entropy",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+          val n = toks.length.toDouble
+          var slnc = 0.0
+          counts.values.foreach(c => slnc += c * math.log(c.toDouble))
+          val h = math.log(n) - slnc / n
+          val types = counts.size
+          val norm = if (types > 1) h / math.log(types.toDouble) else 0.0
+          (id, toks.length.toLong, types.toLong, h, norm)
+        }
+        .toDF("doc_id", "n_tokens", "n_types", "h", "norm")
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("h"), 4).as("token_entropy"),
+          round(col("norm"), 4).as("norm_entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      ), c AS (
+        SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+      ), agg AS (
+        SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS types,
+               sum(c * ln(c)) AS s
+        FROM c GROUP BY doc_id
+      )
+      SELECT doc_id, n AS n_tokens, types AS n_types,
+             round(ln(n) - s / n, 4) AS token_entropy,
+             round(CASE WHEN types > 1 THEN (ln(n) - s / n) / ln(types)
+                        ELSE 0.0 END, 4) AS norm_entropy
+      FROM agg
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
     textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
-    textRepetition, qZipfSlope, textLangidEval, textNgramNovelty
+    textRepetition, qZipfSlope, textLangidEval, textNgramNovelty, textEntropy
   )
 }
