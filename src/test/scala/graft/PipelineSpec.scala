@@ -490,4 +490,40 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"text_repetition must not shuffle before the output ORDER BY:\n$plan")
   }
+
+  test("DocIngest: accepted lane normalized, every malformation dead-lettered with reason") {
+    import graft.sources.DocIngest
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "EN", "source": "web"}""",
+      """{"doc_id": 2, "text": "no lang or source here"}""",
+      """{"doc_id": 1, "text": "duplicate of doc 1"}""",
+      """{"doc_id": 3, "lang": "fr"}""",
+      """{"text": "who am i"}""",
+      """not json at all {{{""",
+      """{"doc_id": 4, "text": "fine again", "lang": "de", "source": "books"}"""
+    )
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val (accepted, rejected) = DocIngest.ingest(spark, dir, label = "crawl")
+    val acc = accepted.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("lang"), r.getAs[String]("source"),
+      r.getAs[Long]("n_chars"))).sortBy(_._1)
+    assert(acc.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(acc(0)._2 == "en", "lang must be lower-cased")
+    assert(acc(1)._2 == "und" && acc(1)._3 == "crawl", "absent lang/source must default")
+    assert(acc(0)._4 == "hello world".length.toLong, "n_chars recomputed from text")
+    // doc 1: FIRST occurrence wins — the surviving text is the original
+    val doc1 = accepted.filter(col("doc_id") === 1).head.getAs[String]("text")
+    assert(doc1 == "hello world")
+    val rej = rejected.collect().map(_.getAs[String]("reason")).sorted
+    assert(rej.toSeq ==
+      Seq("duplicate_doc_id", "malformed_json", "missing_doc_id", "missing_text"))
+    // dead-lettered payloads are recoverable (raw carries the line content)
+    val rawMalformed = rejected.filter(col("reason") === "malformed_json")
+      .head.getAs[String]("raw")
+    assert(rawMalformed.contains("not json at all"))
+    // accepted ∪ rejected covers every input line exactly once
+    assert(accepted.count() + rejected.count() == lines.length)
+  }
 }

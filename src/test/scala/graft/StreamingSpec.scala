@@ -1014,6 +1014,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamQuality verdicts aggregate to the exact batch quality-filter waterfall") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamQuality
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect()
+      .sortBy(_._1) // doc_id order: stream first-wins == batch min-doc_id keeper
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = StreamQuality.decisions(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars"))
+      .writeStream.format("memory").queryName("quality")
+      .outputMode(StreamQuality.outputMode).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("quality").collect()
+        .groupBy(_.getAs[String]("lang"))
+        .map { case (lang, rs) =>
+          val v = rs.map(_.getAs[String]("verdict"))
+          (lang, v.length.toLong,
+            v.count(_ != "rejected_len").toLong,
+            v.count(x => x == "kept" || x == "rejected_qual").toLong,
+            v.count(_ == "kept").toLong)
+        }.toSeq.sortBy(_._1)
+      val batch = graft.operators.Curation.pipelineQualityFilter.fn(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("n_after_len"), r.getAs[Long]("n_after_dedup"),
+          r.getAs[Long]("n_kept")))
+        .toSeq.sortBy(_._1)
+      assert(batch.nonEmpty && batch.exists(_._5 > 0))
+      assert(streamed == batch,
+        s"stream waterfall != batch: $streamed vs $batch")
+      // every doc got exactly one verdict
+      assert(spark.table("quality").count() == rows.length)
+    } finally q.stop()
+  }
+
   test("StreamScd2 last-emission rows reconstruct batch cdc_scd2 bit-equal") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
