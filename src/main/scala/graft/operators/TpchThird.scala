@@ -439,7 +439,55 @@ object TpchThird {
     """.stripMargin.trim)
   )
 
+  /** Year-over-year monthly revenue growth — the classic reporting query
+    * every finance dashboard runs. YoY compares each (year, month) cell
+    * to the SAME calendar month a year earlier, so the lag window
+    * partitions on month-of-year (12 natural partitions — no whole-frame
+    * sort); the growth rate is exact integer basis points over cents
+    * (`div`/`//` parity on negative deltas is the q_percent_change
+    * precedent), and a gap year yields NULL rather than comparing to the
+    * wrong year (prev-year guard).
+    *
+    * Scale: one orders scan → ≤years×12-cell aggregate; the window runs
+    * over the aggregate, not the fact. */
+  val qYoyRevenue: QueryDef = QueryDef(
+    "q_yoy_revenue",
+    (s, d) => {
+      val w = Window.partitionBy(col("mo")).orderBy(col("yr"))
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(cents("o_totalprice")).as("rev_c"))
+        .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+        .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+        .select(col("yr"), col("mo"),
+          round(col("rev_c") / 100.0, 2).as("revenue"),
+          when(col("prev_yr") === col("yr") - 1,
+            expr("(10000 * (rev_c - prev_c)) div prev_c")).as("yoy_bp"))
+        .orderBy("yr", "mo")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+        FROM orders GROUP BY yr, mo
+      ), lagged AS (
+        SELECT yr, mo, rev_c,
+               lag(rev_c) OVER w AS prev_c,
+               lag(yr) OVER w AS prev_yr
+        FROM monthly
+        WINDOW w AS (PARTITION BY mo ORDER BY yr)
+      )
+      SELECT yr, mo, round(rev_c / 100.0, 2) AS revenue,
+             CASE WHEN prev_yr = yr - 1
+                  THEN (10000 * (rev_c - prev_c)) // prev_c END AS yoy_bp
+      FROM lagged
+      ORDER BY yr, mo
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(qOrderPriority, qPriorityShipping, qPromoRevenue,
     qSupplierVariety, qDisjunctiveRev, qDominantSuppliers, qNationTrade,
-    qReturnedRevenue, qTopSupplier, qProductProfit)
+    qReturnedRevenue, qTopSupplier, qProductProfit, qYoyRevenue)
 }
