@@ -725,6 +725,52 @@ object Similarity {
     """.stripMargin.trim)
   )
 
+  /** Pairwise-cosine distribution over a DETERMINISTIC 5% sample
+    * (vec_id % 20 — reproducible under retries, auditable from the id) —
+    * the embedding-quality diagnostic read before trusting any
+    * cosine-thresholded op (dedup τ, ANN recall targets): a healthy space
+    * shows spread; mass piling near 1.0 means collapsed embeddings.
+    * 20 bins over [-1, 1] with per-bin pair counts and cosine extrema.
+    *
+    * Scale: sampling makes the pairwise quadratic (n/20)² — itself the
+    * documented knob; the sample side broadcasts (the ann_bruteforce
+    * pattern), so the plan is one corpus-sample scan × broadcast, never a
+    * shuffle of pairs. */
+  val embCosineHist: QueryDef = QueryDef(
+    "emb_cosine_hist",
+    (s, d) => {
+      val sample = withNorm(s, d).filter(col("vec_id") % 20 === 0)
+      val a = sample.select(col("vec_id").as("id1"),
+        col("embedding").as("v1"), col("nrm").as("n1"))
+      val b = sample.select(col("vec_id").as("id2"),
+        col("embedding").as("v2"), col("nrm").as("n2"))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .select(round(cosPre(col("v1"), col("v2"), col("n1"), col("n2")), 6).as("cos"))
+        .withColumn("bin",
+          least(floor((col("cos") + 1) * 10), lit(19L)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(col("cos")), 6).as("min_cos"),
+          round(max(col("cos")), 6).as("max_cos"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH vn AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings WHERE vec_id % 20 = 0
+      ), p AS (
+        SELECT round(list_sum(list_transform(generate_series(1, $Dim), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos
+        FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+      )
+      SELECT CAST(least(floor((cos + 1) * 10), 19) AS INT) AS bin,
+             count(*) AS n_pairs,
+             round(min(cos), 6) AS min_cos,
+             round(max(cos), 6) AS max_cos
+      FROM p GROUP BY bin ORDER BY bin
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, dedupSemantic,
-    annLsh, annIvf, annIvfK, embOutliers)
+    annLsh, annIvf, annIvfK, embOutliers, embCosineHist)
 }
