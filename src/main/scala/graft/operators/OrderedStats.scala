@@ -352,7 +352,64 @@ object OrderedStats {
     """.stripMargin.trim)
   )
 
+  /** Order-cadence distribution: per market segment, the median / p90 /
+    * mean days between a customer's CONSECUTIVE orders — the
+    * purchase-rhythm view behind churn models and replenishment
+    * campaigns. Discrete percentiles via the [[qPercentileDisc]]
+    * cume_dist ≡ quantile_disc identity (value-based, so tied gaps can't
+    * diverge); the mean is exact (integer day-sums are exact in doubles).
+    *
+    * Scale: gaps come from a lag over the o_custkey exchange; the
+    * customer dim broadcasts; the percentile window sorts per SEGMENT
+    * (5 natural partitions of the gap stream — the demo grain; the
+    * bucketed q_percentile_dist ranking is the swap if segments were
+    * high-cardinality). */
+  val qOrderCadence: QueryDef = QueryDef(
+    "q_order_cadence",
+    (s, d) => {
+      val wCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(wCust))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
+      val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val wSeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("gap_days"))
+      gaps
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .withColumn("cd", cume_dist().over(wSeg))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          min(when(col("cd") >= 0.5, col("gap_days"))).as("p50_gap"),
+          min(when(col("cd") >= 0.9, col("gap_days"))).as("p90_gap"),
+          round(avg(col("gap_days")), 2).as("avg_gap"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_custkey,
+               datediff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+        FROM orders
+      ), j AS (
+        SELECT c_mktsegment, gap_days
+        FROM g JOIN customer ON o_custkey = c_custkey
+        WHERE gap_days IS NOT NULL
+      )
+      SELECT c_mktsegment, count(*) AS n_gaps,
+             quantile_disc(gap_days, 0.5) AS p50_gap,
+             quantile_disc(gap_days, 0.9) AS p90_gap,
+             round(avg(gap_days), 2) AS avg_gap
+      FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qIntervalOverlap, qRankTies, qCovExact, qSlidingDistinct, qPercentileDisc, qGapFill,
-    qValueAnomalies)
+    qValueAnomalies, qOrderCadence)
 }
