@@ -1014,6 +1014,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamScd2 open-version state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamScd2
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("scd2_out").toString
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, String, Long, Double)].collect()
+      .sortBy { case (_, eid, _, us, _) => (us, eid) }
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Long, String, Long, Double)]
+    def start() = StreamScd2.versions(
+        mem.toDF().toDF("user_id", "event_id", "event_type", "us", "value")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("timestamp_micros(us)").as("ts"), col("value")))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(StreamScd2.outputMode).start()
+    val q1 = start()
+    try { mem.addData(first.toSeq: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart: each key's OPEN version must resume from the checkpoint, so
+    // the first post-restart event CLOSES the pre-restart interval instead
+    // of starting a fresh history
+    val q2 = start()
+    try {
+      mem.addData(second.toSeq: _*); q2.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))
+      val streamed = spark.read.parquet(outDir).collect()
+        .groupBy(key)
+        // parquet sink appends; the CLOSED re-emission (non-null valid_to)
+        // supersedes the open one
+        .map { case (_, rs) =>
+          rs.maxBy(r => Option(r.getAs[java.lang.Long]("valid_to_us"))
+            .map(_.toLong).getOrElse(Long.MinValue))
+        }
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("op"), r.getAs[Long]("valid_from_us"),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+          r.getAs[Double]("value")).toString)
+        .toSeq.sorted
+      val batch = graft.operators.Cdc.cdcScd2.fn(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("op"), r.getAs[Long]("valid_from_us"),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+          r.getAs[Double]("value")).toString)
+        .toSeq.sorted
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"post-restart stream (${streamed.length}) != batch (${batch.length})")
+    } finally q2.stop()
+  }
+
   test("StreamQuality verdicts aggregate to the exact batch quality-filter waterfall") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
