@@ -526,8 +526,172 @@ object Curation {
     """.stripMargin.trim)
   )
 
+  /** PII scrub — the redaction pass every published pretraining corpus
+    * runs (C4 strips lines by blocklist; The Pile / RefinedWeb regex-mask
+    * emails, IPs and phone numbers). The synthetic corpus carries no PII,
+    * so the op first SEEDS each doc with deterministic doc_id-derived
+    * PII (an email, an IPv4, a phone, a second email on every third doc —
+    * identical construction in the oracle), then masks with the three
+    * conservative patterns below and reports per-doc match counts, the
+    * redaction byte delta, and the cleaned-text digest.
+    *
+    * Regex parity: all three patterns avoid lookaround/backrefs, so the
+    * Java regex engine (Spark) and RE2 (DuckDB) match identically; the
+    * oracle passes the 'g' flag since DuckDB's regexp_replace is
+    * first-match-only by default while Spark's always replaces all.
+    *
+    * Scale shape: a pure narrow map — codegen'd string expressions, zero
+    * exchanges; at 100 TB this pipelines with the quality filter in one
+    * scan. */
+  val pipelinePiiScrub: QueryDef = QueryDef(
+    "pipeline_pii_scrub",
+    (s, d) => {
+      val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipRe    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phoneRe = """\b\d{3}-\d{4}\b"""
+      val seeded = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" via 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+        pmod(col("doc_id"), lit(100)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@mail.example.org")))
+          .otherwise(lit("")),
+        lit(" tel 555-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"))
+      val clean = regexp_replace(
+        regexp_replace(
+          regexp_replace(seeded, emailRe, "[EMAIL]"),
+          ipRe, "[IP]"),
+        phoneRe, "[PHONE]")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_count(seeded, lit(emailRe)).as("n_emails"),
+          regexp_count(seeded, lit(ipRe)).as("n_ips"),
+          regexp_count(seeded, lit(phoneRe)).as("n_phones"),
+          (length(seeded) - length(clean)).cast("long").as("chars_redacted"),
+          md5(clean).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com' ||
+                 ' via 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' cc admin' || doc_id || '@mail.example.org'
+                      ELSE '' END ||
+                 ' tel 555-' || (doc_id % 9000 + 1000) AS t
+        FROM documents
+      ), cleaned AS (
+        SELECT doc_id, t,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                 '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS c
+        FROM seeded
+      )
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+             len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ips,
+             len(regexp_extract_all(t, '\b\d{3}-\d{4}\b'))::INT AS n_phones,
+             (length(t) - length(c))::BIGINT AS chars_redacted,
+             md5(c) AS clean_md5
+      FROM cleaned
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
+  /** Token-BUDGET allocation — the training-mix planning table: given a
+    * corpus-wide token budget B (80% of available mass here), split it
+    * across (lang, source) domains by quality-weighted availability
+    * (weight = mult(lang) × available tokens; en upweighted 8×, zh 1×,
+    * rest 2× — the LLaMA/Gopher-style mix reweighting) with per-domain
+    * availability CAPS and one water-filling redistribution round:
+    * domains whose proportional share exceeds their mass are clamped to
+    * it and the leftover re-splits over the uncapped domains by the same
+    * weights (again clamped). Reports per-domain available/allocated
+    * tokens and the sampling rate in permille (1000 = a full epoch of the
+    * domain).
+    *
+    * Everything is integer arithmetic (`div` / `//` floor identically on
+    * the non-negative operands), so the plan is hash-exact vs the oracle.
+    * `B * w` products stay < 2⁶³ up to ~10¹² tokens per side; a 100 TB
+    * corpus swaps the two products to DECIMAL(38) — same plan.
+    *
+    * Scale shape: one corpus aggregate down to ≤ langs×sources rows, then
+    * two whole-frame windows over that tiny frame (same single-partition
+    * exchange, [[graft.Registry.wholeFrameKey]]); the fact is scanned
+    * once. */
+  val pipelineTokenBudget: QueryDef = QueryDef(
+    "pipeline_token_budget",
+    (s, d) => {
+      val whole = Window.partitionBy(graft.Registry.wholeFrameKey(col("avail")))
+      val perDomain = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          graft.plans.StringKernels.spaceSegCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_tokens")).as("avail"))
+        .withColumn("w",
+          col("avail") * when(col("lang") === "en", 8L)
+            .when(col("lang") === "zh", 1L).otherwise(2L))
+      val round1 = perDomain
+        .withColumn("sum_avail", sum(col("avail")).over(whole))
+        .withColumn("sum_w", sum(col("w")).over(whole))
+        .withColumn("budget", expr("(4 * sum_avail) div 5"))
+        .withColumn("alloc1", least(col("avail"), expr("(budget * w) div sum_w")))
+      val whole2 = Window.partitionBy(graft.Registry.wholeFrameKey(col("alloc1")))
+      round1
+        .withColumn("leftover", col("budget") - sum(col("alloc1")).over(whole2))
+        .withColumn("unc_w",
+          sum(when(col("alloc1") < col("avail"), col("w")).otherwise(0L)).over(whole2))
+        .select(
+          col("lang"), col("source"), col("avail"),
+          least(col("avail"),
+            col("alloc1") + when(col("alloc1") < col("avail") && col("unc_w") > 0,
+              expr("(leftover * w) div unc_w")).otherwise(0L)).as("alloc"))
+        .withColumn("rate_permille", expr("(1000 * alloc) div avail"))
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH dom AS (
+        SELECT lang, source,
+               sum(len(string_split(text, ' ')))::BIGINT AS avail
+        FROM documents
+        GROUP BY lang, source
+      ), wtd AS (
+        SELECT *, avail * (CASE WHEN lang = 'en' THEN 8
+                                WHEN lang = 'zh' THEN 1 ELSE 2 END)::BIGINT AS w
+        FROM dom
+      ), r1 AS (
+        SELECT *,
+               ((4 * sum(avail) OVER ()) // 5)::BIGINT AS budget,
+               (sum(w) OVER ())::BIGINT AS sum_w
+        FROM wtd
+      ), a1 AS (
+        SELECT *, least(avail, ((budget * w) // sum_w)::BIGINT) AS alloc1 FROM r1
+      ), r2 AS (
+        SELECT *,
+               (budget - sum(alloc1) OVER ())::BIGINT AS leftover,
+               (sum(CASE WHEN alloc1 < avail THEN w ELSE 0 END) OVER ())::BIGINT AS unc_w
+        FROM a1
+      )
+      SELECT lang, source, avail, alloc,
+             ((1000 * alloc) // avail)::BIGINT AS rate_permille
+      FROM (
+        SELECT lang, source, avail,
+               least(avail, alloc1 + CASE WHEN alloc1 < avail AND unc_w > 0
+                 THEN ((leftover * w) // unc_w)::BIGINT ELSE 0 END) AS alloc
+        FROM r2)
+      ORDER BY lang, source
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     pipelineContamination, pipelinePackSequences, pipelineStratifiedSample,
     pipelineQualityFilter, textTokenLenHist, pipelineDomainMix,
-    pipelineShardManifest, pipelineE2eManifest, pipelineDedupReport)
+    pipelineShardManifest, pipelineE2eManifest, pipelineDedupReport,
+    pipelinePiiScrub, pipelineTokenBudget)
 }

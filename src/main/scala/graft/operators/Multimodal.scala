@@ -235,6 +235,62 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
+  /** Modality-MIX manifest — the per-source modality budget table a
+    * multimodal corpus publishes: item counts, byte mass, mean item size
+    * and each (source, modality) cell's share of the corpus byte budget
+    * in permille. Modality here is a deterministic md5-derived tag (the
+    * synthetic payloads carry no container magic; a real corpus reads the
+    * sniffed magic of [[mmBinaryMeta]] instead — same plan).
+    *
+    * Scale shape: one corpus aggregate to ≤ sources×4 rows, then a
+    * whole-frame window over that tiny frame for the global byte total
+    * ([[graft.Registry.wholeFrameKey]]); payload bytes never shuffle —
+    * only (source, modality, byte_len). */
+  val mmModalityMix: QueryDef = QueryDef(
+    "mm_modality_mix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(4))
+      val tagged = Tables.documents(s, d)
+        .select(
+          col("source"),
+          element_at(lit(Array("image", "audio", "video", "text")), (bucket + 1).cast("int"))
+            .as("modality"),
+          length(col("text").cast("binary")).cast("long").as("byte_len"))
+      val cells = tagged
+        .groupBy(col("source"), col("modality"))
+        .agg(count(lit(1)).as("n_items"), sum(col("byte_len")).as("bytes"))
+      cells
+        .withColumn("g", sum(col("bytes")).over(
+          Window.partitionBy(graft.Registry.wholeFrameKey(col("bytes")))))
+        .select(col("source"), col("modality"), col("n_items"), col("bytes"),
+          expr("bytes div n_items").as("mean_bytes"),
+          expr("(1000 * bytes) div g").as("share_pm"))
+        .orderBy("source", "modality")
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT source,
+               (['image', 'audio', 'video', 'text'])[
+                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4)::INT + 1
+               ] AS modality,
+               octet_length(text::BLOB)::BIGINT AS byte_len
+        FROM documents
+      ), cells AS (
+        SELECT source, modality, count(*) AS n_items, sum(byte_len)::BIGINT AS bytes
+        FROM tagged
+        GROUP BY source, modality
+      )
+      SELECT source, modality, n_items, bytes,
+             bytes // n_items AS mean_bytes,
+             (1000 * bytes) // (sum(bytes) OVER ())::BIGINT AS share_pm
+      FROM cells
+      ORDER BY source, modality
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub, mmFrameSample, mmResizeStub,
-    mmDedupBinary)
+    mmDedupBinary, mmModalityMix)
 }
