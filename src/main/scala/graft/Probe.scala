@@ -11,14 +11,22 @@ object Probe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
-    for (name <- Seq("text_ngram_novelty", "pipeline_dedup_report",
-        "cdc_bucket_repair", "q_copurchase_pairs", "q_yoy_revenue")) {
-      println(s"##PLAN## $name")
-      println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).linesIterator
-        .takeWhile(_.nonEmpty).mkString("\n"))
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    def top5(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, d).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val exact = top5("ann_bruteforce")
+    val pq = top5("ann_pq")
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      val r = (exact(q) & pq.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      println(s"q$q recall@5 = $r")
+      r
     }
+    println(f"##MEAN## ${recalls.sum / recalls.size}%.3f")
+    val codes = SparkEntry.queries("emb_pq_codes")(spark, d)
+    codes.show(5, false)
+    println("##ERR## " + codes.agg(org.apache.spark.sql.functions.avg("err")).head.getDouble(0))
     spark.stop()
   }
 }

@@ -771,6 +771,150 @@ object Similarity {
     """.stripMargin.trim)
   )
 
+  // ---------------------------------------------------------------- PQ ----
+
+  /** PQ geometry: M=16 subspaces × 4 dims, K=16 centroids each → 16×4 bits
+    * = 8 BYTES per vector (vs 256 of float32) plus exact ids. This corpus
+    * is uniform-random (no cluster structure — PQ's worst case), so the
+    * geometry leans fine-grained; real embedding manifolds compress far
+    * better at the same bit budget. */
+  private val PqM = 16
+  private val PqK = 16
+  private def pqSubDim = Dim / PqM
+
+  /** ADC shortlist width before the exact rerank — 128 candidates of the
+    * corpus per query (FAISS's IVFPQ re-rank pattern: codes pick the
+    * shortlist, original vectors rank the final k). */
+  private val PqShortlist = 128
+
+  /** Deterministic PQ codebooks: per subspace, a driver-local L2 Lloyd over
+    * a BOUNDED training sample (the 256 lowest vec_ids, L2-normalized).
+    * Real PQ deployments train exactly this way — a fixed-size sample on
+    * one node (FAISS trains on ~10⁵ vectors regardless of corpus size),
+    * then the corpus encode is the distributed part — so the sample
+    * collect is the declared model build, not a scale leak. */
+  private[graft] def pqBooks(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    val sample = withNorm(s, d).filter(col("vec_id") < 256)
+      .orderBy(col("vec_id"))
+      .select(col("embedding"), col("nrm")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+        val n = r.getDouble(1)
+        if (n == 0) v else v.map(_ / n)
+      }
+    Array.tabulate(PqM) { mm =>
+      lloydL2(sample.map(_.slice(mm * pqSubDim, (mm + 1) * pqSubDim)), PqK)
+    }
+  }
+
+  /** Driver-local plain-L2 Lloyd over a (tiny) point set: strided
+    * deterministic init (every n/k-th point of the sample order), ties to
+    * the lower centroid, empty cells keep their previous position. */
+  private def lloydL2(pts: Array[Array[Double]], k: Int, iters: Int = 10): Array[Array[Double]] = {
+    if (pts.length <= k) return pts
+    val dim = pts.head.length
+    var centers = Array.tabulate(k)(i => pts(i * pts.length / k))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Int](k)
+      for (p <- pts) {
+        var bestJ = 0
+        var bestD = Double.PositiveInfinity
+        for (j <- 0 until k) {
+          var acc = 0.0
+          var t = 0
+          while (t < dim) { val dl = p(t) - centers(j)(t); acc += dl * dl; t += 1 }
+          if (acc < bestD) { bestD = acc; bestJ = j }
+        }
+        var t = 0
+        while (t < dim) { sums(bestJ)(t) += p(t); t += 1 }
+        cnt(bestJ) += 1
+      }
+      centers = Array.tabulate(k)(j =>
+        if (cnt(j) == 0) centers(j) else sums(j).map(_ / cnt(j)))
+    }
+    centers
+  }
+
+  /** Product-quantization CODES + distortion for every vector — the
+    * compressed index build (Jégou et al. 2011; the 100 TB story: 4-byte
+    * codes make a trillion-vector index ~4 TB, RAM-resident on a modest
+    * serving tier, while float32 would need 256 TB).
+    *
+    * Scale shape: the codebook tensor is ONE plan constant inside the
+    * codegen'd [[graft.plans.PqEncode]] kernel; the encode is a narrow
+    * map over the corpus — zero exchanges, the same shape as ann_ivf's
+    * assignment. The struct is projected once; codes and err read from
+    * the materialized column. Approximate model (trained codebooks) → no
+    * SQL oracle; distortion- and determinism-tested in the spec, serving
+    * recall in [[annPq]]'s. */
+  val embPqCodes: QueryDef = QueryDef(
+    "emb_pq_codes",
+    (s, d) => {
+      val books = pqBooks(s, d)
+      emb(s, d)
+        .withColumn("pq", graft.plans.VectorExpressions.pqEncode(col("embedding"), books))
+        .select(
+          col("vec_id"),
+          array_join(col("pq").getField("codes").cast("array<string>"), ",").as("codes"),
+          round(col("pq").getField("err"), 6).as("err"))
+        .orderBy("vec_id")
+    },
+    None // approximate (trained model): distortion/determinism spec + annPq recall
+  )
+
+  /** PQ SERVING: asymmetric-distance top-5 ANN — queries build an M×K
+    * lookup table ([[graft.plans.PqLut]], narrow map over the 8-row query
+    * set), the corpus is scanned by its 4-byte codes only
+    * ([[graft.plans.PqAdc]]: M array reads per row, memory-bound — float
+    * vectors are never touched at scan time), exact ranking within the
+    * top-5 window. For normalized vectors ADC² = 2−2·cos, so ascending
+    * ADC is descending approximate cosine.
+    *
+    * Scale shape: same broadcast-queries × linear-scan plan as
+    * [[annBruteforce]] but over 64× less scan payload; at 100 TB this is
+    * the shape that keeps ANN serving I/O-bound on codes, with optional
+    * IVF cells composed upstream (route by cell, then ADC within cells). */
+  val annPq: QueryDef = QueryDef(
+    "ann_pq",
+    (s, d) => {
+      val books = pqBooks(s, d)
+      val base = withNorm(s, d)
+      val corpus = base.select(
+        col("vec_id").as("neighbor_id"),
+        graft.plans.VectorExpressions.pqEncode(col("embedding"), books)
+          .getField("codes").as("codes"))
+      val queries = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          graft.plans.VectorExpressions.pqLut(col("embedding"), books).as("lut"))
+      val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+      // Stage 1 — ADC shortlist: the corpus is scanned by its 8-byte codes
+      // only (M lut reads/row); ids+ADC survive, vectors don't move.
+      val shortlist = corpus
+        .crossJoin(broadcast(queries))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc", graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut")))
+        .withColumn("arank", row_number().over(adcW))
+        .filter(col("arank") <= PqShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      // Stage 2 — exact rerank: ONLY the shortlist re-joins full vectors
+      // (8×PqShortlist rows), exact cosine picks the final top-5.
+      val qVec = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val cosW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      shortlist
+        .join(base.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col("nrm").as("cn")), Seq("neighbor_id"))
+        .join(broadcast(qVec), Seq("query_id"))
+        .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+        .withColumn("rank", row_number().over(cosW))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+    None // approximate: recall-tested against ann_bruteforce in the spec
+  )
+
   val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, dedupSemantic,
-    annLsh, annIvf, annIvfK, embOutliers, embCosineHist)
+    annLsh, annIvf, annIvfK, embOutliers, embCosineHist, embPqCodes, annPq)
 }

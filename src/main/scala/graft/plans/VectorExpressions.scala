@@ -502,6 +502,332 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization ENCODER (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): the L2-normalized input vector is
+  * split into `M = books.length` contiguous subvectors and each subvector
+  * is assigned to its nearest (squared-L2) centroid in that subspace's
+  * codebook — `M × log₂(K)` bits per vector (8 bytes at M=8, K=16 vs 256
+  * bytes of float32: the compression that lets 100 TB of embeddings fit a
+  * serving tier's RAM). Returns `struct<codes: array<int>, err: double>`
+  * where `err` is the total squared reconstruction error (quantization
+  * distortion) — callers project the struct ONCE and read both fields from
+  * the materialized column.
+  *
+  * Same plan-constant design as [[NearestCells]]: the `M×K×subDim` codebook
+  * tensor rides along as ONE reference object, generated code is three
+  * primitive loops — constant codegen size in M and K, fully inside
+  * whole-stage codegen, zero exchanges. Ties break toward the lower
+  * centroid index; zero vectors encode against the raw (unnormalizable)
+  * zeros. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private def m: Int = books.length
+  private def kk: Int = books.head.length
+  private def subDim: Int = books.head.head.length
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode expects array<float|double> input, got ${child.dataType}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("err", DoubleType, nullable = false)))
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val nd = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < nd) {
+      val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      ss += xi * xi
+      i += 1
+    }
+    val inv = if (ss > 0) 1.0 / math.sqrt(ss) else 1.0
+    val codes = new Array[Int](m)
+    var err = 0.0
+    var mm = 0
+    while (mm < m) {
+      val book = books(mm)
+      val base = mm * subDim
+      var bestK = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < kk) {
+        val cent = book(c)
+        var dist = 0.0
+        var j = 0
+        while (j < subDim) {
+          val idx = base + j
+          val xv = if (idx < nd) {
+            (if (isFloat) x.getFloat(idx).toDouble else x.getDouble(idx)) * inv
+          } else 0.0
+          val dlt = xv - cent(j)
+          dist += dlt * dlt
+          j += 1
+        }
+        // strict < : ties keep the lower centroid index
+        if (dist < bestD) { bestD = dist; bestK = c }
+        c += 1
+      }
+      codes(mm) = bestK
+      err += bestD
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes), err))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val nd = ctx.freshName("nd")
+      val ss = ctx.freshName("ss")
+      val inv = ctx.freshName("inv")
+      val i = ctx.freshName("i")
+      val codes = ctx.freshName("codes")
+      val err = ctx.freshName("err")
+      val mm = ctx.freshName("mm")
+      val book = ctx.freshName("book")
+      val base = ctx.freshName("base")
+      val bestK = ctx.freshName("bestK")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val dist = ctx.freshName("dist")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val xv = ctx.freshName("xv")
+      val dlt = ctx.freshName("dlt")
+      val xi = ctx.freshName("xi")
+      def get(at: String): String =
+        if (isFloat) s"((double) $v.getFloat($at))" else s"$v.getDouble($at)"
+      s"""
+         |int $nd = $v.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $nd; $i++) { double $xi = ${get(i)}; $ss += $xi * $xi; }
+         |double $inv = $ss > 0 ? 1.0 / java.lang.Math.sqrt($ss) : 1.0;
+         |int[] $codes = new int[$m];
+         |double $err = 0.0;
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  double[][] $book = $booksRef[$mm];
+         |  int $base = $mm * $subDim;
+         |  int $bestK = 0;
+         |  double $bestD = java.lang.Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $kk; $c++) {
+         |    double[] $cent = $book[$c];
+         |    double $dist = 0.0;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      int $idx = $base + $j;
+         |      double $xv = $idx < $nd ? ${get(idx)} * $inv : 0.0;
+         |      double $dlt = $xv - $cent[$j];
+         |      $dist += $dlt * $dlt;
+         |    }
+         |    if ($dist < $bestD) { $bestD = $dist; $bestK = $c; }
+         |  }
+         |  $codes[$mm] = $bestK;
+         |  $err += $bestD;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{new org.apache.spark.sql.catalyst.util.GenericArrayData($codes),
+         |               java.lang.Double.valueOf($err)});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC lookup-table builder (the query-side half of PQ serving): for the
+  * L2-normalized input vector, the squared L2 distance from each of its M
+  * subvectors to EVERY centroid of that subspace's codebook, flattened to
+  * `array<double>` of length M×K (`lut[m*K + k]`). One narrow map over the
+  * (tiny) query set; [[PqAdc]] then scores a corpus row with M array reads
+  * — no float vector is touched at scan time, which is the point of PQ. */
+case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private def m: Int = books.length
+  private def kk: Int = books.head.length
+  private def subDim: Int = books.head.head.length
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_lut expects array<float|double> input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val nd = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < nd) {
+      val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      ss += xi * xi
+      i += 1
+    }
+    val inv = if (ss > 0) 1.0 / math.sqrt(ss) else 1.0
+    val out = new Array[Double](m * kk)
+    var mm = 0
+    while (mm < m) {
+      val book = books(mm)
+      val base = mm * subDim
+      var c = 0
+      while (c < kk) {
+        val cent = book(c)
+        var dist = 0.0
+        var j = 0
+        while (j < subDim) {
+          val idx = base + j
+          val xv = if (idx < nd) {
+            (if (isFloat) x.getFloat(idx).toDouble else x.getDouble(idx)) * inv
+          } else 0.0
+          val dlt = xv - cent(j)
+          dist += dlt * dlt
+          j += 1
+        }
+        out(mm * kk + c) = dist
+        c += 1
+      }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val nd = ctx.freshName("nd")
+      val ss = ctx.freshName("ss")
+      val inv = ctx.freshName("inv")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val out = ctx.freshName("out")
+      val mm = ctx.freshName("mm")
+      val book = ctx.freshName("book")
+      val base = ctx.freshName("base")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val dist = ctx.freshName("dist")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val xv = ctx.freshName("xv")
+      val dlt = ctx.freshName("dlt")
+      def get(at: String): String =
+        if (isFloat) s"((double) $v.getFloat($at))" else s"$v.getDouble($at)"
+      s"""
+         |int $nd = $v.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $nd; $i++) { double $xi = ${get(i)}; $ss += $xi * $xi; }
+         |double $inv = $ss > 0 ? 1.0 / java.lang.Math.sqrt($ss) : 1.0;
+         |double[] $out = new double[${m * kk}];
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  double[][] $book = $booksRef[$mm];
+         |  int $base = $mm * $subDim;
+         |  for (int $c = 0; $c < $kk; $c++) {
+         |    double[] $cent = $book[$c];
+         |    double $dist = 0.0;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      int $idx = $base + $j;
+         |      double $xv = $idx < $nd ? ${get(idx)} * $inv : 0.0;
+         |      double $dlt = $xv - $cent[$j];
+         |      $dist += $dlt * $dlt;
+         |    }
+         |    $out[$mm * $kk + $c] = $dist;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric distance computation: approximate squared L2 distance of a
+  * PQ-coded corpus vector ([[PqEncode]] `codes`, array<int> of length M)
+  * from the query behind a [[PqLut]] table (array<double> of length M×K) —
+  * `Σₘ lut[m*K + codes[m]]`. K is recovered as `lut.length / codes.length`,
+  * so one registered function serves any (M, K) geometry. For normalized
+  * vectors squared L2 is `2 − 2·cos`: ADC ascending IS approximate cosine
+  * descending. M array reads per corpus row — the memory-bound scan rate
+  * PQ serving is chosen for. */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc expects (array<int> codes, array<double> lut), got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m == 0) 0.0
+    else {
+      val k = lut.numElements() / m
+      var acc = 0.0
+      var mm = 0
+      while (mm < m) {
+        acc += lut.getDouble(mm * k + codes.getInt(mm))
+        mm += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      val mm = ctx.freshName("mm")
+      s"""
+         |int $m = $a.numElements();
+         |double $acc = 0.0;
+         |if ($m > 0) {
+         |  int $k = $b.numElements() / $m;
+         |  for (int $mm = 0; $mm < $m; $mm++) {
+         |    $acc += $b.getDouble($mm * $k + $a.getInt($mm));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-API entry point: dot(a, b) over array<float|double> columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -529,6 +855,19 @@ object VectorExpressions {
     * constant), so Column-API-only. */
   def nearestCells(v: Column, cents: Array[Array[Double]], topN: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(v), cents, topN))
+
+  /** Column-API entry point: PQ encoding — struct<codes, err>. Codebook
+    * tensor is a plan constant, so Column-API-only. */
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(v), books))
+
+  /** Column-API entry point: PQ ADC lookup table — array<double>, M×K. */
+  def pqLut(v: Column, books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqLut(Bridge.expression(v), books))
+
+  /** Column-API entry point: ADC score of PQ codes against a LUT. */
+  def pqAdc(codes: Column, lut: Column): Column =
+    Bridge.column(PqAdc(Bridge.expression(codes), Bridge.expression(lut)))
 
   /** Register `graft_dot` in the session's function registry so plain
     * `spark.sql("SELECT graft_dot(a, b) ...")` reaches the native kernel. */
@@ -570,6 +909,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_sorted_jaccard"),
       info("graft_sorted_jaccard", "graft_sorted_jaccard(a, b) - exact Jaccard of two sorted array<bigint> sets"),
       (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
+      info("graft_pq_adc", "graft_pq_adc(codes, lut) - asymmetric PQ distance: sum of lut[m*K + codes[m]]"),
+      (exprs: Seq[Expression]) => PqAdc(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_ntokens"),
       info("graft_ntokens", "graft_ntokens(s) - space-separated segment count, = size(split(s, ' ')), zero-allocation"),
       (exprs: Seq[Expression]) => SpaceSegCount(exprs.head)))

@@ -145,6 +145,58 @@ class PipelineSpec extends SparkSpec {
     assert(seeds.zip(again).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("ann_pq (ADC shortlist + exact rerank) reaches >= 70% recall@5") {
+    val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val approx = Similarity.annPq.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = approx.intersect(exact).count().toDouble
+    // measured 0.975 on this corpus (0.90 at sf0.1); bound leaves noise room
+    assert(hit / exact.count() >= 0.7, s"PQ recall ${hit / exact.count()} too low")
+  }
+
+  test("emb_pq_codes: valid geometry, bounded distortion, deterministic training") {
+    val codes = Similarity.embPqCodes.fn(spark, sfDir).collect()
+    assert(codes.length == 500)
+    // every vector carries M=16 codes in [0, K=16)
+    codes.foreach { r =>
+      val cs = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(cs.length == 16 && cs.forall(c => c >= 0 && c < 16),
+        s"bad code row: ${r.getAs[String]("codes")}")
+    }
+    // distortion: a unit vector quantized to 64 bits must keep well over
+    // half its energy even on this uniform-random (worst-case) corpus —
+    // measured mean err 0.33; 0.5 is the degeneracy guard
+    val meanErr = codes.map(_.getAs[Double]("err")).sum / codes.length
+    assert(meanErr > 0.0 && meanErr < 0.5, s"mean PQ distortion $meanErr out of band")
+    // training is deterministic: same corpus, bit-identical codebooks
+    val b1 = Similarity.pqBooks(spark, sfDir)
+    val b2 = Similarity.pqBooks(spark, sfDir)
+    assert(b1.length == 16 && b1.head.length == 16 && b1.head.head.length == 4)
+    assert(b1.zip(b2).forall { case (ma, mb) =>
+      ma.zip(mb).forall { case (ca, cb) => ca.sameElements(cb) } })
+  }
+
+  test("PqAdc kernel sums lut entries at the coded offsets") {
+    import spark.implicits._
+    // M=2 codebooks, K=3 centroids: lut laid out [m0k0 m0k1 m0k2 m1k0 ...]
+    val df = Seq((Seq(1, 2), Seq(10.0, 20.0, 30.0, 1.0, 2.0, 3.0)))
+      .toDF("codes", "lut")
+    val adc = df.select(
+      graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut")).as("adc"))
+      .head.getDouble(0)
+    assert(adc == 20.0 + 3.0, s"ADC $adc != 23.0")
+    // PqEncode/PqLut consistency: ADC of a vector's own codes against its
+    // own lut equals its own quantization error (same books, same vector)
+    val books = Similarity.pqBooks(spark, sfDir)
+    val one = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 7)
+      .select(
+        graft.plans.VectorExpressions.pqEncode(col("embedding"), books).as("pq"),
+        graft.plans.VectorExpressions.pqLut(col("embedding"), books).as("lut"))
+      .select(col("pq").getField("codes").as("codes"), col("pq").getField("err").as("err"), col("lut"))
+      .withColumn("adc", graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut")))
+      .head
+    assert(math.abs(one.getAs[Double]("adc") - one.getAs[Double]("err")) < 1e-12)
+  }
+
   test("ngram-jaccard block cap bounds pairwise join input per block") {
     // With an artificially tiny cap, no (lang, source) block feeds more
     // than cap docs into the pairwise join — the worst case is

@@ -228,10 +228,11 @@ class PlanAuditSpec extends SparkSpec {
     // cdc_staleness / q_decayed_sum (1-row watermark/frontier), text_tfidf
     // (1-row corpus count), q_idle_customers (1-row balance average),
     // pipeline_dedup_report (1-row stage counts × 1-row line counts).
+    // ann_pq broadcasts the 8-row query LUT set against the code scan.
     // Anything new showing up here is a regression.
     val allowNlj = Set("ann_bruteforce", "cdc_incremental", "cdc_staleness",
       "q_decayed_sum", "text_tfidf", "q_idle_customers", "cdc_purge_audit",
-      "pipeline_dedup_report", "emb_cosine_hist")
+      "pipeline_dedup_report", "emb_cosine_hist", "ann_pq")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
