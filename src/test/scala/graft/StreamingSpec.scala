@@ -1069,6 +1069,92 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("StreamAsof late-click re-emission, tie rule, and watermark protocol") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAsof
+    val mem = MemoryStream[(Long, Long, String, Long, Double)]
+    val sec = 1000000L
+    val asof = StreamAsof.enriched(
+      mem.toDF().toDF("user_id", "event_id", "event_type", "us", "value")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("timestamp_micros(us)").as("ts"), col("value"))
+        .withWatermark("ts", "1 minute"))
+    val q = asof.writeStream.format("memory").queryName("asof_protocol")
+      .outputMode(StreamAsof.outputMode).start()
+    try {
+      mem.addData((1L, 1L, "click", 10 * sec, 0.0), (1L, 2L, "purchase", 20 * sec, 5.005))
+      q.processAllAvailable()
+      // purchase 2 emitted once, matched to the 10 s click; value HALF_UP
+      val first = spark.table("asof_protocol").collect()
+        .filter(_.getAs[Long]("purchase_id") == 2L)
+      assert(first.length == 1 && first.head.getAs[Long]("click_us") == 10 * sec)
+      assert(first.head.getAs[Double]("purchase_value") == 5.01)
+      // late click at 15 s (within the lateness window) improves it;
+      // same-ts click eid=4 must NOT count for purchase 2 (eid 4 > 2)
+      // but must count for the later purchase eid=5 at the same ts
+      mem.addData((1L, 3L, "click", 15 * sec, 0.0), (1L, 4L, "click", 20 * sec, 0.0),
+        (1L, 5L, "purchase", 20 * sec, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_protocol").collect()
+      val p2 = rows.filter(_.getAs[Long]("purchase_id") == 2L)
+        .map(_.getAs[Long]("click_us"))
+      assert(p2.toSet == Set(10 * sec, 15 * sec),
+        s"purchase 2 emissions: ${p2.mkString(",")} — late click must re-emit, same-ts click must not")
+      val p5 = rows.filter(_.getAs[Long]("purchase_id") == 5L)
+        .map(_.getAs[Long]("click_us"))
+      assert(p5.toSeq == Seq(20 * sec), s"purchase 5: ${p5.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("StreamAsof last-emission reconstruction equals batch q_asof_join exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAsof
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, String, Long, Double)].collect()
+      .sortBy { case (_, eid, _, us, _) => (us, eid) }
+    val mem = MemoryStream[(Long, Long, String, Long, Double)]
+    val asof = StreamAsof.enriched(
+      mem.toDF().toDF("user_id", "event_id", "event_type", "us", "value")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("timestamp_micros(us)").as("ts"), col("value"))
+        .withWatermark("ts", "1 minute"))
+    val q = asof.writeStream.format("memory").queryName("asof_parity")
+      .outputMode(StreamAsof.outputMode).start()
+    try {
+      val third = (rows.length + 2) / 3
+      rows.grouped(third).foreach { batch =>
+        mem.addData(batch.toSeq: _*); q.processAllAvailable()
+      }
+      // click_us is strictly increasing per purchase across emissions
+      // (None lowest), so the max reconstructs the final match
+      val streamed = spark.table("asof_parity").collect()
+        .groupBy(_.getAs[Long]("purchase_id"))
+        .map { case (_, rs) =>
+          rs.maxBy(r => Option(r.getAs[java.lang.Long]("click_us"))
+            .map(_.toLong).getOrElse(Long.MinValue))
+        }
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("purchase_us"),
+          Option(r.getAs[java.lang.Long]("click_us")).map(_.toLong),
+          r.getAs[Double]("purchase_value")).toString)
+        .toSeq.sorted
+      val batch = SparkEntry.queries("q_asof_join")(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("purchase_us"),
+          Option(r.getAs[java.lang.Long]("click_us")).map(_.toLong),
+          r.getAs[Double]("purchase_value")).toString)
+        .toSeq.sorted
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream (${streamed.length}) != batch (${batch.length})")
+    } finally q.stop()
+  }
+
   test("StreamQuality verdicts aggregate to the exact batch quality-filter waterfall") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
