@@ -17,13 +17,13 @@ object Probe {
         .groupBy(_.getAs[Long]("query_id"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
     val exact = top5("ann_bruteforce")
-    val pq = top5("ann_pq")
-    val recalls = exact.keys.toSeq.sorted.map { q =>
-      val r = (exact(q) & pq.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
-      println(s"q$q recall@5 = $r")
-      r
+    for (name <- Seq("ann_pq", "ann_ivfpq")) {
+      val pq = top5(name)
+      val recalls = exact.keys.toSeq.sorted.map { q =>
+        (exact(q) & pq.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      }
+      println(f"##MEAN $name## ${recalls.sum / recalls.size}%.3f")
     }
-    println(f"##MEAN## ${recalls.sum / recalls.size}%.3f")
     val codes = SparkEntry.queries("emb_pq_codes")(spark, d)
     codes.show(5, false)
     println("##ERR## " + codes.agg(org.apache.spark.sql.functions.avg("err")).head.getDouble(0))

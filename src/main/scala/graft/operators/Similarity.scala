@@ -897,24 +897,79 @@ object Similarity {
         .withColumn("arank", row_number().over(adcW))
         .filter(col("arank") <= PqShortlist)
         .select(col("query_id"), col("neighbor_id"))
-      // Stage 2 — exact rerank: ONLY the shortlist re-joins full vectors
-      // (8×PqShortlist rows), exact cosine picks the final top-5.
-      val qVec = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-      val cosW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-      shortlist
-        .join(base.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-          col("nrm").as("cn")), Seq("neighbor_id"))
-        .join(broadcast(qVec), Seq("query_id"))
-        .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
-        .withColumn("rank", row_number().over(cosW))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-        .orderBy("query_id", "rank")
+      pqRerank(base, shortlist)
+    },
+    None // approximate: recall-tested against ann_bruteforce in the spec
+  )
+
+  /** Exact-rerank tail shared by the PQ serving plans: ONLY the shortlist
+    * ids re-join full vectors (8×[[PqShortlist]] rows), exact cosine picks
+    * the final top-5. */
+  private def pqRerank(base: DataFrame, shortlist: DataFrame): DataFrame = {
+    val qVec = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cosW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("nrm").as("cn")), Seq("neighbor_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("rank", row_number().over(cosW))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVFPQ — the composed trillion-scale serving plan (FAISS's IVF+PQ, the
+    * layout behind every billion-vector index): the IVF coarse quantizer
+    * routes vectors into cells (inverted lists), each list stores only
+    * 8-byte PQ codes, queries probe their nprobe nearest cells and ADC-rank
+    * the probed codes, exact cosine reranks the shortlist. Search cost =
+    * (nprobe/K of the corpus) × M lut reads — both factors composable with
+    * corpus size.
+    *
+    * Plan shape: corpus side is one narrow map (cell tag + codes in a
+    * single pass — both `NearestCells` and `PqEncode` are plan-constant
+    * codegen kernels), candidates via the cell EQUI-join (broadcast 8×
+    * nprobe query rows), never a corpus cross join; the float vectors are
+    * touched only by the shortlist re-join. */
+  val annIvfPq: QueryDef = QueryDef(
+    "ann_ivfpq",
+    (s, d) => {
+      val nProbe = 4
+      val books = pqBooks(s, d)
+      val base = withNorm(s, d)
+      // same coarse quantizer training as ann_ivf: label-mean seeding + one
+      // Lloyd reassign-recompute round
+      var cents = normalizeRows(cellMeans(
+        emb(s, d).select(col("label").cast("int").as("cell"), col("embedding"))))
+      cents = normalizeRows(cellMeans(base.select(cellOf(cents).as("cell"), col("embedding"))))
+      val corpus = base.select(
+        cellOf(cents).as("cell"),
+        col("vec_id").as("neighbor_id"),
+        graft.plans.VectorExpressions.pqEncode(col("embedding"), books)
+          .getField("codes").as("codes"))
+      // 8 query rows explode to 8×nprobe probe rows, each carrying the LUT
+      val queries = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          graft.plans.VectorExpressions.pqLut(col("embedding"), books).as("lut"),
+          explode(transform(
+            graft.plans.VectorExpressions.nearestCells(col("embedding"), cents, nProbe),
+            c => c.getField("cell"))).as("cell"))
+      val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+      val shortlist = corpus
+        .join(broadcast(queries), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc", graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut")))
+        .withColumn("arank", row_number().over(adcW))
+        .filter(col("arank") <= PqShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      pqRerank(base, shortlist)
     },
     None // approximate: recall-tested against ann_bruteforce in the spec
   )
 
   val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, dedupSemantic,
-    annLsh, annIvf, annIvfK, embOutliers, embCosineHist, embPqCodes, annPq)
+    annLsh, annIvf, annIvfK, embOutliers, embCosineHist, embPqCodes, annPq,
+    annIvfPq)
 }

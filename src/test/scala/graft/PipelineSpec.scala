@@ -153,6 +153,15 @@ class PipelineSpec extends SparkSpec {
     assert(hit / exact.count() >= 0.7, s"PQ recall ${hit / exact.count()} too low")
   }
 
+  test("ann_ivfpq (cell routing + ADC + rerank) reaches >= 40% recall@5") {
+    val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val approx = Similarity.annIvfPq.fn(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = approx.intersect(exact).count().toDouble
+    // recall is bounded by the nprobe=4 cell routing (ann_ivf's ceiling),
+    // not by the PQ stage — the shortlist covers every probed cell here
+    assert(hit / exact.count() >= 0.4, s"IVFPQ recall ${hit / exact.count()} too low")
+  }
+
   test("emb_pq_codes: valid geometry, bounded distortion, deterministic training") {
     val codes = Similarity.embPqCodes.fn(spark, sfDir).collect()
     assert(codes.length == 500)
