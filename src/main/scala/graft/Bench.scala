@@ -81,7 +81,9 @@ object Bench {
     val sfTag = sfDir.split('/').last
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
-    try {
+    // Filtered (SPARK_GRAFT_QUERIES) runs are profiling scratch — never let
+    // them overwrite the full-run detail file the round commit picks up.
+    if (only.isEmpty) try {
       val detail =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullMap,"sf":"$sfTag"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),

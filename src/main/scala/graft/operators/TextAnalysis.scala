@@ -796,9 +796,56 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** First BPE ITERATION statistics (Sennrich et al. 2016): corpus-wide
+    * frequencies of adjacent character pairs within whitespace words — the
+    * exact count table the first merge step of byte-pair-encoding
+    * tokenizer training maximizes over. Top-40 pairs, count desc / pair
+    * asc (a total deterministic order, so the LIMIT is oracle-exact).
+    *
+    * Scale shape: one typed flatMap (the Generate pitfall rule) into a
+    * ≤charset²-key partial-aggregated count — map-side combine collapses
+    * the pair stream before its single tiny exchange; iterating merges
+    * (real BPE training) repeats this same linear pass with the merge
+    * table as a plan constant. */
+  val textBpePairs: QueryDef = QueryDef(
+    "text_bpe_pairs",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d)
+        .select(col("text"))
+        .as[String]
+        .flatMap { t =>
+          t.split(" ", -1).iterator.flatMap { w =>
+            (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
+          }
+        }
+        .toDF("pair")
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(40)
+    },
+    Some("""
+      WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ), pairs AS (
+        SELECT substr(w, i, 2) AS pair
+        FROM words, LATERAL (
+          SELECT unnest(range(1, length(w))) AS i) t
+        WHERE length(w) >= 2
+      )
+      SELECT pair, count(*) AS n
+      FROM pairs
+      GROUP BY pair
+      ORDER BY n DESC, pair
+      LIMIT 40
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
     textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
-    textRepetition, qZipfSlope, textLangidEval, textNgramNovelty, textEntropy
+    textRepetition, qZipfSlope, textLangidEval, textNgramNovelty, textEntropy,
+    textBpePairs
   )
 }
