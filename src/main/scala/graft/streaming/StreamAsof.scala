@@ -112,6 +112,23 @@ object StreamAsof {
       }
   }
 
+  /** TWO-STREAM as-of (the trades×quotes shape): independent probe and
+    * reference streams tag their lane and UNION before the keyed state —
+    * the `cdc_merge_sources` topology — so one watermark and one state
+    * store cover both inputs. `probes`/`refs`: streaming DataFrames with
+    * (user_id, event_id, ts, value), each with `withWatermark("ts", …)`
+    * already applied (Spark advances the joint watermark to the minimum
+    * of the lanes); every probe row is enriched with the latest
+    * at-or-before reference row, same protocol and bounds as
+    * [[enriched]]. */
+  def enriched2(probes: DataFrame, refs: DataFrame): Dataset[AsofRow] = {
+    val cols = Seq("user_id", "event_id", "event_type", "ts", "value").map(col)
+    enriched(
+      probes.withColumn("event_type", lit("purchase")).select(cols: _*)
+        .unionByName(
+          refs.withColumn("event_type", lit("click")).select(cols: _*)))
+  }
+
   /** Output mode the stateful operator requires. */
   val outputMode: OutputMode = OutputMode.Append()
 }

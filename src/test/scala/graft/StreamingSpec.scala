@@ -1155,6 +1155,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamAsof two-stream union topology equals batch q_asof_join exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAsof
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, String, Long, Double)].collect()
+      .sortBy { case (_, eid, _, us, _) => (us, eid) }
+    val memP = MemoryStream[(Long, Long, Long, Double)] // purchases lane
+    val memC = MemoryStream[(Long, Long, Long, Double)] // clicks lane
+    def lane(mem: MemoryStream[(Long, Long, Long, Double)]) =
+      mem.toDF().toDF("user_id", "event_id", "us", "value")
+        .select(col("user_id"), col("event_id"),
+          expr("timestamp_micros(us)").as("ts"), col("value"))
+        .withWatermark("ts", "1 minute")
+    val q = StreamAsof.enriched2(lane(memP), lane(memC))
+      .writeStream.format("memory").queryName("asof_two")
+      .outputMode(StreamAsof.outputMode).start()
+    try {
+      val third = (rows.length + 2) / 3
+      rows.grouped(third).foreach { batch =>
+        val (p, c) = batch.partition(_._3 == "purchase")
+        if (p.nonEmpty) memP.addData(p.map(r => (r._1, r._2, r._4, r._5)).toSeq: _*)
+        if (c.nonEmpty) memC.addData(c.map(r => (r._1, r._2, r._4, r._5)).toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_two").collect()
+        .groupBy(_.getAs[Long]("purchase_id"))
+        .map { case (_, rs) =>
+          rs.maxBy(r => Option(r.getAs[java.lang.Long]("click_us"))
+            .map(_.toLong).getOrElse(Long.MinValue))
+        }
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("purchase_us"),
+          Option(r.getAs[java.lang.Long]("click_us")).map(_.toLong),
+          r.getAs[Double]("purchase_value")).toString)
+        .toSeq.sorted
+      val batchRows = SparkEntry.queries("q_asof_join")(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("purchase_us"),
+          Option(r.getAs[java.lang.Long]("click_us")).map(_.toLong),
+          r.getAs[Double]("purchase_value")).toString)
+        .toSeq.sorted
+      assert(batchRows.nonEmpty)
+      assert(streamed == batchRows,
+        s"two-stream (${streamed.length}) != batch (${batchRows.length})")
+    } finally q.stop()
+  }
+
   test("StreamQuality verdicts aggregate to the exact batch quality-filter waterfall") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
