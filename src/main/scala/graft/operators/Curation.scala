@@ -689,9 +689,70 @@ object Curation {
     """.stripMargin.trim)
   )
 
+  /** Dataset CARD — the one-row datasheet ("Datasheets for Datasets",
+    * Gebru et al. 2021) a corpus publishes next to its shards: doc/token
+    * mass, language and source coverage, short-doc count, exact-duplicate
+    * mass and the mean document length.
+    *
+    * Scale shape: TWO corpus exchanges total — the ≤langs×sources domain
+    * aggregate (docs/tokens/short flags ride it; lang+source cardinalities
+    * then count over ~100 rows, no corpus-wide expand) and the md5(text)
+    * hash aggregate (the dedup_exact shuffle) for distinct-text mass; the
+    * two 1-row sides meet in a broadcast join. */
+  val pipelineDatasetCard: QueryDef = QueryDef(
+    "pipeline_dataset_card",
+    (s, d) => {
+      val dom = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          graft.plans.StringKernels.spaceSegCount(col("text")).as("toks"),
+          when(col("n_chars") < 200, 1L).otherwise(0L).as("short_flag"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("toks")).as("toks"),
+          sum(col("short_flag")).as("short"))
+      val c1 = dom.agg(
+        sum(col("n")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("short")).as("short_docs"))
+      val c2 = Tables.documents(s, d)
+        .select(md5(col("text")).as("h")).groupBy(col("h")).agg(count(lit(1)))
+        .agg(count(lit(1)).as("distinct_texts"))
+      c1.crossJoin(broadcast(c2))
+        .select(
+          col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+          col("short_docs"), col("distinct_texts"),
+          (col("n_docs") - col("distinct_texts")).as("dup_docs"),
+          expr("(1000 * (n_docs - distinct_texts)) div n_docs").as("dup_pm"),
+          expr("n_tokens div n_docs").as("mean_doc_tokens"))
+        .orderBy("n_docs")
+    },
+    Some("""
+      WITH dom AS (
+        SELECT lang, source, count(*) AS n,
+               sum(len(string_split(text, ' ')))::BIGINT AS toks,
+               sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS short
+        FROM documents GROUP BY lang, source
+      ), c1 AS (
+        SELECT sum(n)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               sum(short)::BIGINT AS short_docs
+        FROM dom
+      ), c2 AS (
+        SELECT count(DISTINCT md5(text))::BIGINT AS distinct_texts FROM documents
+      )
+      SELECT n_docs, n_tokens, n_langs, n_sources, short_docs, distinct_texts,
+             n_docs - distinct_texts AS dup_docs,
+             (1000 * (n_docs - distinct_texts)) // n_docs AS dup_pm,
+             n_tokens // n_docs AS mean_doc_tokens
+      FROM c1, c2
+      ORDER BY n_docs
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     pipelineContamination, pipelinePackSequences, pipelineStratifiedSample,
     pipelineQualityFilter, textTokenLenHist, pipelineDomainMix,
     pipelineShardManifest, pipelineE2eManifest, pipelineDedupReport,
-    pipelinePiiScrub, pipelineTokenBudget)
+    pipelinePiiScrub, pipelineTokenBudget, pipelineDatasetCard)
 }

@@ -28,7 +28,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     (`maxOldClickUs`), and only in-flight clicks stay individual.
   * So state is O(events inside the lateness window) + one long per key,
   * independent of stream length. Compaction runs whenever the key sees
-  * traffic; an idle-key sweep would use EventTimeTimeout the same way.
+  * traffic AND on an event-time timeout one lateness-window past the
+  * watermark, so idle keys sweep themselves down to the single compacted
+  * click maximum without waiting for their next event.
   *
   * Reference anchor: the batch operator at operators/Olap.scala
   * (`q_asof_join`); same output schema and rounding (`round(value, 2)`
@@ -62,15 +64,16 @@ object StreamAsof {
     import s.implicits._
     events
       .filter(col("event_type").isin("click", "purchase"))
-      // keep the WATERMARKED ts column itself (projecting it into a long
-      // would strip the watermark the stateful operator reads); µs derive
-      // inside the group function
+      // keep the WATERMARKED ts column itself, uncast — projecting it into
+      // a long OR re-casting it aliases a fresh attribute without the
+      // watermark tag, which EventTimeTimeout rejects; µs derive inside
+      // the group function
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        col("event_type"), col("ts").cast("timestamp"), col("value"))
+        col("event_type"), col("ts"), col("value"))
       .as[(Long, Long, String, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AsofState, AsofRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid, rawIt, state: GroupState[AsofState]) =>
           def usOf(ts: java.sql.Timestamp): Long =
             Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
@@ -98,7 +101,8 @@ object StreamAsof {
               out += AsofRow(p.event_id, uid, p.us, p.bestUs, p.value)
               st = st.copy(open = st.open :+ p)
           }
-          // watermark-bounded compaction (ms → µs)
+          // watermark-bounded compaction (ms → µs); also reached by the
+          // event-time timeout with an empty iterator — the idle-key sweep
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           if (wmUs > 0) {
             val (oldClicks, liveClicks) = st.clicks.partition(_._1 < wmUs)
@@ -108,6 +112,10 @@ object StreamAsof {
               st.open.filter(_.us >= wmUs))
           }
           state.update(st)
+          // while anything un-compacted remains, re-sweep one lateness
+          // window after the current watermark even if the key goes idle
+          if ((st.clicks.nonEmpty || st.open.nonEmpty) && wmUs > 0)
+            state.setTimeoutTimestamp(wmUs / 1000L + 60000L)
           out.result().iterator
       }
   }

@@ -232,7 +232,8 @@ class PlanAuditSpec extends SparkSpec {
     // Anything new showing up here is a regression.
     val allowNlj = Set("ann_bruteforce", "cdc_incremental", "cdc_staleness",
       "q_decayed_sum", "text_tfidf", "q_idle_customers", "cdc_purge_audit",
-      "pipeline_dedup_report", "emb_cosine_hist", "ann_pq")
+      "pipeline_dedup_report", "emb_cosine_hist", "ann_pq",
+      "pipeline_dataset_card")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -93,6 +93,44 @@ class PropertySpec extends SparkSpec {
     }, n = 50)
   }
 
+  test("PqEncode/PqLut/PqAdc agree with an independent recomputation") {
+    import spark.implicits._
+    // M=4 subspaces x 2 dims, K=3 centroids; vectors include the zero edge
+    val vecGen = Gen.frequency(
+      9 -> Gen.listOfN(8, Gen.choose(-5.0, 5.0).map(_.toFloat)),
+      1 -> Gen.const(List.fill(8)(0.0f)))
+    val bookGen = Gen.listOfN(4 * 3 * 2, Gen.choose(-1.0, 1.0))
+      .map(_.toArray.grouped(2).toArray.grouped(3).toArray)
+    assertProp(Prop.forAll(Gen.zip(vecGen, bookGen)) { case (v, books) =>
+      // independent reference: normalize, per-subspace L2 argmin (low tie)
+      val ss = v.map(x => x.toDouble * x).sum
+      val inv = if (ss > 0) 1.0 / math.sqrt(ss) else 1.0
+      val nv = v.map(_ * inv)
+      val expected = (0 until 4).map { m =>
+        val dists = (0 until 3).map { k =>
+          (0 until 2).map { j =>
+            val d = nv(m * 2 + j) - books(m)(k)(j); d * d
+          }.sum
+        }
+        val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }
+        (best._2, best._1)
+      }
+      val row = Seq(Tuple1(v)).toDF("v").select(
+        graft.plans.VectorExpressions.pqEncode(col("v"), books).as("pq"),
+        graft.plans.VectorExpressions.pqLut(col("v"), books).as("lut"))
+        .select(col("pq").getField("codes").as("codes"),
+          col("pq").getField("err").as("err"), col("lut"))
+        .withColumn("adc", graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut")))
+        .head
+      val codes = row.getSeq[Int](0)
+      val err = row.getDouble(1)
+      val adc = row.getDouble(3)
+      codes == expected.map(_._1) &&
+        math.abs(err - expected.map(_._2).sum) < 1e-12 &&
+        math.abs(adc - err) < 1e-12
+    }, n = 30)
+  }
+
   test("KMV merge is order-insensitive and exact below k") {
     import graft.functions.Sketches
     val agg = new Sketches.KmvDistinct(64)
