@@ -298,8 +298,10 @@ class PipelineSpec extends SparkSpec {
         .withExtensions(new graft.plans.GraftExtensions)
         .getOrCreate()
       s2.conf.set(graft.GraftSql.DataDirConf, sfDir)
-      // three operators from three families, SQL-only
-      for (name <- Seq("q1_pricing_summary", "dedup_exact", "cdc_snapshot")) {
+      // operators across families — incl. round-6 PQ serving and the
+      // datasheet — SQL-only
+      for (name <- Seq("q1_pricing_summary", "dedup_exact", "cdc_snapshot",
+          "ann_pq", "pipeline_dataset_card")) {
         val viaSql = s2.sql(s"SELECT * FROM graft_run('$name')")
         val direct = SparkEntry.queries(name)(s2, sfDir)
         assert(viaSql.schema == direct.schema, s"$name schema mismatch")

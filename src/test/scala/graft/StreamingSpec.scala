@@ -1155,6 +1155,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamAsof is arrival-order-insensitive within a micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAsof
+    // ALL events in ONE batch, REVERSED (ts, event_id) order: the in-group
+    // sort must reconstruct event-time order, so the result still equals
+    // the batch operator with zero re-emissions beyond late-click ones
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, String, Long, Double)].collect()
+      .sortBy { case (_, eid, _, us, _) => (us, eid) }.reverse
+    val mem = MemoryStream[(Long, Long, String, Long, Double)]
+    val asof = StreamAsof.enriched(
+      mem.toDF().toDF("user_id", "event_id", "event_type", "us", "value")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("timestamp_micros(us)").as("ts"), col("value"))
+        .withWatermark("ts", "1 minute"))
+    val q = asof.writeStream.format("memory").queryName("asof_rev")
+      .outputMode(StreamAsof.outputMode).start()
+    try {
+      mem.addData(rows.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("asof_rev").collect()
+        .groupBy(_.getAs[Long]("purchase_id"))
+        .map { case (_, rs) =>
+          rs.maxBy(r => Option(r.getAs[java.lang.Long]("click_us"))
+            .map(_.toLong).getOrElse(Long.MinValue))
+        }
+        .map(r => (r.getAs[Long]("purchase_id"),
+          Option(r.getAs[java.lang.Long]("click_us")).map(_.toLong)).toString)
+        .toSeq.sorted
+      val batch = SparkEntry.queries("q_asof_join")(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("purchase_id"),
+          Option(r.getAs[java.lang.Long]("click_us")).map(_.toLong)).toString)
+        .toSeq.sorted
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("StreamAsof two-stream union topology equals batch q_asof_join exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
