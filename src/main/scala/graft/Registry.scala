@@ -34,9 +34,12 @@ object Registry {
     * so no optimizer rule can fold it: same single-partition exchange,
     * clean log. The agg+broadcast alternative was measured to RE-SCAN the
     * fact (no exchange reuse across the two aggregation branches) — the
-    * window form is the one-scan plan. `anchor`: any numeric column. */
+    * window form is the one-scan plan. `anchor`: any numeric column — cast
+    * to BIGINT here because pmod(x, 1) is only constant-0 for integral
+    * types (a DOUBLE/DECIMAL anchor would keep its fractional part and
+    * silently split the "whole frame" into many partitions). */
   def wholeFrameKey(anchor: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    coalesce(pmod(anchor, lit(1)), lit(0))
+    coalesce(pmod(anchor.cast("bigint"), lit(1)), lit(0))
   }
 }

@@ -518,7 +518,10 @@ case class SortedJaccard(left: Expression, right: Expression)
   * primitive loops — constant codegen size in M and K, fully inside
   * whole-stage codegen, zero exchanges. Ties break toward the lower
   * centroid index; zero vectors encode against the raw (unnormalizable)
-  * zeros. */
+  * zeros. Input dimension is validated per row (`length == M×subDim`,
+  * mirroring NearestCells' contract): a wrong-dimension corpus fails
+  * loudly at encode time instead of zero-padding / truncating into
+  * silently degraded recall. */
 case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
     extends UnaryExpression {
 
@@ -548,6 +551,7 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val nd = x.numElements()
+    if (nd != m * subDim) throw PqAdc.dimError("graft_pq_encode", nd, m, subDim)
     var ss = 0.0
     var i = 0
     while (i < nd) {
@@ -616,6 +620,7 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
         if (isFloat) s"((double) $v.getFloat($at))" else s"$v.getDouble($at)"
       s"""
          |int $nd = $v.numElements();
+         |if ($nd != ${m * subDim}) throw graft.plans.PqAdc.dimError("graft_pq_encode", $nd, $m, $subDim);
          |double $ss = 0.0;
          |for (int $i = 0; $i < $nd; $i++) { double $xi = ${get(i)}; $ss += $xi * $xi; }
          |double $inv = $ss > 0 ? 1.0 / java.lang.Math.sqrt($ss) : 1.0;
@@ -684,6 +689,7 @@ case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val nd = x.numElements()
+    if (nd != m * subDim) throw PqAdc.dimError("graft_pq_lut", nd, m, subDim)
     var ss = 0.0
     var i = 0
     while (i < nd) {
@@ -742,6 +748,7 @@ case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
         if (isFloat) s"((double) $v.getFloat($at))" else s"$v.getDouble($at)"
       s"""
          |int $nd = $v.numElements();
+         |if ($nd != ${m * subDim}) throw graft.plans.PqAdc.dimError("graft_pq_lut", $nd, $m, $subDim);
          |double $ss = 0.0;
          |for (int $i = 0; $i < $nd; $i++) { double $xi = ${get(i)}; $ss += $xi * $xi; }
          |double $inv = $ss > 0 ? 1.0 / java.lang.Math.sqrt($ss) : 1.0;
@@ -777,7 +784,12 @@ case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
   * so one registered function serves any (M, K) geometry. For normalized
   * vectors squared L2 is `2 − 2·cos`: ADC ascending IS approximate cosine
   * descending. M array reads per corpus row — the memory-bound scan rate
-  * PQ serving is chosen for. */
+  * PQ serving is chosen for.
+  *
+  * Geometry is validated per row (lut length divisible by M, every code in
+  * [0, K)): mismatched or corrupt inputs raise a descriptive error naming
+  * the expected M×K shape instead of a silently-truncated K or an opaque
+  * index error inside generated code. */
 case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -794,11 +806,17 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     val m = codes.numElements()
     if (m == 0) 0.0
     else {
-      val k = lut.numElements() / m
+      val nLut = lut.numElements()
+      if (nLut % m != 0) {
+        throw PqAdc.geometryError(m, nLut)
+      }
+      val k = nLut / m
       var acc = 0.0
       var mm = 0
       while (mm < m) {
-        acc += lut.getDouble(mm * k + codes.getInt(mm))
+        val code = codes.getInt(mm)
+        if (code < 0 || code >= k) throw PqAdc.codeError(mm, code, m, k)
+        acc += lut.getDouble(mm * k + code)
         mm += 1
       }
       acc
@@ -808,16 +826,22 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val m = ctx.freshName("m")
+      val nLut = ctx.freshName("nLut")
       val k = ctx.freshName("k")
       val acc = ctx.freshName("acc")
       val mm = ctx.freshName("mm")
+      val code = ctx.freshName("code")
       s"""
          |int $m = $a.numElements();
          |double $acc = 0.0;
          |if ($m > 0) {
-         |  int $k = $b.numElements() / $m;
+         |  int $nLut = $b.numElements();
+         |  if ($nLut % $m != 0) throw graft.plans.PqAdc.geometryError($m, $nLut);
+         |  int $k = $nLut / $m;
          |  for (int $mm = 0; $mm < $m; $mm++) {
-         |    $acc += $b.getDouble($mm * $k + $a.getInt($mm));
+         |    int $code = $a.getInt($mm);
+         |    if ($code < 0 || $code >= $k) throw graft.plans.PqAdc.codeError($mm, $code, $m, $k);
+         |    $acc += $b.getDouble($mm * $k + $code);
          |  }
          |}
          |${ev.value} = $acc;
@@ -826,6 +850,29 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  /** Descriptive errors shared by the interpreted and generated paths —
+    * geometry problems must name the expected M×K shape, not surface as an
+    * ArrayIndexOutOfBoundsException inside Janino output. */
+  def geometryError(m: Int, nLut: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_pq_adc: LUT length $nLut is not a multiple of M=$m codes — " +
+        s"expected an M×K table (length divisible by $m); codes and LUT come " +
+        "from different PQ geometries or a corrupt row")
+
+  def codeError(pos: Int, code: Int, m: Int, k: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_pq_adc: code $code at position $pos is outside [0, K=$k) for the " +
+        s"M=$m × K=$k LUT — codes were encoded against a different codebook " +
+        "or the row is corrupt")
+
+  def dimError(fn: String, got: Int, m: Int, subDim: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"$fn: input vector has $got dims but the codebook expects exactly " +
+        s"M=$m × subDim=$subDim = ${m * subDim} — wrong-dimension corpus " +
+        "(train and encode must share one embedding space)")
 }
 
 object VectorExpressions {

@@ -43,7 +43,16 @@ object DocIngest {
   ))
 
   /** Parse a JSONL directory/file into (accepted, rejected) lanes.
-    * `label`: default `source` for rows that don't carry one. */
+    * `label`: default `source` for rows that don't carry one.
+    *
+    * Duplicate-`doc_id` contract: "first wins" means first in SPARK'S READ
+    * ORDER — `monotonically_increasing_id()` encodes (partition index,
+    * in-partition offset), and partitions follow Spark's path-sorted file
+    * listing and split order. Within one file that is line order; ACROSS
+    * files it is the lexicographic path order of the listing, not ingestion
+    * or arrival order. Deterministic for a fixed file set. If cross-file
+    * arrival order ever matters, derive an explicit order key (e.g.
+    * `input_file_name()` + per-file offset) and order the window by that. */
   def ingest(s: SparkSession, path: String, label: String = "crawl")
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window

@@ -206,6 +206,38 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(one.getAs[Double]("adc") - one.getAs[Double]("err")) < 1e-12)
   }
 
+  test("PQ kernels fail loudly on mismatched geometry instead of silently degrading") {
+    import spark.implicits._
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    // ADC: lut length not a multiple of M (3 codes vs 4-entry lut)
+    val badLut = Seq((Seq(0, 1, 2), Seq(1.0, 2.0, 3.0, 4.0))).toDF("codes", "lut")
+    val e1 = intercept[Throwable] {
+      badLut.select(graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut"))).head
+    }
+    assert(rootMsg(e1).contains("graft_pq_adc") && rootMsg(e1).contains("multiple of M=3"))
+    // ADC: code outside [0, K) (code 5 with K=3)
+    val badCode = Seq((Seq(1, 5), Seq(10.0, 20.0, 30.0, 1.0, 2.0, 3.0))).toDF("codes", "lut")
+    val e2 = intercept[Throwable] {
+      badCode.select(graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut"))).head
+    }
+    assert(rootMsg(e2).contains("outside [0, K=3)"))
+    // Encode/Lut: wrong-dimension vector (63 dims vs the 16x4=64 contract)
+    val books = Similarity.pqBooks(spark, sfDir)
+    val short = Seq(Tuple1(Seq.fill(63)(0.5f))).toDF("embedding")
+    val e3 = intercept[Throwable] {
+      short.select(graft.plans.VectorExpressions.pqEncode(col("embedding"), books)).head
+    }
+    assert(rootMsg(e3).contains("graft_pq_encode") && rootMsg(e3).contains("M=16"))
+    val e4 = intercept[Throwable] {
+      short.select(graft.plans.VectorExpressions.pqLut(col("embedding"), books)).head
+    }
+    assert(rootMsg(e4).contains("graft_pq_lut"))
+  }
+
   test("ngram-jaccard block cap bounds pairwise join input per block") {
     // With an artificially tiny cap, no (lang, source) block feeds more
     // than cap docs into the pairwise join — the worst case is
