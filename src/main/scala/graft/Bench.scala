@@ -62,7 +62,17 @@ object Bench {
       // final sort, under-measuring the query.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Drop THIS query's cached frames before the next query runs (outside
+      // its timed window — the blocks are this query's debris, not the
+      // next one's work). Without this, .cache()-using queries leave their
+      // blocks in storage memory for the rest of the 167-query sequence:
+      // measured in round 6, the PQ family (alphabetically just before
+      // dedup_*) newly cached encoded frames and the whole dedup family
+      // read 2-3x slower in-sequence than in isolated JVMs (30.5 s vs
+      // ~18-22 s for the same five queries, identical Dedup.scala).
+      spark.catalog.clearCache()
+      name -> t
     }
     // The driver keeps only the last ~2000 chars of stdout (minus sbt's
     // trailing "[success] Total time" lines), and BENCH_r01–r03 all came

@@ -159,8 +159,9 @@ object ScalePatterns {
     *     exact global rank.
     *
     * Input columns (key, v, id); output adds `c` (per-key count) and `r`
-    * (exact 1-based global rank by (v, id) within key). */
-  private def bucketedRank(data: org.apache.spark.sql.DataFrame,
+    * (exact 1-based global rank by (v, id) within key). Shared with
+    * [[TpchMore.qRfmSegments]]' quintile scoring. */
+  private[operators] def bucketedRank(data: org.apache.spark.sql.DataFrame,
       nBuckets: Int = 256): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bounds = broadcast(data.groupBy("key")
@@ -181,6 +182,16 @@ object ScalePatterns {
       .withColumn("r", row_number().over(wLocal) + col("off"))
   }
 
+  /** SQL ntile(n) computed arithmetically from [[bucketedRank]]'s exact
+    * global rank `r` and per-key count `c`: the first (c mod n) tiles hold
+    * (c div n)+1 rows, the rest (c div n); c < n degenerates to the first
+    * branch entirely (the otherwise-branch's div-by-zero is never taken). */
+  private[operators] def sqlTile(n: Int): org.apache.spark.sql.Column =
+    when(col("r") <= (col("c") % n) * (expr(s"c div $n") + 1),
+      expr(s"(r - 1) div ((c div $n) + 1) + 1"))
+      .otherwise(expr(s"(c % $n) + ((r - (c % $n) * ((c div $n) + 1) - 1) div (c div $n)) + 1"))
+      .cast("int")
+
   /** Distributed EXACT ntile via [[bucketedRank]]; the SQL ntile
     * bucket-size convention (first c mod n tiles get the extra row) is
     * computed arithmetically from (rank, count). Output and oracle are
@@ -189,18 +200,11 @@ object ScalePatterns {
   val qNtileDist: QueryDef = QueryDef(
     "q_ntile_dist",
     (s, d) => {
-      val nTiles = 4
       val data = Tables.orders(s, d)
         .select(col("o_orderpriority").as("key"), col("o_totalprice").as("v"),
           col("o_orderkey").as("id"))
-      // SQL ntile sizing: the first (c mod n) tiles hold (c div n)+1 rows,
-      // the rest (c div n); c < n degenerates to the first branch entirely.
       val ranked = bucketedRank(data)
-        .withColumn("quartile",
-          when(col("r") <= (col("c") % nTiles) * (expr("c div 4") + 1),
-            expr("(r - 1) div ((c div 4) + 1) + 1"))
-            .otherwise(expr("(c % 4) + ((r - (c % 4) * ((c div 4) + 1) - 1) div (c div 4)) + 1"))
-            .cast("int"))
+        .withColumn("quartile", sqlTile(4))
       ranked.groupBy(col("key").as("o_orderpriority"), col("quartile"))
         .agg(
           count(lit(1)).as("n_orders"),

@@ -725,21 +725,35 @@ object Similarity {
     """.stripMargin.trim)
   )
 
-  /** Pairwise-cosine distribution over a DETERMINISTIC 5% sample
-    * (vec_id % 20 — reproducible under retries, auditable from the id) —
+  /** Pairwise-cosine distribution over a FIXED-SIZE deterministic sample —
     * the embedding-quality diagnostic read before trusting any
     * cosine-thresholded op (dedup τ, ANN recall targets): a healthy space
     * shows spread; mass piling near 1.0 means collapsed embeddings.
     * 20 bins over [-1, 1] with per-bin pair counts and cosine extrema.
     *
-    * Scale: sampling makes the pairwise quadratic (n/20)² — itself the
-    * documented knob; the sample side broadcasts (the ann_bruteforce
-    * pattern), so the plan is one corpus-sample scan × broadcast, never a
-    * shuffle of pairs. */
+    * The sample is the [[CosSampleN]] vectors with the smallest
+    * md5(vec_id) — an id-hash order both engines compute identically, so
+    * the pick is reproducible under retries AND unbiased by id assignment
+    * order (a `vec_id < N` prefix would sample whatever was ingested
+    * first). A FRACTION sample (the previous 5% form) keeps the pairwise
+    * quadratic in corpus size — (n/20)² pairs is 400× more work at 20×
+    * the corpus; the fixed N makes the diagnostic O(N²·dim) = O(1) in
+    * corpus size at ANY scale, which is what a 100 TB health check needs.
+    *
+    * Scale: the sample pick is a TakeOrdered (per-partition heaps, no
+    * whole-frame sort); the sample side broadcasts (the ann_bruteforce
+    * pattern), so the plan is one corpus scan + an O(N²) local pair loop,
+    * never a shuffle of pairs. */
+  private val CosSampleN = 1024
+
   val embCosineHist: QueryDef = QueryDef(
     "emb_cosine_hist",
     (s, d) => {
-      val sample = withNorm(s, d).filter(col("vec_id") % 20 === 0)
+      val sample = withNorm(s, d)
+        .withColumn("hk",
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long"))
+        .orderBy(col("hk"), col("vec_id"))
+        .limit(CosSampleN)
       val a = sample.select(col("vec_id").as("id1"),
         col("embedding").as("v1"), col("nrm").as("n1"))
       val b = sample.select(col("vec_id").as("id2"),
@@ -758,7 +772,9 @@ object Similarity {
       WITH vn AS (
         SELECT vec_id, embedding,
                sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-        FROM embeddings WHERE vec_id % 20 = 0
+        FROM embeddings
+        QUALIFY row_number() OVER (
+          ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) <= $CosSampleN
       ), p AS (
         SELECT round(list_sum(list_transform(generate_series(1, $Dim), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos
         FROM vn a JOIN vn b ON a.vec_id < b.vec_id

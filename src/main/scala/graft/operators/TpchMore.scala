@@ -314,11 +314,15 @@ object TpchMore {
     * deterministic on both engines.
     *
     * Scale: one orders scan → per-customer aggregate (the only data-sized
-    * exchange); the three ntile windows sort the per-CUSTOMER frame
-    * (0.1% of fact rows) on one `Registry.wholeFrameKey` partition — the
-    * demo form, with q_ntile_dist's bucketed two-phase ranking as the
-    * documented 100 TB swap; the latest-order scalar rides the same
-    * single-partition exchange as a whole-frame max. */
+    * exchange); each quintile is [[ScalePatterns.bucketedRank]]'s two-phase
+    * ranking (value-range buckets + a keys×B offset window + per-bucket
+    * row_number — widest sort is 1/B of the frame) + [[ScalePatterns
+    * .sqlTile]]'s exact ntile arithmetic, so NO whole-frame single-task
+    * sort survives at any corpus size. The `latest` scalar the oracle's
+    * recency ntile reads never needs computing at all: `recency_days =
+    * datediff(latest, last_order)` is strictly order-reversing in
+    * `last_order`, so ranking ascending recency IS ranking descending
+    * `last_order` (identical ties — same date, same custkey tiebreak). */
   val qRfmSegments: QueryDef = QueryDef(
     "q_rfm_segments",
     (s, d) => {
@@ -328,16 +332,22 @@ object TpchMore {
           max(col("o_orderdate")).as("last_order"),
           count(lit(1)).as("freq"),
           sum(cents("o_totalprice")).as("monetary_c"))
-      val whole = graft.Registry.wholeFrameKey(col("freq"))
-      val scored = per
-        .withColumn("latest", max(col("last_order")).over(Window.partitionBy(whole)))
-        .withColumn("recency_days", datediff(col("latest"), col("last_order")))
-        .withColumn("r_score", ntile(5).over(Window.partitionBy(whole)
-          .orderBy(col("recency_days"), col("o_custkey"))))
-        .withColumn("f_score", ntile(5).over(Window.partitionBy(whole)
-          .orderBy(col("freq").desc, col("o_custkey"))))
-        .withColumn("m_score", ntile(5).over(Window.partitionBy(whole)
-          .orderBy(col("monetary_c").desc, col("o_custkey"))))
+      // bucketedRank wants (key, v, id): key is the non-foldable constant
+      // (single logical frame — parallelism comes from the B value buckets,
+      // not the key), v the ORDER BY value, id the custkey tiebreak.
+      def quintile(df: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.Column,
+          name: String): org.apache.spark.sql.DataFrame =
+        ScalePatterns.bucketedRank(df
+            .withColumn("key", graft.Registry.wholeFrameKey(col("o_custkey")))
+            .withColumn("v", v)
+            .withColumn("id", col("o_custkey")))
+          .withColumn(name, ScalePatterns.sqlTile(5))
+          .drop("key", "v", "id", "vmin", "vmax", "c", "bkt", "off", "r")
+      val scored = quintile(
+        quintile(
+          quintile(per, -unix_date(col("last_order").cast("date")), "r_score"),
+          -col("freq"), "f_score"),
+        -col("monetary_c"), "m_score")
       scored
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(

@@ -66,6 +66,16 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, s"ranking window not bucket-partitioned:\n$plan")
   }
 
+  test("q_rfm_segments ranks via bucketed two-phase windows, no whole-frame ntile sort") {
+    import graft.operators.TpchMore
+    val plan = TpchMore.qRfmSegments.fn(spark, sfDir).queryExecution.executedPlan.toString
+    // the old form's three whole-frame ntile windows are gone
+    assert(!plan.contains("ntile"), s"whole-frame ntile survived the bucketed swap:\n$plan")
+    // every heavy ranking window is partitioned by (key, bucket)
+    assert("windowspecdefinition\\(key#\\d+L?, bkt#\\d+".r.findFirstIn(plan).isDefined,
+      s"ranking windows not bucket-partitioned:\n$plan")
+  }
+
   test("q_percentile_dist equals the buffering percentile aggregate") {
     import graft.operators.{Olap, ScalePatterns}
     val dist = ScalePatterns.qPercentileDist.fn(spark, sfDir)
