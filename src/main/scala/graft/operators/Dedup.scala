@@ -146,14 +146,14 @@ object Dedup {
     """.stripMargin.trim)
   )
 
-  /** Hard cap on docs per (lang, source) block for the pairwise audit:
-    * blocks above the cap keep their `blockCap` lowest doc_ids. The
-    * testdata's largest block (112 docs at sf0.1) is far under it, so bench
-    * outputs are the uncapped ones — but at 100 TB block population grows
-    * linearly with the corpus and uncapped pairwise work is O(block²);
-    * the cap makes the operator family's worst case O(blocks × cap²).
-    * Corpus-scale near-dup discovery is [[dedupMinhashLsh]] — this
-    * operator is the bounded per-block audit. */
+  /** Per-(lang, source) block-size bound for the EXACT pairwise audit:
+    * blocks at or under it compare all pairs; blocks above it route
+    * through the MinHash-LSH candidate path instead (see
+    * [[ngramJaccardTop3]]) — never a silent doc_id truncation. The
+    * testdata's largest block (112 docs at sf0.1) is far under it, so
+    * bench outputs are the uncapped exact ones; at 100 TB block population
+    * grows linearly with the corpus and the routed worst case is
+    * O(docs × bands + candidates), not O(block²). */
   private val blockCap = 256
 
   /** (doc_id, lang, source) for the ≤cap sampled docs per block —
@@ -166,32 +166,19 @@ object Dedup {
       .drop("brn")
   }
 
-  /** Blocked pairwise n-gram Jaccard: within each (lang, source) block
-    * (bounded to [[blockCap]] docs), the top-3 most similar pairs by
-    * 3-gram-shingle Jaccard. Blocking + the cap bound the pairwise work;
-    * jaccard is an exact int/int ratio (bit-identical across engines). */
+  /** Blocked pairwise n-gram Jaccard: within each (lang, source) block,
+    * the top-3 most similar pairs by 3-gram-shingle Jaccard. Blocks up to
+    * [[blockCap]] docs get the exact all-pairs comparison; larger blocks
+    * route through the MinHash-LSH candidate path ([[minhashBands]] keyed
+    * within the block), so a giant block costs O(docs × bands) + candidate
+    * confirms instead of O(block²) — and, unlike a doc_id cap, near-dup
+    * pairs anywhere in the block are still found (τ≈0.8 band recall; the
+    * top-3 of an over-cap block is the top-3 of its LSH candidates, which
+    * for any real dedup threshold is the same set). jaccard is an exact
+    * int/int ratio (bit-identical across engines). */
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
-    (s, d) => {
-      // cached: the a/b self-join legs are separate typed-flatMap subtrees
-      // that would otherwise each tokenize the corpus (see dedupMinhashLsh)
-      val docs = cappedBlockIds(s, d)
-        .join(docHashedShingles(s, d).select(col("doc_id"), col("hsh")), "doc_id")
-        .cache()
-      val a = docs.select(col("lang"), col("source"), col("doc_id").as("id1"), col("hsh").as("h1"))
-      val b = docs.select(col("lang"), col("source"), col("doc_id").as("id2"), col("hsh").as("h2"))
-      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("jac").desc, col("id1"), col("id2"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("id1") < col("id2"))
-        .withColumn("jac", jaccard(col("h1"), col("h2")))
-        // project the hash arrays away BEFORE the window: otherwise the
-        // rank sort buffers ~3.5 KB of arrays per pair
-        .select(col("lang"), col("source"), col("id1"), col("id2"), col("jac"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("lang"), col("source"), col("id1"), col("id2"), round(col("jac"), 6).as("jac"), col("rn"))
-        .orderBy("lang", "source", "rn")
-    },
+    (s, d) => ngramJaccardTop3(s, d, blockCap),
     Some(s"""
       WITH capped AS (
         SELECT doc_id, lang, source, text
@@ -212,6 +199,58 @@ object Dedup {
       ORDER BY lang, source, rn
     """.stripMargin.trim)
   )
+
+  /** [[dedupNgramJaccard]]'s engine, cap-parameterized for the spec.
+    *
+    * Block-size split: blocks ≤ cap docs take the exact all-pairs leg
+    * (identical to the oracle's pairwise SQL); blocks > cap take the LSH
+    * leg — [[minhashBands]] band rows equi-joined WITHIN the block
+    * ((lang, source) ride the join key), candidates confirmed with the
+    * exact sorted-merge jaccard. Both legs union into one per-block top-3
+    * window. At bench SF the big leg is empty, so outputs equal the
+    * all-pairs oracle; beyond the cap, near-dup pairs are still recalled
+    * (the previous form silently kept only the cap lowest doc_ids —
+    * dropping every pair touching a later doc). */
+  private[graft] def ngramJaccardTop3(s: SparkSession, d: String, cap: Int): DataFrame = {
+    // cached: the a/b self-join legs are separate typed-flatMap subtrees
+    // that would otherwise each tokenize the corpus (see dedupMinhashLsh)
+    val sizes = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("block_n"))
+    val docs = docHashedShingles(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("hsh"))
+      .join(sizes, Seq("lang", "source"))
+      .cache()
+    val small = docs.filter(col("block_n") <= cap)
+    val big = docs.filter(col("block_n") > cap)
+
+    val a = small.select(col("lang"), col("source"), col("doc_id").as("id1"), col("hsh").as("h1"))
+    val b = small.select(col("lang"), col("source"), col("doc_id").as("id2"), col("hsh").as("h2"))
+    val smallPairs = a.join(b, Seq("lang", "source"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jac", jaccard(col("h1"), col("h2")))
+      // project the hash arrays away BEFORE the window: otherwise the
+      // rank sort buffers ~3.5 KB of arrays per pair
+      .select(col("lang"), col("source"), col("id1"), col("id2"), col("jac"))
+
+    val bands = minhashBands(s, big)
+      .join(big.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    val bigPairs = bands.as("a")
+      .join(bands.as("b"), Seq("lang", "source", "band_idx", "band_key"))
+      .select(col("lang"), col("source"), col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("lang", "source", "id1", "id2")
+      .join(big.select(col("doc_id").as("id1"), col("hsh").as("h1")), "id1")
+      .join(big.select(col("doc_id").as("id2"), col("hsh").as("h2")), "id2")
+      .withColumn("jac", jaccard(col("h1"), col("h2")))
+      .select(col("lang"), col("source"), col("id1"), col("id2"), col("jac"))
+
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("jac").desc, col("id1"), col("id2"))
+    smallPairs.unionByName(bigPairs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("source"), col("id1"), col("id2"), round(col("jac"), 6).as("jac"), col("rn"))
+      .orderBy("lang", "source", "rn")
+  }
 
   /** MinHash signature + LSH banding + exact-Jaccard confirmation.
     *
@@ -252,7 +291,12 @@ object Dedup {
     * the shared core of [[dedupMinhashLsh]] (which adds presentation
     * round+sort) and [[dedupClusters]] (which only needs the edge list, so
     * the corpus-sized total sort would be pure waste). */
-  private[graft] def confirmedPairs(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, band_idx, band_key) MinHash LSH band rows for a
+    * (doc_id, hsh) frame: 64 affine permutation minima over the 31-bit
+    * token hashes, split into 16 bands of 4 rows. The 64 minima are a
+    * tight loop in a typed flatMap per doc — identical Long arithmetic
+    * (including overflow wrap) to 64 min-aggregates, in one pass. */
+  private[operators] def minhashBands(s: SparkSession, hsh: DataFrame): DataFrame = {
       import s.implicits._
       val nHashes = 64
       val bandRows = 4
@@ -263,20 +307,7 @@ object Dedup {
       val pLoc = P
       val aCoef = Array.tabulate(nHashes)(i => ((i.toLong * 2654435761L + 1L) % (pLoc - 1)) + 1) // in [1, P-1]
       val bCoef = Array.tabulate(nHashes)(i => (i.toLong * 40503L + 7L) % pLoc)
-
-      // ONE tokenize pass feeds everything: the hashed shingle sets (also
-      // needed by the confirm stage) double as the minhash input, since
-      // tokenHashFast(t) == xxhash64(t) & 0x7FFFFFFF is derivable from
-      // each set element. The 64 affine minima are a tight loop in a typed
-      // flatMap per doc — identical Long arithmetic (including overflow
-      // wrap) to the previous 64 min-aggregates, so signatures and band
-      // keys are unchanged. Round 1 ran a SECOND full tokenize + explode +
-      // 64-column aggregate just for the signatures. The cache() makes the
-      // sharing REAL: typed-flatMap subtrees don't canonicalize equal
-      // (fresh closure instances), so exchange reuse alone re-tokenized
-      // the corpus once per consumer (the explain showed four copies).
-      val hsh = docHashedShingles(s, d).select(col("doc_id"), col("hsh")).cache()
-      val bands = hsh.as[(Long, Seq[Long])].flatMap { case (id, hs) =>
+      hsh.select(col("doc_id"), col("hsh")).as[(Long, Seq[Long])].flatMap { case (id, hs) =>
         val mins = Array.fill(nHashes)(Long.MaxValue)
         hs.foreach { h64 =>
           val h = h64 & 0x7FFFFFFFL
@@ -291,6 +322,19 @@ object Dedup {
           (id, bIdx, (0 until bandRows).map(r => mins(bIdx * bandRows + r)).mkString(","))
         }
       }.toDF("doc_id", "band_idx", "band_key")
+  }
+
+  private[graft] def confirmedPairs(s: SparkSession, d: String): DataFrame = {
+      // ONE tokenize pass feeds everything: the hashed shingle sets (also
+      // needed by the confirm stage) double as the minhash input, since
+      // tokenHashFast(t) == xxhash64(t) & 0x7FFFFFFF is derivable from
+      // each set element. Round 1 ran a SECOND full tokenize + explode +
+      // 64-column aggregate just for the signatures. The cache() makes the
+      // sharing REAL: typed-flatMap subtrees don't canonicalize equal
+      // (fresh closure instances), so exchange reuse alone re-tokenized
+      // the corpus once per consumer (the explain showed four copies).
+      val hsh = docHashedShingles(s, d).select(col("doc_id"), col("hsh")).cache()
+      val bands = minhashBands(s, hsh)
 
       val candidates = bands.as("a")
         .join(bands.as("b"), Seq("band_idx", "band_key"))

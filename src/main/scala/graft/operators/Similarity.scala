@@ -99,39 +99,21 @@ object Similarity {
     """.stripMargin.trim)
   )
 
-  /** Per-label cap for the pairwise embedding audit: blocks above it keep
-    * their `blockCap` lowest vec_ids, bounding the pairwise work to
-    * labels×cap² at any corpus size (label population otherwise grows
-    * linearly → O(n²)). Far above every bench-SF block (≤400 vectors), so
-    * bench outputs are the uncapped ones; corpus-scale near-dup discovery
-    * is [[annLsh]]'s bucketed path. */
+  /** Per-label block-size bound for the EXACT pairwise embedding audit:
+    * labels at or under it compare all pairs (labels×cap² worst case);
+    * labels above it route through a random-hyperplane LSH candidate path
+    * ([[embeddingTop3]]) instead of silently keeping the `blockCap` lowest
+    * vec_ids. Far above every bench-SF block (≤400 vectors), so bench
+    * outputs are the exact ones; corpus-scale ANN serving is [[annLsh]]'s
+    * bucketed path. */
   private val blockCap = 512
 
-  /** Embedding near-dup pairs: label-blocked (≤[[blockCap]] docs) top-3
-    * most-cosine-similar pairs per label (labels act as the coarse
-    * clustering / IVF cells). */
+  /** Embedding near-dup pairs: label-blocked top-3 most-cosine-similar
+    * pairs per label (labels act as the coarse clustering / IVF cells).
+    * Over-cap labels use hyperplane-LSH candidates — see [[embeddingTop3]]. */
   val dedupEmbedding: QueryDef = QueryDef(
     "dedup_embedding",
-    (s, d) => {
-      // cap on narrow (vec_id, label) columns — the cap window never sorts
-      // embedding arrays — then re-join the vectors for survivors
-      val capW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-      val cappedIds = emb(s, d).select(col("vec_id"), col("label"))
-        .withColumn("brn", row_number().over(capW))
-        .filter(col("brn") <= blockCap)
-        .select("vec_id")
-      val base = withNorm(s, d).join(cappedIds, "vec_id")
-      val a = base.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
-      val b = base.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
-      val w = Window.partitionBy(col("label")).orderBy(col("cos").desc, col("id1"), col("id2"))
-      a.join(b, Seq("label"))
-        .filter(col("id1") < col("id2"))
-        .withColumn("cos", round(cosPre(col("v1"), col("v2"), col("n1"), col("n2")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("label"), col("rn"), col("id1"), col("id2"), col("cos"))
-        .orderBy("label", "rn")
-    },
+    (s, d) => embeddingTop3(s, d, blockCap),
     Some(s"""
       WITH capped AS (
         SELECT label, vec_id, embedding
@@ -157,6 +139,78 @@ object Similarity {
       ORDER BY label, rn
     """.stripMargin.trim)
   )
+
+  /** [[dedupEmbedding]]'s engine, cap-parameterized for the spec.
+    *
+    * Label-size split: labels ≤ cap vectors take the exact all-pairs leg
+    * (identical to the oracle's pairwise SQL); labels > cap take an LSH
+    * leg — 16 independent 8-bit random-hyperplane lanes from ONE
+    * [[graft.plans.HyperplaneSig]] codegen pass (the annLsh signature
+    * machinery), candidates = vectors sharing any lane bucket within the
+    * label, confirmed with the exact full-precision cosine. Both legs
+    * union into one per-label top-3 window. For a near-dup pair at
+    * cos≥0.9 the per-lane collision odds are (1-θ/π)^8 ≈ 0.29, so across
+    * 16 lanes recall ≈ 1-(0.71)^16 ≈ 0.996 — vs the previous doc_id cap,
+    * which dropped EVERY pair touching a vector beyond the cap. Work per
+    * over-cap label is O(n × lanes) band rows + bucket-collision confirms,
+    * never O(n²). */
+  private[graft] def embeddingTop3(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val nTables = 16
+    val nPlanes = 8
+    // Deterministic hyperplane weights in [-0.5, 0.5) — same integer mix
+    // as lshTopK, so signatures are stable across runs and executors.
+    def wgt(t: Int, p: Int, i: Int): Double =
+      ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
+        .toDouble / 1000003.0 - 0.5
+    val planes: Array[Array[Double]] =
+      (for { t <- 0 until nTables; p <- 0 until nPlanes } yield
+        Array.tabulate(Dim)(i => wgt(t, p, i))).toArray
+
+    val sizes = emb(s, d).groupBy(col("label")).agg(count(lit(1)).as("label_n"))
+    val base = withNorm(s, d).join(sizes, Seq("label")).cache()
+    val small = base.filter(col("label_n") <= cap)
+    val big = base.filter(col("label_n") > cap)
+
+    val a = small.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+    val b = small.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
+    val smallPairs = a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosPre(col("v1"), col("v2"), col("n1"), col("n2")))
+      .select(col("label"), col("id1"), col("id2"), col("cos"))
+
+    // (label, vec_id, t, bucket): one codegen'd signature pass, then the
+    // 16 8-bit lanes unpacked from the two sig words. The lane array is
+    // pure bit arithmetic on two longs — cheap enough for Generate's
+    // per-output-row re-evaluation (the explode pitfall is about
+    // re-running EXPENSIVE generators, e.g. tokenizers).
+    val sig = big.select(col("label"), col("vec_id"),
+      graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"))
+      .select(col("label"), col("vec_id"),
+        element_at(col("sig"), 1).as("w0"), element_at(col("sig"), 2).as("w1"))
+    val laneCols = (0 until nTables).map { t =>
+      val word = if (t < 8) col("w0") else col("w1")
+      struct(lit(t).as("t"), shiftrightunsigned(word, 8 * (t % 8)).bitwiseAND(lit(255L)).as("bucket"))
+    }
+    val buckets = sig.select(col("label"), col("vec_id"), explode(array(laneCols: _*)).as("lane"))
+      .select(col("label"), col("vec_id"), col("lane.t").as("t"), col("lane.bucket").as("bucket"))
+    val bigPairs = buckets.as("x")
+      .join(buckets.as("y"), Seq("label", "t", "bucket"))
+      .select(col("label"), col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("label", "id1", "id2")
+      .join(big.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1")), "id1")
+      .join(big.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2")), "id2")
+      .withColumn("cos", cosPre(col("v1"), col("v2"), col("n1"), col("n2")))
+      .select(col("label"), col("id1"), col("id2"), col("cos"))
+
+    val w = Window.partitionBy(col("label")).orderBy(col("cos").desc, col("id1"), col("id2"))
+    smallPairs.unionByName(bigPairs)
+      .withColumn("cos", round(col("cos"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("rn"), col("id1"), col("id2"), col("cos"))
+      .orderBy("label", "rn")
+  }
 
   /** Random-hyperplane LSH ANN, round-2 design (round 1's fixed 16
     * buckets/table made the band self-join Θ(N²/16) — all-pairs at scale).

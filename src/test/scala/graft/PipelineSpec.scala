@@ -238,22 +238,85 @@ class PipelineSpec extends SparkSpec {
     assert(rootMsg(e4).contains("graft_pq_lut"))
   }
 
-  test("ngram-jaccard block cap bounds pairwise join input per block") {
-    // With an artificially tiny cap, no (lang, source) block feeds more
-    // than cap docs into the pairwise join — the worst case is
-    // blocks × cap² regardless of corpus size.
-    val cap = 3
-    val capped = Dedup.cappedBlockIds(spark, sfDir, cap)
-    val maxBlock = capped.groupBy("lang", "source").count()
-      .agg(max("count")).head.getLong(0)
-    assert(maxBlock <= cap)
-    // blocks bigger than the cap exist in the raw data (the cap binds)
-    val rawMax = Tables.documents(spark, sfDir).groupBy("lang", "source").count()
-      .agg(max("count")).head.getLong(0)
-    assert(rawMax > cap)
-    // at the real cap, the bench corpus is untouched: same docs survive
-    val full = Dedup.cappedBlockIds(spark, sfDir)
-    assert(full.count() == Tables.documents(spark, sfDir).count())
+  test("ngram-jaccard over-cap blocks route to LSH, keeping pairs a doc_id cap drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ngram_cap").toString
+    // One 300-doc block (over a 256 cap) whose only near-dup pair sits at
+    // doc_ids 280/285 — BOTH beyond the 256 lowest ids, so the previous
+    // truncating form dropped the pair entirely — plus a 5-doc block whose
+    // exact leg must stay bit-identical to brute force.
+    val near1 = (0 until 50).map(i => s"p$i").mkString(" ")
+    val near2 = ((0 until 49).map(i => s"p$i") :+ "q49").mkString(" ")
+    val docs =
+      (0 until 300).map { i =>
+        val text = if (i == 280) near1 else if (i == 285) near2
+                   else (0 until 12).map(j => s"a${i}t$j").mkString(" ")
+        (i.toLong, text, "xx", "big")
+      } ++
+      (0 until 5).map { i =>
+        val text = if (i < 2) s"s0 s1 s2 s3 u$i" else (0 until 6).map(j => s"b${i}t$j").mkString(" ")
+        (1000L + i, text, "yy", "small")
+      }
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // The old truncation really would have dropped the pair:
+    val keptIds = Dedup.cappedBlockIds(spark, dir, 256)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(280L) && !keptIds.contains(285L))
+
+    val out = Dedup.ngramJaccardTop3(spark, dir, 256).collect()
+    val bigTop = out.filter(r => r.getAs[String]("source") == "big" && r.getAs[Int]("rn") == 1)
+    assert(bigTop.length == 1, s"expected one rank-1 row for the big block, got ${bigTop.mkString(";")}")
+    assert(bigTop.head.getAs[Long]("id1") == 280L && bigTop.head.getAs[Long]("id2") == 285L)
+    // jac = 47 shared shingles / 49 distinct = 0.959184
+    assert(math.abs(bigTop.head.getAs[Double]("jac") - 47.0 / 49.0) < 1e-5)
+
+    // The exact small-block leg is untouched by the routing: its rank-1
+    // pair is the two s0..s3-sharing docs, identical to the all-exact form.
+    val exact = Dedup.ngramJaccardTop3(spark, dir, 100000).collect()
+      .filter(r => r.getAs[String]("source") == "small")
+    val routedSmall = out.filter(_.getAs[String]("source") == "small")
+    assert(routedSmall.map(_.toString).toSeq == exact.map(_.toString).toSeq)
+    assert(routedSmall.head.getAs[Long]("id1") == 1000L && routedSmall.head.getAs[Long]("id2") == 1001L)
+  }
+
+  test("embedding over-cap labels route to hyperplane LSH, keeping pairs a vec_id cap drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emb_cap").toString
+    // Label 0: 600 vectors (over a 512 cap); the only near-dup pair is
+    // (550, 555) — both beyond the 512 lowest vec_ids. Label 1: 10
+    // vectors for the exact leg. Vectors are deterministic hash noise.
+    def mix(x: Long): Long = { // splitmix64 finalizer — real bit diffusion
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(Similarity.Dim) { i =>
+        (math.floorMod(mix(id * 64 + i), 2000L)).toFloat / 1000f - 1f
+      }
+    val rows =
+      (0 until 600).map { i =>
+        val v = if (i == 555) { val b = vec(550L); b(0) = b(0) + 0.01f; b } else vec(i.toLong)
+        (i.toLong, v, 0)
+      } ++
+      (0 until 10).map(i => (1000L + i, vec(1000L + i), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = Similarity.embeddingTop3(spark, dir, 512).collect()
+    val bigTop = out.filter(r => r.getAs[Int]("label") == 0 && r.getAs[Int]("rn") == 1)
+    assert(bigTop.length == 1)
+    assert(bigTop.head.getAs[Long]("id1") == 550L && bigTop.head.getAs[Long]("id2") == 555L,
+      s"expected (550, 555) as the big label's top pair, got ${bigTop.head}")
+    assert(bigTop.head.getAs[Double]("cos") > 0.999)
+    // The exact small-label leg matches the all-exact form row-for-row.
+    val exact = Similarity.embeddingTop3(spark, dir, 100000).collect()
+      .filter(_.getAs[Int]("label") == 1)
+    assert(out.filter(_.getAs[Int]("label") == 1).map(_.toString).toSeq ==
+      exact.map(_.toString).toSeq)
   }
 
   test("dedup_clusters collapses duplicate chains to one keeper per component") {
