@@ -394,56 +394,30 @@ object Dedup {
     * discovery, since near-duplicates form chains (A≈B≈C with A≉C) and
     * keeping "one of each pair" would over- or under-delete.
     *
-    * Spark side: min-label propagation to fixpoint over the
-    * [[dedupMinhashLsh]] edge set — per iteration one join + min-aggregate,
-    * localCheckpointed to cut lineage; iterations ≤ cluster diameter
-    * (tiny for dup clusters; at web scale swap in the large-star/small-star
-    * contraction, same per-round join shape). Driver only sees the
-    * converged? flag (a count), never the data. The oracle replays the
-    * same semantics as a DuckDB recursive transitive closure over the
-    * brute-force pair set (== the LSH pair set, by the proven full
-    * recall). */
+    * Spark side: alternating large-star/small-star contraction
+    * ([[starComponents]]) over the [[dedupMinhashLsh]] edge set — rounds
+    * are O(log n) in the component size, NOT O(diameter) like plain
+    * min-label propagation (a chained-dup path of length k took k
+    * propagation rounds — full-graph passes — before converging; the
+    * star steps collapse it in ~log k). Driver only sees per-round edge
+    * counts, never the data. The oracle replays the same semantics as a
+    * DuckDB recursive transitive closure over the brute-force pair set
+    * (== the LSH pair set, by the proven full recall). */
   val dedupClusters: QueryDef = QueryDef(
     "dedup_clusters",
     (s, d) => {
       val edges = confirmedPairs(s, d).select(col("id1"), col("id2"))
-      val bothWide = edges.select(col("id1").as("src"), col("id2").as("dst"))
-        .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
-        .localCheckpoint(true)
-      // Size the propagation loop's parallelism to the DUP GRAPH, not the
+      // Size the contraction loop's parallelism to the DUP GRAPH, not the
       // corpus: the edge set is orders of magnitude smaller than its input,
-      // and each fixpoint round re-shuffles it. At bench SF this is a wash
-      // (AQE already coalesces the tiny shuffles; measured 5.5 s either
-      // way — the time is the shared LSH pair discovery, not the loop);
-      // the point is the 100 TB shape, where inheriting a corpus-sized
-      // partition count would burn thousands of near-empty tasks per round.
-      // ~50k edges/partition, capped at 3200 tasks for a 160M-edge graph.
-      val nEdges = bothWide.count()
-      val parts = math.max(2L, math.min(3200L, nEdges / 50000L)).toInt
-      val both = bothWide.repartition(parts, col("dst")).localCheckpoint(true)
-      // Propagate only over docs that appear in a dup pair — at any scale
-      // the dup-graph nodes are a small fraction of the corpus; everyone
-      // else is trivially their own keeper (the final left join).
-      var labels = both.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("lab"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 32) {
-        val neighborMin = both.join(labels, both("dst") === labels("doc_id"))
-          .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-        // the improved? flag rides along in the same checkpointed pass —
-        // no extra join against the previous labels to detect convergence
-        val next = labels.as("l")
-          .join(neighborMin, col("l.doc_id") === col("src"), "left")
-          .select(col("l.doc_id").as("doc_id"),
-            least(col("l.lab"), coalesce(col("nlab"), col("l.lab"))).as("lab"),
-            (coalesce(col("nlab"), col("l.lab")) < col("l.lab")).as("chg"))
-          .localCheckpoint(true)
-        changed = next.filter(col("chg")).count()
-        labels = next.drop("chg")
-        iter += 1
-      }
+      // and each round re-shuffles it. At bench SF this is a wash (AQE
+      // already coalesces the tiny shuffles — the time is the shared LSH
+      // pair discovery, not the loop); the point is the 100 TB shape,
+      // where inheriting a corpus-sized partition count would burn
+      // thousands of near-empty tasks per round. ~50k edges/partition,
+      // capped at 3200 tasks for a 160M-edge graph.
+      val nEdges = edges.count()
+      val parts = math.max(2L, math.min(3200L, nEdges / 25000L)).toInt
+      val (labels, _) = starComponents(s, edges, parts)
       Tables.documents(s, d).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("keep_id"))
@@ -471,6 +445,66 @@ object Dedup {
       ORDER BY doc_id
     """.stripMargin.trim)
   )
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale-safe replacement for min-label
+    * propagation, converging in O(log n) rounds regardless of component
+    * DIAMETER (propagation needs one full-graph pass per hop of the
+    * longest chain).
+    *
+    * State is a canonical parent-edge set (u, v), u > v. Per round:
+    *  - large-star: every node a computes m = min(a ∪ Γ(a)) and connects
+    *    each STRICTLY LARGER neighbor b to m — long chains fold onto
+    *    their local minima without breaking connectivity.
+    *  - small-star: every node u connects itself and all its (smaller)
+    *    parents to their minimum — flattening two levels per round.
+    * Both emit only (bigger, smaller) pairs, so canonicalization is free;
+    * fixpoint (edge set unchanged) is exactly one star per component,
+    * rooted at the component min. Each step is a groupBy + equi-join of
+    * the edge set — never anything corpus-sized.
+    *
+    * Returns ((doc_id, lab) for every non-root node — roots label
+    * themselves via the caller's coalesce — and the round count). */
+  private[graft] def starComponents(s: SparkSession, pairs: DataFrame, parts: Int): (DataFrame, Int) = {
+    var e = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(parts, col("u"))
+      .localCheckpoint(true)
+    var cnt = e.count()
+    var rounds = 0
+    var stable = cnt == 0L
+    while (!stable && rounds < 50) {
+      // large-star over the undirected neighbor view
+      val nbrs = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val mins = nbrs.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val large = nbrs.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the canonical parent edges
+      val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withMin = large.join(sm, "u")
+      val next = withMin.select(col("u"), col("m").as("v"))
+        .union(withMin.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
+        .distinct()
+        .repartition(parts, col("u"))
+        .localCheckpoint(true)
+      val nextCnt = next.count()
+      stable = nextCnt == cnt && next.exceptAll(e).count() == 0L
+      e = next
+      cnt = nextCnt
+      rounds += 1
+    }
+    // At fixpoint each non-root appears exactly once; the min-agg also
+    // makes the 50-round safety valve yield correct (if unconverged-
+    // conservative) labels rather than duplicate rows.
+    (e.groupBy(col("u")).agg(min(col("v")).as("lab")).withColumnRenamed("u", "doc_id"), rounds)
+  }
 
   /** LINE-level cross-document dedup — the C4/RefinedWeb repeated-passage
     * cut: real pretraining pipelines drop repeated lines/paragraphs ACROSS

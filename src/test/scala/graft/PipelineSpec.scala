@@ -319,6 +319,19 @@ class PipelineSpec extends SparkSpec {
       exact.map(_.toString).toSeq)
   }
 
+  test("star contraction labels a 64-doc chain in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    // A pure path graph 0-1-2-...-63: the worst case for min-label
+    // propagation (63 full-graph rounds — one per hop). The alternating
+    // large-star/small-star contraction must collapse it logarithmically.
+    val chain = (0L until 63L).map(i => (i + 1, i)).toDF("id1", "id2")
+    val (labels, rounds) = Dedup.starComponents(spark, chain, 2)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 63, s"expected 63 non-root labels, got ${got.size}")
+    assert((1L until 64L).forall(i => got(i) == 0L), s"wrong labels: $got")
+    assert(rounds <= 10, s"star contraction took $rounds rounds on a 64-chain")
+  }
+
   test("dedup_clusters collapses duplicate chains to one keeper per component") {
     val clusters = Dedup.dedupClusters.fn(spark, sfDir).cache()
     val pairs = Dedup.dedupMinhashLsh.fn(spark, sfDir).select("id1", "id2")
