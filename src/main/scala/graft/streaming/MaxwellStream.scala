@@ -89,6 +89,39 @@ object MaxwellStream {
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
+  /** RabbitMQ transport lane — the queue the reference actually ships
+    * (rabbitmq.go:77-150 consumes `maxwell` deliveries and applies each
+    * body). AMQP delivery bodies are opaque byte payloads, one Maxwell
+    * JSON document per delivery; this normalizes any frame of recorded or
+    * bridged deliveries (`body: binary`, or already-decoded `value:
+    * string`) into the [[parse]] lane. UTF-8 decode here; the consumer's
+    * `[\t\r\n]` scrub (rabbitmq.go:39,181) lives in [[parse]] itself, so
+    * every transport inherits it. */
+  def fromRabbitDeliveries(deliveries: DataFrame): DataFrame = {
+    val name = if (deliveries.columns.contains("body")) "body" else "value"
+    val str = deliveries.schema(name).dataType match {
+      case BinaryType => col(name).cast("string") // UTF-8, matching amqp.Delivery.Body handling
+      case _ => col(name)
+    }
+    deliveries.select(str.as("value"))
+  }
+
+  /** Live RabbitMQ ingestion: Spark ships no AMQP source, and the
+    * reference's own consumer is an external Go process — so the
+    * supported topology is that same consumer (or any AMQP bridge)
+    * re-publishing delivery bodies line-delimited on a socket, which this
+    * tails as a streaming `value` frame for [[parse]]. (With an AMQP
+    * connector jar on the classpath, swap the format string; the
+    * downstream lane — [[fromRabbitDeliveries]] → [[parse]] — is
+    * transport-agnostic.) */
+  def fromRabbit(spark: SparkSession, host: String, port: Int): DataFrame =
+    fromRabbitDeliveries(
+      spark.readStream
+        .format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load())
+
   /** One parsed CDC record. */
   final case class CdcRecord(
       ts: java.sql.Timestamp,
@@ -226,10 +259,18 @@ object MaxwellStream {
 
   /** The event archive: append-mode parquet sink partitioned by event month,
     * the analog of the reference's month-range-partitioned `maxwell_event`
-    * (maxwell_gpdb.sql:25-31). Returns the started query. */
+    * (maxwell_gpdb.sql:25-31) — INCLUDING its `DEFAULT PARTITION outliers`:
+    * an event whose ts falls outside [2000-01-01, 2100-01-01) (a corrupt
+    * clock, an epoch-0 default, a fat-fingered year) lands in the
+    * designated `event_month=outliers` quarantine partition instead of
+    * minting a garbage month directory that time-ranged scans would have
+    * to know to skip. Returns the started query. */
   def startArchive(parsed: DataFrame, outDir: String, checkpointDir: String) =
     parsed
-      .withColumn("event_month", date_format(col("ts"), "yyyy-MM"))
+      .withColumn("event_month",
+        when(col("ts") >= lit("2000-01-01").cast("timestamp") &&
+             col("ts") < lit("2100-01-01").cast("timestamp"),
+          date_format(col("ts"), "yyyy-MM")).otherwise(lit("outliers")))
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -381,6 +422,30 @@ object MaxwellStream {
     touched.filterNot(survivors).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(replicaPath, s"bucket=$b"), true)
     }
+  }
+
+  /** STRICT apply mode — exact reference parity with
+    * `cdc_plpgsql_functions.sql:156-161`, where a DML event on a table
+    * whose primary key cannot be resolved RAISEs and aborts the whole
+    * batch: if ANY event in this parsed micro-batch is missing a pk
+    * column (the [[rejectedEvents]] predicate), throw BEFORE any replica
+    * write — the replica directory is left byte-identical. The default
+    * topology ([[rejectedEvents]] as a dead-letter side lane +
+    * [[applyBatchToReplica]]) is kinder to multi-table streams and stays
+    * the recommended one; this knob exists for users who want the
+    * reference's fail-loud, apply-nothing semantics. Use from
+    * foreachBatch on the PARSED stream. */
+  def applyBatchToReplicaStrict(parsedBatch: DataFrame, pkCols: Seq[String],
+      replicaDir: String, nBuckets: Int = 16): Unit = {
+    val bad = rejectedEvents(parsedBatch, pkCols)
+      .map(r => s"${r.database_name}.${r.table_name} ${r.op}@${r.ts}")(
+        org.apache.spark.sql.Encoders.STRING)
+      .take(5)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"strict apply aborted: events missing pk column(s) ${pkCols.mkString(",")} " +
+          s"(first offenders: ${bad.mkString("; ")}); no changes applied")
+    applyBatchToReplica(replicaChangelog(parsedBatch, pkCols), replicaDir, nBuckets)
   }
 
   /** INITIAL-SNAPSHOT bootstrap — the `mysql_dump_ddl.sh` onboarding role

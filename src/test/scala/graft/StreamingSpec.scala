@@ -1386,4 +1386,129 @@ class StreamingSpec extends SparkSpec {
       st = next
     }
   }
+
+  test("fromRabbitDeliveries: recorded AMQP bodies parse identically to clean lines") {
+    import spark.implicits._
+    // Recorded amqp.Delivery bodies: raw UTF-8 bytes, including the
+    // tab/newline contamination rabbitmq.go strips (rabbitmq.go:39,181).
+    val dirty = Seq(
+      "\t{\"database\":\"music\",\"table\":\"album\",\"type\":\"insert\",\"ts\":1522558000,\n\"data\":{\"id\":1,\"title\":\"Nevermind\"}}\r\n",
+      "{\"database\":\"music\",\"table\":\"album\",\"type\":\"delete\",\"ts\":1522558040,\"data\":{\"id\":1,\"title\":\"Nevermind\"}}"
+    )
+    val asBytes = dirty.map(s => Tuple1(s.getBytes("UTF-8"))).toDF("body")
+    val viaRabbit = MaxwellStream.parse(MaxwellStream.fromRabbitDeliveries(asBytes)).collect()
+    val clean = MaxwellStream.parse(
+      dirty.map(_.replaceAll("[\\t\\r\\n]+", " ")).toDF("value")).collect()
+    assert(viaRabbit.length == 2)
+    assert(viaRabbit.map(_.toString).toSeq == clean.map(_.toString).toSeq)
+    // a pre-decoded string frame is accepted unchanged too
+    val viaString = MaxwellStream.parse(
+      MaxwellStream.fromRabbitDeliveries(dirty.toDF("value"))).collect()
+    assert(viaString.map(_.toString).toSeq == clean.map(_.toString).toSeq)
+  }
+
+  test("strict apply mode: one pk-less event aborts the batch, replica untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_strict").toString + "/replica"
+    val good = Seq(
+      """{"database":"d","table":"t","type":"insert","ts":1522558000,"data":{"id":"1","v":"a"}}""",
+      """{"database":"d","table":"t","type":"insert","ts":1522558010,"data":{"id":"2","v":"b"}}"""
+    ).toDF("value")
+    MaxwellStream.applyBatchToReplicaStrict(MaxwellStream.parse(good), Seq("id"), dir)
+    val before = spark.read.parquet(dir).orderBy("pk").collect().map(_.toString).toSeq
+    assert(before.length == 2)
+
+    // UPDATE with no pk column — the reference RAISEs and aborts the batch
+    val mixed = Seq(
+      """{"database":"d","table":"t","type":"insert","ts":1522558020,"data":{"id":"3","v":"c"}}""",
+      """{"database":"d","table":"t","type":"update","ts":1522558030,"data":{"v":"z"},"old":{"v":"a"}}"""
+    ).toDF("value")
+    val e = intercept[IllegalStateException] {
+      MaxwellStream.applyBatchToReplicaStrict(MaxwellStream.parse(mixed), Seq("id"), dir)
+    }
+    assert(e.getMessage.contains("strict apply aborted"))
+    // apply-nothing: even the batch's GOOD insert (id=3) must not land
+    val after = spark.read.parquet(dir).orderBy("pk").collect().map(_.toString).toSeq
+    assert(after == before, "strict abort must leave the replica byte-identical")
+
+    // default topology on the same batch: dead-letter the bad row, apply the good one
+    MaxwellStream.applyBatchToReplica(
+      MaxwellStream.replicaChangelog(MaxwellStream.parse(mixed), Seq("id")), dir)
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(MaxwellStream.rejectedEvents(MaxwellStream.parse(mixed), Seq("id")).count() == 1)
+  }
+
+  test("archive quarantine: out-of-range timestamps land in event_month=outliers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_quarantine").toString
+    val mem = MemoryStream[String]
+    val q = MaxwellStream
+      .startArchive(MaxwellStream.parse(mem.toDF().toDF("value")), s"$dir/data", s"$dir/ckpt")
+      .start()
+    try {
+      mem.addData(
+        """{"database":"d","table":"t","type":"insert","ts":1522558000,"data":{"id":"1"}}""",
+        // epoch-0 default (1970) and a year-3000 clock both quarantine
+        """{"database":"d","table":"t","type":"insert","ts":0,"data":{"id":"2"}}""",
+        """{"database":"d","table":"t","type":"insert","ts":32503680000,"data":{"id":"3"}}"""
+      )
+      q.processAllAvailable()
+      val archived = spark.read.parquet(s"$dir/data")
+      val outliers = archived.filter(col("event_month") === "outliers")
+        .select("data.id").as[String].collect().toSet
+      assert(outliers == Set("2", "3"), s"quarantined: $outliers")
+      // the normal month is untouched by the quarantine lane
+      val normal = archived.filter(col("event_month") === "2018-04")
+        .select("data.id").as[String].collect().toSet
+      assert(normal == Set("1"))
+      val partDirs = new java.io.File(s"$dir/data").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(partDirs.contains("event_month=outliers"))
+      assert(!partDirs.exists(_.startsWith("event_month=1970")))
+      assert(!partDirs.exists(_.startsWith("event_month=3000")))
+    } finally q.stop()
+  }
+
+  test("mid-stream schema evolution e2e: ALTER ADD COLUMN types late rows, NULLs early ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/replica"
+    val ddl1 = Seq(
+      """{"database":"evodb","table":"track","type":"database-create","ts":1522558000000}""",
+      """{"database":"evodb","table":"track","type":"table-create","ts":1522558001000,"sql":"CREATE TABLE `track` (id INT, title LONGTEXT)"}"""
+    ).toDF("value")
+    try {
+      val r1 = MaxwellStream.applyDdl(MaxwellStream.ddlStatementsSpark(MaxwellStream.parse(ddl1)))
+      assert(r1.forall(_._2.isEmpty), s"DDL failures: $r1")
+
+      // stream phase 1: rows that predate the ALTER never carry `rating`
+      val batch1 = Seq(
+        """{"database":"evodb","table":"track","type":"insert","ts":1522558002,"data":{"id":"1","title":"one"}}"""
+      ).toDF("value")
+      MaxwellStream.applyBatchToReplica(
+        MaxwellStream.replicaChangelog(MaxwellStream.parse(batch1), Seq("id")), dir)
+
+      // mid-stream DDL: the source grows a typed column
+      val ddl2 = Seq(
+        """{"database":"evodb","table":"track","type":"table-alter","ts":1522558003000,"sql":"ALTER TABLE track ADD COLUMN rating DOUBLE"}"""
+      ).toDF("value")
+      val r2 = MaxwellStream.applyDdl(MaxwellStream.ddlStatementsSpark(MaxwellStream.parse(ddl2)))
+      assert(r2.forall(_._2.isEmpty), s"ALTER failed: $r2")
+
+      // stream phase 2: post-ALTER rows carry the new column
+      val batch2 = Seq(
+        """{"database":"evodb","table":"track","type":"insert","ts":1522558004,"data":{"id":"2","title":"two","rating":"4.5"}}"""
+      ).toDF("value")
+      MaxwellStream.applyBatchToReplica(
+        MaxwellStream.replicaChangelog(MaxwellStream.parse(batch2), Seq("id")), dir)
+
+      val typed = MaxwellStream.typedReplica(spark, dir, "evodb", "track")
+      assert(typed.schema("rating").dataType == org.apache.spark.sql.types.DoubleType)
+      val byId = typed.collect().map(r => r.getAs[Int]("id") -> r).toMap
+      assert(byId(1).isNullAt(byId(1).fieldIndex("rating")),
+        "pre-ALTER row must read a typed NULL in the new column")
+      assert(byId(2).getAs[Double]("rating") == 4.5)
+      assert(byId(2).getAs[String]("title") == "two")
+    } finally spark.sql("DROP DATABASE IF EXISTS EVODB CASCADE")
+  }
 }
