@@ -637,7 +637,98 @@ object Dedup {
     """.stripMargin.trim)
   )
 
+  /** Blocked CONTAINMENT near-dup audit: within each (lang, source)
+    * block, the top-3 pairs by shingle containment |∩| / min(|A|,|B|) —
+    * the ASYMMETRIC score that catches partial copies Jaccard
+    * structurally misses: a 50-shingle doc quoted whole inside a
+    * 1000-shingle doc scores containment 1.0 but Jaccard ≈ 0.05, under
+    * every dedup τ. Real pretraining pipelines run this lane for
+    * quote-inclusion / boilerplate-wrapping / excerpt detection next to
+    * the symmetric [[dedupNgramJaccard]].
+    *
+    * Same block-size split as the Jaccard op: blocks ≤ [[blockCap]] docs
+    * compare all pairs exactly (the oracle's SQL); larger blocks generate
+    * candidates from RARE-SHINGLE postings — doc pairs sharing a shingle
+    * with block document-frequency in [2, maxDf] — then confirm exactly.
+    * MinHash banding would be the WRONG router here (a contained short
+    * doc's Jaccard is low, so its bands never collide); rare-shingle
+    * blocking recalls any pair sharing at least one non-boilerplate
+    * shingle, and bounds work at O(postings × df) pairs, never
+    * O(block²). Scored by the codegen'd [[graft.plans.SortedContainment]]
+    * merge kernel (zero allocation per pair). */
+  val dedupContainment: QueryDef = QueryDef(
+    "dedup_containment",
+    (s, d) => containmentTop3(s, d, blockCap),
+    Some(s"""
+      WITH capped AS (
+        SELECT doc_id, lang, source, text
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) <= $blockCap
+      ), sh AS (
+        SELECT doc_id, lang, source, $duckShingleHashes AS s
+        FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM capped)
+      ), pairs AS (
+        SELECT a.lang, a.source, a.doc_id AS id1, b.doc_id AS id2,
+               len(list_intersect(a.s, b.s))::DOUBLE / least(len(a.s), len(b.s)) AS cont
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+      )
+      SELECT lang, source, id1, id2, round(cont, 6) AS cont, rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY cont DESC, id1, id2) AS rn
+            FROM pairs)
+      WHERE rn <= 3
+      ORDER BY lang, source, rn
+    """.stripMargin.trim)
+  )
+
+  /** [[dedupContainment]]'s engine, cap-parameterized for the spec. */
+  private[graft] def containmentTop3(s: SparkSession, d: String, cap: Int,
+      maxDf: Int = 16): DataFrame = {
+    val sizes = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("block_n"))
+    val docs = docHashedShingles(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("hsh"))
+      .join(sizes, Seq("lang", "source"))
+      .cache()
+    val small = docs.filter(col("block_n") <= cap)
+    val big = docs.filter(col("block_n") > cap)
+    def cont = graft.plans.VectorExpressions.sortedContainment(col("h1"), col("h2"))
+
+    val a = small.select(col("lang"), col("source"), col("doc_id").as("id1"), col("hsh").as("h1"))
+    val b = small.select(col("lang"), col("source"), col("doc_id").as("id2"), col("hsh").as("h2"))
+    val smallPairs = a.join(b, Seq("lang", "source"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cont", cont)
+      .select(col("lang"), col("source"), col("id1"), col("id2"), col("cont"))
+
+    // Rare-shingle posting candidates for over-cap blocks. Exploding a
+    // MATERIALIZED (cached) array column is safe — the Generate pitfall is
+    // re-evaluating an expensive generator EXPRESSION per output row.
+    val posts = big.select(col("lang"), col("source"), col("doc_id"), explode(col("hsh")).as("h"))
+    val rare = posts.groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("lang", "source", "h")
+    val rarePosts = posts.join(rare, Seq("lang", "source", "h"))
+    val bigPairs = rarePosts.as("x")
+      .join(rarePosts.as("y"), Seq("lang", "source", "h"))
+      .select(col("lang"), col("source"), col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("lang", "source", "id1", "id2")
+      .join(big.select(col("doc_id").as("id1"), col("hsh").as("h1")), "id1")
+      .join(big.select(col("doc_id").as("id2"), col("hsh").as("h2")), "id2")
+      .withColumn("cont", cont)
+      .select(col("lang"), col("source"), col("id1"), col("id2"), col("cont"))
+
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("cont").desc, col("id1"), col("id2"))
+    smallPairs.unionByName(bigPairs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("source"), col("id1"), col("id2"), round(col("cont"), 6).as("cont"), col("rn"))
+      .orderBy("lang", "source", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupClusters,
-    dedupLines, dedupIncremental)
+    dedupLines, dedupIncremental, dedupContainment)
 }

@@ -502,6 +502,70 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact CONTAINMENT |a∩b| / min(|a|,|b|) of two SORTED-ascending
+  * `array<long>` set encodings — the asymmetric near-dup score: a short
+  * document fully quoted inside a long one scores 1.0 here while its
+  * Jaccard stays near |short|/|long|. Same zero-allocation merge pass as
+  * [[SortedJaccard]]; two empty sets yield 0.0 (callers drop empty
+  * shingle sets upstream). */
+case class SortedContainment(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongVec(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongVec(left.dataType) && isLongVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_containment expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var both = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { both += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val mn = math.min(nx, ny)
+    if (mn == 0) 0.0 else both.toDouble / mn
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val both = ctx.freshName("both")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val mn = ctx.freshName("mn")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0, $both = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $both++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+         |int $mn = $nx < $ny ? $nx : $ny;
+         |${ev.value} = $mn == 0 ? 0.0 : ((double) $both) / $mn;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Product-quantization ENCODER (Jégou et al., "Product Quantization for
   * Nearest Neighbor Search", TPAMI 2011): the L2-normalized input vector is
   * split into `M = books.length` contiguous subvectors and each subvector
@@ -896,6 +960,11 @@ object VectorExpressions {
   def sortedJaccard(a: Column, b: Column): Column =
     Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Column-API entry point: containment |∩|/min(|a|,|b|) of two sorted
+    * array<long> sets. */
+  def sortedContainment(a: Column, b: Column): Column =
+    Bridge.column(SortedContainment(Bridge.expression(a), Bridge.expression(b)))
+
   /** Column-API entry point: top-N nearest (normalized) centroids by
     * cosine — array<struct<cell, cos>>, cosine desc, low index on ties.
     * Constructor-parameterized like [[hyperplaneSig]] (the matrix is a plan
@@ -956,6 +1025,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_sorted_jaccard"),
       info("graft_sorted_jaccard", "graft_sorted_jaccard(a, b) - exact Jaccard of two sorted array<bigint> sets"),
       (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_containment"),
+      info("graft_sorted_containment", "graft_sorted_containment(a, b) - |intersection| / min(|a|,|b|) of two sorted array<bigint> sets"),
+      (exprs: Seq[Expression]) => SortedContainment(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
       info("graft_pq_adc", "graft_pq_adc(codes, lut) - asymmetric PQ distance: sum of lut[m*K + codes[m]]"),
       (exprs: Seq[Expression]) => PqAdc(exprs.head, exprs(1))))

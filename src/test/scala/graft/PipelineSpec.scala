@@ -319,6 +319,52 @@ class PipelineSpec extends SparkSpec {
       exact.map(_.toString).toSeq)
   }
 
+  test("containment catches a quote-inclusion pair Jaccard misses, through the over-cap route") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    // Doc 280 (20 tokens) is quoted WHOLE at the head of doc 285 (220
+    // tokens): containment = 18/18 = 1.0, Jaccard ≈ 18/202 ≈ 0.089 —
+    // invisible to every jaccard-τ lane. The 300-doc block also exercises
+    // the rare-shingle candidate route (both ids beyond the 256 cap).
+    val quoted = (0 until 20).map(i => s"p$i").mkString(" ")
+    val wrapper = quoted + " " + (0 until 200).map(i => s"f$i").mkString(" ")
+    val docs =
+      (0 until 300).map { i =>
+        val text = if (i == 280) quoted else if (i == 285) wrapper
+                   else (0 until 12).map(j => s"a${i}t$j").mkString(" ")
+        (i.toLong, text, "xx", "big")
+      } ++
+      (0 until 5).map { i =>
+        val text = if (i == 0) "q0 q1 q2 q3 q4"
+                   else if (i == 1) "q0 q1 q2 q3 q4 z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"
+                   else (0 until 6).map(j => s"b${i}t$j").mkString(" ")
+        (1000L + i, text, "yy", "small")
+      }
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Dedup.containmentTop3(spark, dir, 256).collect()
+    val bigTop = out.filter(r => r.getAs[String]("source") == "big" && r.getAs[Int]("rn") == 1)
+    assert(bigTop.length == 1)
+    assert(bigTop.head.getAs[Long]("id1") == 280L && bigTop.head.getAs[Long]("id2") == 285L,
+      s"expected the quote-inclusion pair first, got ${bigTop.head}")
+    assert(bigTop.head.getAs[Double]("cont") == 1.0)
+    // the same pair is invisible to the jaccard lane's threshold
+    val jacTop = Dedup.ngramJaccardTop3(spark, dir, 256).collect()
+      .filter(r => r.getAs[String]("source") == "big" &&
+        r.getAs[Long]("id1") == 280L && r.getAs[Long]("id2") == 285L)
+    assert(jacTop.forall(_.getAs[Double]("jac") < 0.8))
+    // small-block exact leg: the embedded 5-token quote scores 1.0 and
+    // matches the all-exact form row-for-row
+    val exact = Dedup.containmentTop3(spark, dir, 100000).collect()
+      .filter(_.getAs[String]("source") == "small")
+    val routedSmall = out.filter(_.getAs[String]("source") == "small")
+    assert(routedSmall.map(_.toString).toSeq == exact.map(_.toString).toSeq)
+    assert(routedSmall.head.getAs[Long]("id1") == 1000L &&
+      routedSmall.head.getAs[Long]("id2") == 1001L &&
+      routedSmall.head.getAs[Double]("cont") == 1.0)
+  }
+
   test("star contraction labels a 64-doc chain in O(log n) rounds, not O(diameter)") {
     import spark.implicits._
     // A pure path graph 0-1-2-...-63: the worst case for min-label
