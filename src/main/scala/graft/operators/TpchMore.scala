@@ -334,20 +334,23 @@ object TpchMore {
           sum(cents("o_totalprice")).as("monetary_c"))
       // bucketedRank wants (key, v, id): key is the non-foldable constant
       // (single logical frame — parallelism comes from the B value buckets,
-      // not the key), v the ORDER BY value, id the custkey tiebreak.
-      def quintile(df: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.Column,
+      // not the key), v the ORDER BY value, id the custkey tiebreak. Each
+      // quintile ranks a NARROW (key, v, id) projection independently —
+      // the three rank chains carry 24-byte rows through their exchanges
+      // and their stages have no mutual dependencies (vs. chaining, which
+      // serializes them and threads every prior score column through each
+      // exchange) — then joins its score back on custkey.
+      def quintile(v: org.apache.spark.sql.Column,
           name: String): org.apache.spark.sql.DataFrame =
-        ScalePatterns.bucketedRank(df
-            .withColumn("key", graft.Registry.wholeFrameKey(col("o_custkey")))
-            .withColumn("v", v)
-            .withColumn("id", col("o_custkey")))
+        ScalePatterns.bucketedRank(per.select(
+            graft.Registry.wholeFrameKey(col("o_custkey")).as("key"),
+            v.as("v"), col("o_custkey").as("id")))
           .withColumn(name, ScalePatterns.sqlTile(5))
-          .drop("key", "v", "id", "vmin", "vmax", "c", "bkt", "off", "r")
-      val scored = quintile(
-        quintile(
-          quintile(per, -unix_date(col("last_order").cast("date")), "r_score"),
-          -col("freq"), "f_score"),
-        -col("monetary_c"), "m_score")
+          .select(col("id").as("o_custkey"), col(name))
+      val scored = per.select(col("o_custkey"), col("monetary_c"))
+        .join(quintile(-unix_date(col("last_order").cast("date")), "r_score"), "o_custkey")
+        .join(quintile(-col("freq"), "f_score"), "o_custkey")
+        .join(quintile(-col("monetary_c"), "m_score"), "o_custkey")
       scored
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(
