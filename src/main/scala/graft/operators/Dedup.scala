@@ -728,7 +728,104 @@ object Dedup {
       .orderBy("lang", "source", "rn")
   }
 
+  /** EXACT-SUBSTRING repeat detection — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * operator class: find every MAXIMAL token span of length ≥ k that
+    * occurs more than once in the corpus (any offset, any document —
+    * the repeats [[dedupLines]]' fixed chunk grid and whole-doc Jaccard
+    * both miss), and report per document how much of it is repeated
+    * material. k = 10 words here (the paper uses 50 BPE tokens; this
+    * corpus's docs are ~200 words).
+    *
+    * Shape: every k-token window (typed flatMap, linear) → occurrence
+    * count per window key (one exchange; keyed on the window TEXT so the
+    * oracle comparison is hash-free — at 100 TB the key becomes
+    * xxhash64(window), the [[dedupLines]] swap) → positions of repeated
+    * windows → per-doc interval merge (gaps-and-islands: a window
+    * starting ≤ k-1 after the previous repeated one overlaps it) → spans
+    * = islands, covered tokens = span extents. Per-doc output joins back
+    * to ALL docs (zero rows for repeat-free docs). Everything is linear
+    * plus three keyed exchanges; suffix arrays (the paper's machinery)
+    * buy arbitrary-k queries, but for a FIXED k the windowed form is the
+    * same answer with only hash joins. */
+  val dedupSubstring: QueryDef = QueryDef(
+    "dedup_substring",
+    (s, d) => {
+      import s.implicits._
+      val k = 10
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val toks = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          if (toks.length < k) Iterator.empty
+          else (0 to toks.length - k).iterator
+            .map(i => (id, (i + 1).toLong, toks.slice(i, i + k).mkString("_")))
+        }
+        .toDF("doc_id", "pos", "win")
+      val rep = wins
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("win"))))
+        .filter(col("cnt") > 1)
+        .select(col("doc_id"), col("pos"))
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val islands = rep
+        .withColumn("brk",
+          when(col("pos") > coalesce(lag(col("pos"), 1).over(ord), lit(-(k - 1).toLong)) + (k - 1), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val spans = islands.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("p1") - col("p0") + k).as("covered_tokens"))
+      val repCounts = rep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rep_windows"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("bigint").as("n_tokens"))
+        .join(repCounts, Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_rep_windows"), lit(0L)).as("n_rep_windows"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      ), win AS (
+        SELECT doc_id, i AS pos, array_to_string(w[i:i+9], '_') AS win
+        FROM w, LATERAL (SELECT unnest(range(1, len(w) - 8)) AS i) t
+        WHERE len(w) >= 10
+      ), rep AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS cnt FROM win)
+        WHERE cnt > 1
+      ), isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -9) + 9
+                      THEN 1 ELSE 0 END AS brk
+          FROM rep)
+      ), sp AS (
+        SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1 FROM isl GROUP BY 1, 2
+      ), agg AS (
+        SELECT doc_id, count(*) AS n_spans, sum(p1 - p0 + 10)::BIGINT AS covered_tokens
+        FROM sp GROUP BY 1
+      ), repc AS (
+        SELECT doc_id, count(*) AS n_rep_windows FROM rep GROUP BY 1
+      )
+      SELECT d.doc_id, len(string_split(lower(d.text), ' '))::BIGINT AS n_tokens,
+             coalesce(n_rep_windows, 0)::BIGINT AS n_rep_windows,
+             coalesce(n_spans, 0)::BIGINT AS n_spans,
+             coalesce(covered_tokens, 0)::BIGINT AS covered_tokens
+      FROM documents d LEFT JOIN repc ON repc.doc_id = d.doc_id
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupClusters,
-    dedupLines, dedupIncremental, dedupContainment)
+    dedupLines, dedupIncremental, dedupContainment, dedupSubstring)
 }

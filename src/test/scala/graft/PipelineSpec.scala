@@ -365,6 +365,30 @@ class PipelineSpec extends SparkSpec {
       routedSmall.head.getAs[Double]("cont") == 1.0)
   }
 
+  test("dedup_substring finds a cross-doc 30-token repeated span at different offsets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("substring").toString
+    val run = (0 until 30).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: the run at offset 0, then 20 unique tokens
+      (1L, run + " " + (0 until 20).map(i => s"u1x$i").mkString(" "), "xx", "w"),
+      // doc 2: 15 unique tokens, the run at offset 15, 5 unique tokens
+      (2L, (0 until 15).map(i => s"u2x$i").mkString(" ") + " " + run + " " +
+        (0 until 5).map(i => s"u2y$i").mkString(" "), "xx", "w"),
+      // doc 3: no repeats at all
+      (3L, (0 until 40).map(i => s"u3x$i").mkString(" "), "xx", "w")
+    )
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupSubstring.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_rep_windows"), r.getAs[Long]("n_spans"), r.getAs[Long]("covered_tokens"))).toMap
+    // a 30-token run holds 21 repeated 10-windows and merges to ONE span of 30 covered tokens
+    assert(out(1L) == ((21L, 1L, 30L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((21L, 1L, 30L)), s"doc 2 (different offset): ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L)), s"repeat-free doc: ${out(3L)}")
+  }
+
   test("star contraction labels a 64-doc chain in O(log n) rounds, not O(diameter)") {
     import spark.implicits._
     // A pure path graph 0-1-2-...-63: the worst case for min-label
