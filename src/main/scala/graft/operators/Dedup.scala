@@ -473,9 +473,8 @@ object Dedup {
       .distinct()
       .repartition(parts, col("u"))
       .localCheckpoint(true)
-    var cnt = e.count()
     var rounds = 0
-    var stable = cnt == 0L
+    var stable = false
     while (!stable && rounds < 50) {
       // large-star over the undirected neighbor view
       val nbrs = e.select(col("u").as("a"), col("v").as("b"))
@@ -486,18 +485,28 @@ object Dedup {
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
         .distinct()
-      // small-star over the canonical parent edges
+      // small-star over the canonical parent edges. No per-round
+      // repartition: the round's own groupBy/join exchanges (AQE-sized to
+      // the edge volume) set the parallelism; an explicit repartition here
+      // measured as a pure extra shuffle per round.
       val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val withMin = large.join(sm, "u")
       val next = withMin.select(col("u"), col("m").as("v"))
         .union(withMin.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
         .distinct()
-        .repartition(parts, col("u"))
-        .localCheckpoint(true)
-      val nextCnt = next.count()
-      stable = nextCnt == cnt && next.exceptAll(e).count() == 0L
+        // LAZY checkpoint: the convergence job below materializes it (one
+        // job instead of an eager pass + the check), later rounds read the
+        // cached blocks.
+        .localCheckpoint(false)
+      // Convergence = edge-set fixpoint, decided by ONE symmetric-diff job
+      // (both sides are distinct sets, so a (u,v) group sums to 3 iff the
+      // edge is in both) instead of a count + exceptAll pair of jobs.
+      stable = e.select(col("u"), col("v"), lit(1L).as("s"))
+        .unionByName(next.select(col("u"), col("v"), lit(2L).as("s")))
+        .groupBy(col("u"), col("v")).agg(sum(col("s")).as("ss"))
+        .filter(col("ss") =!= 3L)
+        .isEmpty
       e = next
-      cnt = nextCnt
       rounds += 1
     }
     // At fixpoint each non-root appears exactly once; the min-agg also
