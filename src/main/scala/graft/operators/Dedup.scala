@@ -291,36 +291,83 @@ object Dedup {
     * the shared core of [[dedupMinhashLsh]] (which adds presentation
     * round+sort) and [[dedupClusters]] (which only needs the edge list, so
     * the corpus-sized total sort would be pure waste). */
+  /** The 16 MinHash LSH band keys of a hashed shingle set: 64 affine
+    * permutation minima over the 31-bit token hashes, split into 16 bands
+    * of 4 rows, each band key the comma-joined minima. Self-contained
+    * (coefficients tabulated locally — 128 tiny ops per doc, nothing
+    * captured into closures) so the BATCH band generator and the
+    * STREAMING near-dup state lane ([[graft.streaming.StreamDedup]])
+    * compute byte-identical keys. */
+  private[graft] def minhashBandKeys(hs: Iterable[Long]): Array[String] = {
+    val nHashes = 64
+    val bandRows = 4
+    val pLoc = P
+    val aCoef = Array.tabulate(nHashes)(i => ((i.toLong * 2654435761L + 1L) % (pLoc - 1)) + 1) // in [1, P-1]
+    val bCoef = Array.tabulate(nHashes)(i => (i.toLong * 40503L + 7L) % pLoc)
+    val mins = Array.fill(nHashes)(Long.MaxValue)
+    hs.foreach { h64 =>
+      val h = h64 & 0x7FFFFFFFL
+      var i = 0
+      while (i < nHashes) {
+        val v = (aCoef(i) * h + bCoef(i)) % pLoc
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    Array.tabulate(nHashes / bandRows) { bIdx =>
+      (0 until bandRows).map(r => mins(bIdx * bandRows + r)).mkString(",")
+    }
+  }
+
+  /** Exact Jaccard of two sorted Long sets, JVM-side (the
+    * [[graft.plans.SortedJaccard]] merge outside codegen — used where the
+    * comparison happens inside stateful streaming group functions). */
+  private[graft] def sortedJaccardLocal(a: Seq[Long], b: Seq[Long]): Double = {
+    val nx = a.length; val ny = b.length
+    var i = 0; var j = 0; var both = 0
+    while (i < nx && j < ny) {
+      val xv = a(i); val yv = b(j)
+      if (xv == yv) { both += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - both
+    if (union == 0) 0.0 else both.toDouble / union
+  }
+
+  /** Sorted distinct xxhash64 shingle-hash set of one text, JVM-side —
+    * byte-identical to [[docHashedShingles]]'s column pipeline (xxhash64
+    * seed 42 over the same lower-cased space-split 3-gram tokens, signed
+    * ascending like `sort_array`). Used by the streaming near-dup lane,
+    * whose shingling happens inside a typed flatMap. */
+  private[graft] def hashedShingleSet(text: String): Array[Long] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < 3) Array.emptyLongArray
+    else {
+      val seen = new java.util.TreeSet[java.lang.Long]
+      var i = 0
+      while (i <= toks.length - 3) {
+        val t = toks(i) + "_" + toks(i + 1) + "_" + toks(i + 2)
+        seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      var j = 0
+      val it = seen.iterator()
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
   /** (doc_id, band_idx, band_key) MinHash LSH band rows for a
-    * (doc_id, hsh) frame: 64 affine permutation minima over the 31-bit
-    * token hashes, split into 16 bands of 4 rows. The 64 minima are a
-    * tight loop in a typed flatMap per doc — identical Long arithmetic
-    * (including overflow wrap) to 64 min-aggregates, in one pass. */
+    * (doc_id, hsh) frame — [[minhashBandKeys]] in a typed flatMap
+    * (identical Long arithmetic, including overflow wrap, to 64
+    * min-aggregates, in one pass per doc). */
   private[operators] def minhashBands(s: SparkSession, hsh: DataFrame): DataFrame = {
       import s.implicits._
-      val nHashes = 64
-      val bandRows = 4
-      val nBands = nHashes / bandRows
-      // Pre-tabulated affine coefficients as LOCAL arrays: locals keep the
-      // flatMap closure free of the (non-serializable) enclosing object,
-      // and the inner loop loses two multiplies/mods per element.
-      val pLoc = P
-      val aCoef = Array.tabulate(nHashes)(i => ((i.toLong * 2654435761L + 1L) % (pLoc - 1)) + 1) // in [1, P-1]
-      val bCoef = Array.tabulate(nHashes)(i => (i.toLong * 40503L + 7L) % pLoc)
       hsh.select(col("doc_id"), col("hsh")).as[(Long, Seq[Long])].flatMap { case (id, hs) =>
-        val mins = Array.fill(nHashes)(Long.MaxValue)
-        hs.foreach { h64 =>
-          val h = h64 & 0x7FFFFFFFL
-          var i = 0
-          while (i < nHashes) {
-            val v = (aCoef(i) * h + bCoef(i)) % pLoc
-            if (v < mins(i)) mins(i) = v
-            i += 1
-          }
-        }
-        (0 until nBands).map { bIdx =>
-          (id, bIdx, (0 until bandRows).map(r => mins(bIdx * bandRows + r)).mkString(","))
-        }
+        minhashBandKeys(hs).iterator.zipWithIndex.map { case (k, bIdx) => (id, bIdx, k) }
       }.toDF("doc_id", "band_idx", "band_key")
   }
 

@@ -1387,6 +1387,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("StreamDedup: streamed near-dups equal batch dedup_minhash_lsh across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamDedup.distinctPairs(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    try {
+      // split mid-corpus so dup pairs span micro-batches: the second half's
+      // members must pair against FIRST-half state, not just their batch
+      val (first, second) = docs.splitAt(docs.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("streamdedup")
+        .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.operators.Dedup.dedupMinhashLsh.fn(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("jac"))).toSet
+      assert(want.nonEmpty, "corpus has no dup pairs — spec is vacuous")
+      assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      // cross-batch proof: at least one confirmed pair straddles the split
+      val cut = docs(docs.length / 2)._1
+      assert(want.exists(p => p._1 < cut && p._2 >= cut),
+        "no pair straddles the batch split — reshape the split")
+    } finally q.stop()
+  }
+
   test("fromRabbitDeliveries: recorded AMQP bodies parse identically to clean lines") {
     import spark.implicits._
     // Recorded amqp.Delivery bodies: raw UTF-8 bytes, including the
