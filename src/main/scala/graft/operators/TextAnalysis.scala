@@ -842,10 +842,93 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** BM25 retrieval scoring (Robertson/Spärck Jones; k1=1.2, b=0.75) —
+    * the ranking function every corpus-search / relevance-sampling lane
+    * runs. The "query" is self-contained and deterministic: the 3 most
+    * common informative tokens (highest doc-freq among tokens appearing
+    * in ≤ half the corpus, token tie-break) — the same seed both engines
+    * derive. Emits the top-20 docs by score.
+    *
+    * Float discipline: every constant is written as the SAME decimal
+    * literal in both engines ((1.2+1) computed in binary is NOT the
+    * double literal 2.2 — off by 1 ulp, enough to flip a 4-dp rounding
+    * boundary); idf keeps one ln per (token) row (the text_tfidf ln
+    * precedent) and scores round to 4 dp BEFORE the rank.
+    *
+    * Scale: token stream is a typed flatMap; tf is the one data-sized
+    * exchange (shared shape with text_tfidf); dl/df/stats/query all
+    * derive from tf; stats and the 3-term query BROADCAST, so scoring is
+    * a narrow map over the tf rows of the query terms only; top-20 is
+    * TakeOrdered (per-partition heaps), never a whole-frame sort. */
+  val textBm25: QueryDef = QueryDef(
+    "text_bm25",
+    (s, d) => {
+      import s.implicits._
+      val tokens = docs(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).iterator.map(t => (id, t))
+        }
+        .toDF("doc_id", "token")
+      val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // avg over exact integer dl — the long sum is exact, so the double
+      // division is order-independent (no float-summation divergence)
+      val stats = broadcast(dl.agg(
+        count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
+      val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      val q = broadcast(dfT.crossJoin(stats)
+        .filter(col("doc_freq") <= col("n_docs") / 2)
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(3)
+        .select(col("token"), col("doc_freq")))
+      tf.join(q, "token")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n_docs") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("contrib")), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+      ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+      ), dl AS (
+        SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+      ), stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+      ), dft AS (
+        SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1
+      ), q AS (
+        SELECT token, doc_freq FROM dft, stats
+        WHERE doc_freq <= n_docs / 2
+        ORDER BY doc_freq DESC, token LIMIT 3
+      ), scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) *
+                 (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS contrib
+        FROM tf JOIN q USING (token) JOIN dl USING (doc_id), stats
+      )
+      SELECT doc_id, round(sum(contrib), 4) AS bm25, count(*) AS n_terms_hit
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
     textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
     textRepetition, qZipfSlope, textLangidEval, textNgramNovelty, textEntropy,
-    textBpePairs
+    textBpePairs, textBm25
   )
 }
