@@ -34,15 +34,23 @@ object Curation {
     import s.implicits._
     df.select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        (0 to t.length - 8).iterator.flatMap { i =>
-          val sh = t.slice(i, i + 8).mkString(" ")
-          if (seen.add(sh)) Iterator((id, sh)) else Iterator.empty
-        }
-      }
+      .flatMap { case (id, text) => wordShingles8(text).iterator.map(sh => (id, sh)) }
       .toDF("doc_id", "sh")
+  }
+
+  /** One doc's distinct word 8-grams, JVM-side — the shared kernel of the
+    * batch contamination check and the streaming ingestion gate
+    * ([[graft.streaming.StreamContamination]]), so both compute identical
+    * shingle sets. First-occurrence order, deduped. */
+  private[graft] def wordShingles8(text: String): Array[String] = {
+    val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i <= t.length - 8) {
+      seen += t.slice(i, i + 8).mkString(" ")
+      i += 1
+    }
+    seen.toArray
   }
 
   /** Benchmark decontamination: fraction of each EVAL doc's distinct word

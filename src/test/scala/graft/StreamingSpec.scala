@@ -1417,6 +1417,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamContamination: ingest gate reproduces batch pipeline_contamination exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The batch op's own md5 split: eval = bucket >= 90, train = rest.
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(100))
+    val all = Tables.documents(spark, sfDir).withColumn("bucket", bucket)
+    val evalDocs = all.filter(col("bucket") >= 90)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sortBy(_._1)
+    val train = all.filter(col("bucket") < 90).select("text")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamContamination.decisions(
+      mem.toDF().toDF("doc_id", "text"), train)
+    val q = out.writeStream.format("memory").queryName("contamgate").outputMode("append").start()
+    try {
+      val (a, b) = evalDocs.splitAt(evalDocs.length / 2)
+      mem.addData(a.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("contamgate")
+        .select("doc_id", "n_ngrams", "n_hits", "contamination_pct").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val want = graft.operators.Curation.pipelineContamination.fn(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_contaminated"),
+            r.getAs[Double]("contamination_pct")))).toMap
+      assert(want.nonEmpty && want.exists(_._2._2 > 0), "no contaminated eval docs — vacuous")
+      assert(got == want, s"mismatch: ${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+      // the quarantine flag fires exactly on hit-carrying docs
+      val flags = spark.table("contamgate").select("doc_id", "quarantined").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags.forall { case (id, fl) => fl == (want(id)._2 > 0) })
+    } finally q.stop()
+  }
+
   test("fromRabbitDeliveries: recorded AMQP bodies parse identically to clean lines") {
     import spark.implicits._
     // Recorded amqp.Delivery bodies: raw UTF-8 bytes, including the
