@@ -819,10 +819,15 @@ object Dedup {
             .map(i => (id, (i + 1).toLong, toks.slice(i, i + k).mkString("_")))
         }
         .toDF("doc_id", "pos", "win")
+      // cached: rep feeds BOTH the island merge and the per-doc window
+      // counts, and its lineage starts at a typed flatMap (fresh-closure
+      // subtrees never canonicalize equal, so an uncached second consumer
+      // would re-tokenize and re-shuffle the whole window stream)
       val rep = wins
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("win"))))
         .filter(col("cnt") > 1)
         .select(col("doc_id"), col("pos"))
+        .cache()
       val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val islands = rep
         .withColumn("brk",
