@@ -1039,7 +1039,56 @@ object Similarity {
     None // approximate: recall-tested against ann_bruteforce in the spec
   )
 
+  /** ANN SERVING-QUALITY report — recall measurement as a first-class
+    * operator, not just a spec: the health check run against a live index
+    * before trusting its answers (index drift, bad quantization, a wrong
+    * nPlanes after a corpus migration all surface here first).
+    *
+    * A FIXED-SIZE query sample (the [[RecallSampleN]] vectors with
+    * smallest md5(vec_id) — the emb_cosine_hist pick: reproducible,
+    * ingestion-order-unbiased) gets exact ground-truth top-3 by the
+    * ann_bruteforce plan (sample broadcasts, corpus scans ONCE — the
+    * quadratic stays bounded to Q×N at any corpus size); the serving
+    * index's own answers ([[lshTopK]]) are semi-joined against the truth
+    * and the per-query hit counts fold into a recall histogram
+    * (n_hits ∈ 0..3 → query count + per-mille share). Approximate
+    * serving path ⇒ rows-only; the spec bounds mean recall and totals. */
+  private val RecallSampleN = 64
+
+  val embRecallReport: QueryDef = QueryDef(
+    "emb_recall_report",
+    (s, d) => {
+      val base = withNorm(s, d)
+      val sample = base
+        .withColumn("hk",
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long"))
+        .orderBy(col("hk"), col("vec_id"))
+        .limit(RecallSampleN)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      val exact = base
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+        .crossJoin(broadcast(sample))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosPre(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = lshTopK(s, d, distributed = false)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      sample.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .groupBy(col("n_hits")).agg(count(lit(1)).as("n_queries"))
+        .withColumn("share_pm", expr(s"(1000 * n_queries) div $RecallSampleN"))
+        .orderBy("n_hits")
+    },
+    None // approximate serving path: rows-only; spec bounds mean recall
+  )
+
   val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, dedupSemantic,
     annLsh, annIvf, annIvfK, embOutliers, embCosineHist, embPqCodes, annPq,
-    annIvfPq)
+    annIvfPq, embRecallReport)
 }

@@ -365,6 +365,19 @@ class PipelineSpec extends SparkSpec {
       routedSmall.head.getAs[Double]("cont") == 1.0)
   }
 
+  test("emb_recall_report: histogram covers the whole sample, mean recall@3 >= 0.5") {
+    val rows = Similarity.embRecallReport.fn(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_queries")).sum
+    assert(total == 64L, s"histogram covers $total of the 64 sampled queries")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 3L, s"impossible hit count $h")
+    }
+    val mean = rows.map(r => r.getAs[Long]("n_hits") * r.getAs[Long]("n_queries")).sum
+      .toDouble / (3.0 * total)
+    assert(mean >= 0.5, s"mean recall@3 $mean below the ann_lsh spec floor")
+  }
+
   test("dedup_substring finds a cross-doc 30-token repeated span at different offsets") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("substring").toString
