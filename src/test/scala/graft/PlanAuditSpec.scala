@@ -66,6 +66,24 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, s"ranking window not bucket-partitioned:\n$plan")
   }
 
+  test("text_bm25: query and stats broadcast; top-20 is TakeOrdered, never a global sort") {
+    import graft.operators.TextAnalysis
+    val plan = TextAnalysis.textBm25.fn(spark, sfDir).queryExecution.executedPlan.toString
+    // the 3-term query and the corpus stats join the tf stream as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 1, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    // top-20 via per-partition heaps + driver merge
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$plan")
+  }
+
+  test("dedup_containment small-leg is the exact block self-join; no cartesian anywhere") {
+    import graft.operators.Dedup
+    val plan = Dedup.dedupContainment.fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the pairwise leg joins on the block key, the routed leg on the shingle
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("q_rfm_segments ranks via bucketed two-phase windows, no whole-frame ntile sort") {
     import graft.operators.TpchMore
     val plan = TpchMore.qRfmSegments.fn(spark, sfDir).queryExecution.executedPlan.toString
