@@ -257,11 +257,13 @@ class PlanAuditSpec extends SparkSpec {
     // (1-row corpus count), q_idle_customers (1-row balance average),
     // pipeline_dedup_report (1-row stage counts × 1-row line counts).
     // ann_pq broadcasts the 8-row query LUT set against the code scan.
+    // emb_recall_report broadcasts its 64-query truth sample (the
+    // ann_bruteforce pattern); text_bm25 broadcasts 1-row corpus stats.
     // Anything new showing up here is a regression.
     val allowNlj = Set("ann_bruteforce", "cdc_incremental", "cdc_staleness",
       "q_decayed_sum", "text_tfidf", "q_idle_customers", "cdc_purge_audit",
       "pipeline_dedup_report", "emb_cosine_hist", "ann_pq",
-      "pipeline_dataset_card")
+      "pipeline_dataset_card", "emb_recall_report", "text_bm25")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
