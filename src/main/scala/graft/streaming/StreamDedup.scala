@@ -85,8 +85,107 @@ object StreamDedup {
   /** The band lanes collapsed to one row per confirmed pair — the frame
     * to compare against batch `dedup_minhash_lsh`. (Streaming
     * `dropDuplicates` state on (id1, id2) is unbounded like every
-    * exactly-once dedup; bound it with `withWatermark` + a ts column when
-    * retention applies.) */
+    * exactly-once dedup; [[distinctPairsBounded]] is the retention-bounded
+    * form.) */
   def distinctPairs(docs: DataFrame, tau: Double = 0.8): DataFrame =
     nearDups(docs, tau).toDF().drop("band_idx").dropDuplicates("id1", "id2")
+
+  /** A confirmed hit stamped with the arriving doc's event time (the later
+    * doc of the pair — the one whose arrival completed it). */
+  final case class TimedNearDupHit(id1: Long, id2: Long, jac: Double,
+      band_idx: Int, ts: java.sql.Timestamp)
+
+  /** RETENTION-BOUNDED near-dup gate — the form whose state cannot grow
+    * past the retention horizon, for deployments where "duplicate" means
+    * "duplicate of something seen in the last N days" (the usual contract
+    * once a corpus is snapshotted + deduped in batch and the stream only
+    * guards the incremental frontier).
+    *
+    * `docs`: streaming (doc_id, text, ts). The watermark is declared HERE,
+    * on the shingle flatMap's OUTPUT — a typed flatMap mints fresh
+    * attributes without the event-time tag (the repo's documented
+    * watermark-stripping pitfall), so tagging the upstream frame would
+    * leave the stateful op without a watermark. Tagging the band rows
+    * (16/doc, same ts) yields the identical watermark value.
+    *
+    * Bounds, vs the unbounded [[nearDups]]:
+    *   - bucket members with ts older than the current watermark are
+    *     evicted BEFORE pairing — a newcomer only matches partners still
+    *     inside retention;
+    *   - an event-time timeout at (newest member + 1ms) sweeps buckets
+    *     that go idle, so state death does not require new traffic;
+    *   - lane collapse is ALGEBRAIC, not stateful: at confirm time both
+    *     docs' full band-key vectors are known (the member's rides in
+    *     state), so the pair is emitted only on the SMALLEST shared band
+    *     — exactly-once per pair with no downstream dedup operator. (A
+    *     chained `dropDuplicatesWithinWatermark` would trip Spark's
+    *     global-watermark correctness check for stateful-after-stateful
+    *     plans; this form needs no such state at all.)
+    */
+  def nearDupsBounded(docs: DataFrame, retention: String,
+      tau: Double = 0.8): Dataset[TimedNearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bands = docs
+      .select("doc_id", "text", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        val hs = Dedup.hashedShingleSet(text)
+        if (hs.isEmpty) Iterator.empty
+        else {
+          val keys = Dedup.minhashBandKeys(hs)
+          keys.iterator.zipWithIndex
+            .map { case (key, bIdx) => (bIdx, key, id, hs.toSeq, keys, ts) }
+        }
+      }
+      .toDF("band_idx", "band_key", "doc_id", "shingles", "band_keys", "ts")
+      .withWatermark("ts", retention)
+      .as[(Int, String, Long, Seq[Long], Seq[String], java.sql.Timestamp)]
+    bands
+      .groupByKey { case (bIdx, key, _, _, _, _) => (bIdx, key) }
+      .flatMapGroupsWithState[List[(Long, Seq[Long], Seq[String], Long)], TimedNearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((bIdx, _), rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          // retention eviction first: expired members are not candidates
+          var seen = state.getOption
+            .getOrElse(List.empty[(Long, Seq[Long], Seq[String], Long)])
+            .filter(_._4 >= wmMs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TimedNearDupHit]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, hs, keys, ts) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, ohs, okeys, _) =>
+                // exactly-once lane election: only the smallest band the
+                // two docs share reports the pair (they share THIS band,
+                // so the index always exists and is ≤ bIdx)
+                val firstShared = keys.iterator.zip(okeys.iterator)
+                  .indexWhere { case (a, b) => a == b }
+                if (firstShared == bIdx) {
+                  val jac = Dedup.sortedJaccardLocal(hs, ohs)
+                  if (jac >= tau)
+                    out += TimedNearDupHit(
+                      math.min(id, oid), math.max(id, oid), jac, bIdx, ts)
+                }
+              }
+              seen = (id, hs, keys, ts.getTime) :: seen
+            }
+          }
+          if (seen.isEmpty) state.remove()
+          else {
+            state.update(seen)
+            // fire once the watermark passes the newest member: every
+            // member is then expired and the bucket removes itself
+            val newest = seen.map(_._4).max
+            if (newest + 1L > wmMs) state.setTimeoutTimestamp(newest + 1L)
+          }
+          out.iterator
+      }
+  }
+
+  /** [[nearDupsBounded]] as one row per confirmed pair — already distinct
+    * by the smallest-shared-band election; no dedup state needed. */
+  def distinctPairsBounded(docs: DataFrame, retention: String,
+      tau: Double = 0.8): DataFrame =
+    nearDupsBounded(docs, retention, tau).toDF().drop("band_idx")
 }

@@ -1417,6 +1417,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamDedup.distinctPairsBounded: retention evicts partners, in-window pairs still fire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dup = "the quick brown fox jumps over the lazy dog while the " +
+      "cautious grey cat watches from the warm stone wall near the garden gate"
+    val filler1 = "completely unrelated filler content about municipal water " +
+      "treatment schedules and the quarterly budget review process for parks"
+    val filler2 = "another disjoint passage covering alpine railway timetables " +
+      "and the maintenance cadence of funicular cables in winter seasons"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamDedup.distinctPairsBounded(
+      mem.toDF().toDF("doc_id", "text", "ts"), retention = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("streamdedupbounded")
+      .outputMode("append").start()
+    try {
+      // batch 1: a dup pair inside the retention window → must fire
+      mem.addData((1L, dup, ts(1000)), (2L, dup, ts(1010)))
+      q.processAllAvailable()
+      // batch 2: unrelated traffic advances the watermark past docs 1-2
+      mem.addData((100L, filler1, ts(2000)))
+      q.processAllAvailable()
+      // batch 3: doc 3 duplicates 1/2 but they are beyond retention —
+      // no (1,3)/(2,3) pair; doc 4 duplicates 3 inside the window → (3,4)
+      mem.addData((3L, dup, ts(2001)), (4L, dup, ts(2002)))
+      q.processAllAvailable()
+      // batch 4: more traffic so the event-time timeout sweeps idle buckets
+      mem.addData((200L, filler2, ts(3000)))
+      q.processAllAvailable()
+      val got = spark.table("streamdedupbounded").select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (3L, 4L)),
+        s"expected exactly {(1,2),(3,4)} — got $got")
+    } finally q.stop()
+  }
+
   test("StreamContamination: ingest gate reproduces batch pipeline_contamination exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
