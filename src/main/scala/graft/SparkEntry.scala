@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, AnalyticsExt, Cdc, Curation, Dedup, Multimodal, Olap, OrderedStats, ScalePatterns, Similarity, TextAnalysis, TpchMore, TpchThird, TrainingOps}
+import graft.operators.{Advanced, AnalyticsExt, Cdc, Curation, Dedup, Multimodal, Olap, OrderedStats, Planning, ScalePatterns, Similarity, TextAnalysis, TpchMore, TpchThird, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Cdc.all ++ Olap.all ++ AnalyticsExt.all ++ ScalePatterns.all ++ Advanced.all ++
       TpchMore.all ++ TpchThird.all ++ OrderedStats.all ++ TrainingOps.all ++ Curation.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++ Multimodal.all
+      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++ Planning.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

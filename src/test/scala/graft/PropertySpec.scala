@@ -224,6 +224,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("skylinePass: two-phase (partitioned local + global) equals brute-force dominance") {
+    import graft.operators.Planning.skylinePass
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(200)
+      // coarse grids force equal-price runs and exact duplicates
+      val rows = (0 until n).map { i =>
+        (i.toLong, (rnd.nextInt(20) * 25).toDouble, rnd.nextInt(15))
+      }
+      def dominates(q: (Long, Double, Int), p: (Long, Double, Int)): Boolean =
+        q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+      val brute = rows.filter(p => !rows.exists(q => dominates(q, p))).toSet
+      val k = 1 + rnd.nextInt(8)
+      val local = rows.grouped(math.max(1, (n + k - 1) / k))
+        .flatMap(chunk => skylinePass(chunk.iterator)).toSeq
+      val twoPhase = skylinePass(local.iterator).toSet
+      assert(twoPhase == brute,
+        s"trial $trial: missing=${(brute -- twoPhase).take(3)} extra=${(twoPhase -- brute).take(3)}")
+    }
+  }
+
   test("MomentMatrix merge of split halves equals the sequential fold (within fp assoc)") {
     import graft.functions.Sketches
     val dim = 4

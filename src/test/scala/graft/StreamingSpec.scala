@@ -1453,6 +1453,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamBudgetGate: per-doc admissions equal batch pipeline_budget_gate decisions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, String, String)]
+    val out = graft.streaming.StreamBudgetGate.decisions(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), budget = 150L)
+    val q = out.writeStream.format("memory").queryName("budgetgate")
+      .outputMode("append").start()
+    try {
+      // split mid-corpus: second-half decisions must read counters the
+      // first half accumulated, not restart at zero
+      val (first, second) = docs.splitAt(docs.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("budgetgate").select("doc_id", "tok", "admitted").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val want = graft.operators.Planning.budgetDecisions(spark, sfDir, 150L)
+        .select("doc_id", "tok", "admitted").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(want.values.exists(_._2) && want.values.exists(!_._2),
+        "budget rejects nothing (or everything) — spec is vacuous")
+      assert(got == want,
+        s"mismatch: ${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+      // cross-batch proof: some domain flips admit→reject across the split
+      val firstIds = first.map(_._1).toSet
+      val flipped = want.exists { case (id, (_, adm)) => !adm && !firstIds.contains(id) &&
+        want.exists { case (id2, (_, adm2)) => adm2 && firstIds.contains(id2) &&
+          docs.find(_._1 == id2).map(d => (d._3, d._4)) == docs.find(_._1 == id).map(d => (d._3, d._4)) } }
+      assert(flipped, "no domain crosses its budget at the batch split — reshape")
+    } finally q.stop()
+  }
+
   test("StreamContamination: ingest gate reproduces batch pipeline_contamination exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
