@@ -166,6 +166,56 @@ object Planning {
     """.stripMargin.trim)
   )
 
+  /** STRIDE-SCHEDULED domain INTERLEAVING — the read-time mixing order a
+    * trainer consumes: each language is a lane with weight w (en 8×, zh
+    * 1×, rest 2× — the token-budget mix), docs take lane-local positions
+    * r (md5 order, reproducible), and the virtual-time key
+    * `((2r−1)·500000) div w` interleaves the lanes so every window of the
+    * stream holds domains in weight proportion (stride scheduling:
+    * Waldspurger & Weihl, OSDI'94). The head of the stream (120 rows
+    * here) is what a smoke-test batch reads.
+    *
+    * Scale shape: per-lane windows (parallel across lanes), then
+    * TakeOrdered for the head — the global mix order is DEFINED for the
+    * whole corpus but never materialized as a global sort; a consumer
+    * range-reads (key_lo, key_hi] slices, each a pruned scan at 100 TB. */
+  val pipelineInterleave: QueryDef = QueryDef(
+    "pipeline_interleave",
+    (s, d) => {
+      val mkey = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val w = when(col("lang") === "en", 8L)
+        .when(col("lang") === "zh", 1L).otherwise(2L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), mkey.as("mkey"), w.as("w"))
+        .withColumn("r",
+          row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("mkey"), col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("lang"),
+          expr("((2 * r - 1) * 500000) div w").as("vkey"))
+        .orderBy(col("vkey"), col("lang"), col("doc_id"))
+        .limit(120)
+    },
+    Some("""
+      WITH k AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS mkey,
+               (CASE WHEN lang = 'en' THEN 8 WHEN lang = 'zh' THEN 1
+                     ELSE 2 END)::BIGINT AS w
+        FROM documents
+      ), r AS (
+        SELECT doc_id, lang, w,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY mkey, doc_id) AS BIGINT) AS r
+        FROM k
+      )
+      SELECT doc_id, lang, ((2 * r - 1) * 500000) // w AS vkey
+      FROM r
+      ORDER BY vkey, lang, doc_id
+      LIMIT 120
+    """.stripMargin.trim)
+  )
+
   /** One local skyline pass over rows sorted by (price asc, size desc,
     * key): a row survives iff nothing seen so far dominates it
     * (dominator: price ≤ AND size ≥, at least one strict). Applied to a
@@ -236,5 +286,6 @@ object Planning {
   )
 
   val all: Seq[QueryDef] = Seq(
-    pipelineGlobalShuffle, pipelineLengthBuckets, pipelineBudgetGate, qSkyline)
+    pipelineGlobalShuffle, pipelineLengthBuckets, pipelineBudgetGate,
+    pipelineInterleave, qSkyline)
 }
