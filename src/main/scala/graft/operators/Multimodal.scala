@@ -291,6 +291,70 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
+  /** CHUNK-level binary dedup — the storage-dedup diagnostic below
+    * [[mmDedupBinary]]'s whole-blob granularity: payloads split into
+    * fixed 64-byte chunks, each chunk content-hashed, and per source the
+    * table reports chunk mass, distinct-chunk mass and the duplicate
+    * share in per-mille (what a content-addressed store would save —
+    * sub-file duplication that whole-blob hashing cannot see; a real
+    * deployment would use content-defined boundaries, the fixed grid is
+    * the deterministic oracle-exact form).
+    *
+    * Scale shape: a typed flatMap emits ONLY (source, chunk_md5) — the
+    * payload bytes never ride the shuffle (the mm_dedup_binary rule) —
+    * then one partial-agg'd count-distinct exchange keyed on the hash
+    * space. Chunk identity is md5 of the chunk's UPPERCASE-hex rendering
+    * (not the raw bytes): this DuckDB build cannot substr a BLOB, but
+    * `hex(encode(text))` char-slices ARE byte slices, so hashing the hex
+    * form is content-equivalent and engine-exact. */
+  val mmChunkDedup: QueryDef = QueryDef(
+    "mm_chunk_dedup",
+    (s, d) => {
+      import s.implicits._
+      val chunks = Tables.documents(s, d)
+        .select(col("source"), col("text").cast("binary").as("payload"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (src, payload) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          Iterator.range(0, payload.length, 64).map { off =>
+            val end = math.min(off + 64, payload.length)
+            val hex = new StringBuilder((end - off) * 2)
+            var i = off
+            while (i < end) { hex.append("%02X".format(payload(i) & 0xff)); i += 1 }
+            md.reset()
+            md.update(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            (src, md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+        .toDF("source", "h")
+      chunks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct"))
+        .withColumn("dup_pm", expr("(1000 * (n_chunks - n_distinct)) div n_chunks"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH n AS (
+        SELECT source, hex(encode(text)) AS bh,
+               octet_length(encode(text)) AS len
+        FROM documents
+      ), g AS (
+        -- constant chunk-index bound (docs here are < 4 KiB; the Spark
+        -- side has no bound — it iterates the actual payload)
+        SELECT i FROM generate_series(0, 63) AS t(i)
+      ), c AS (
+        SELECT source, md5(substr(bh, 128 * i + 1, 128)) AS h
+        FROM n JOIN g ON i <= (len - 1) // 64
+      )
+      SELECT source, count(*)::BIGINT AS n_chunks,
+             count(DISTINCT h)::BIGINT AS n_distinct,
+             (1000 * (count(*) - count(DISTINCT h))) // count(*) AS dup_pm
+      FROM c
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub, mmFrameSample, mmResizeStub,
-    mmDedupBinary, mmModalityMix)
+    mmDedupBinary, mmModalityMix, mmChunkDedup)
 }

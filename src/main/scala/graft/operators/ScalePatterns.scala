@@ -356,7 +356,59 @@ object ScalePatterns {
     None // approximate: merged==direct equality + 3σ bound in the spec
   )
 
+  /** JOIN-KEY SKEW REPORT — the diagnostic run BEFORE choosing between a
+    * plain shuffle join, a salted join ([[qSkewJoinSalted]]) and an AQE
+    * skew split: the per-key frequency profile of a prospective join
+    * column (orders.o_custkey here) folded to one row — key cardinality,
+    * min/max/mean frequency and the mass share of the heaviest 1 / 10
+    * keys in per-mille. top1_pm near 1000 means one key owns the join:
+    * salt or broadcast; flat top10_pm means a plain hash join is fine.
+    *
+    * Scale shape: one per-key count aggregate (the exchange the join
+    * itself would pay), then a 1-row overall fold and a TakeOrdered
+    * top-10 fold (never a whole-frame rank over the key spectrum); the
+    * two 1-row sides meet in a broadcast nested-loop — the deliberate
+    * 1-row pattern of q_idle_customers/pipeline_dataset_card. Everything
+    * integer-exact. */
+  val qKeySkewReport: QueryDef = QueryDef(
+    "q_key_skew_report",
+    (s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val overall = counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
+        min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
+      val top10 = counts.orderBy(col("cnt").desc, col("o_custkey"))
+        .limit(10).agg(max(col("cnt")).as("top1"), sum(col("cnt")).as("top10"))
+      overall.crossJoin(broadcast(top10))
+        .select(
+          col("n_keys"), col("total"), col("min_cnt"), col("max_cnt"),
+          expr("(1000 * total) div n_keys").as("mean_pm"),
+          expr("(1000 * top1) div total").as("top1_pm"),
+          expr("(1000 * top10) div total").as("top10_pm"))
+        .orderBy("n_keys")
+    },
+    Some("""
+      WITH c AS (
+        SELECT o_custkey, count(*)::BIGINT AS cnt FROM orders GROUP BY o_custkey
+      ), o AS (
+        SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS total,
+               min(cnt)::BIGINT AS min_cnt, max(cnt)::BIGINT AS max_cnt
+        FROM c
+      ), t AS (
+        SELECT max(cnt)::BIGINT AS top1, sum(cnt)::BIGINT AS top10
+        FROM (SELECT cnt FROM c ORDER BY cnt DESC, o_custkey LIMIT 10)
+      )
+      SELECT n_keys, total, min_cnt, max_cnt,
+             (1000 * total) // n_keys AS mean_pm,
+             (1000 * top1) // total AS top1_pm,
+             (1000 * top10) // total AS top10_pm
+      FROM o, t
+      ORDER BY n_keys
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
-    qPercentileDist, qCumeDistDist, sketchWindowMerge)
+    qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport)
 }

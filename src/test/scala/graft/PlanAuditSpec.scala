@@ -263,7 +263,9 @@ class PlanAuditSpec extends SparkSpec {
     val allowNlj = Set("ann_bruteforce", "cdc_incremental", "cdc_staleness",
       "q_decayed_sum", "text_tfidf", "q_idle_customers", "cdc_purge_audit",
       "pipeline_dedup_report", "emb_cosine_hist", "ann_pq",
-      "pipeline_dataset_card", "emb_recall_report", "text_bm25")
+      "pipeline_dataset_card", "emb_recall_report", "text_bm25",
+      // q_key_skew_report: the 1-row overall fold × 1-row top-10 fold
+      "q_key_skew_report")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
