@@ -256,7 +256,12 @@ object Similarity {
     None // approximate: verified by recall spec against exact top-3
   )
 
-  private[graft] def lshTopK(s: SparkSession, d: String, distributed: Boolean): DataFrame = {
+  /** `queryIds`: restrict SEARCH to these query vectors (the index still
+    * covers the full corpus — answers are unchanged per query, only the
+    * query stream narrows). None = every corpus vector queries, the
+    * ann_lsh surface. */
+  private[graft] def lshTopK(s: SparkSession, d: String, distributed: Boolean,
+      queryIds: Option[Set[Long]] = None): DataFrame = {
     {
       import s.implicits._
       val nTables = 16 // L independent hash tables: union of candidates
@@ -314,8 +319,12 @@ object Similarity {
           val q8B = s.sparkContext.broadcast(side.map(r => r._1 -> r._4).toMap)
           val sigB = s.sparkContext.broadcast(side.map(r => r._1 -> ((r._2, r._3))).toMap)
           // Parallelize the query id list evenly: P narrow tasks, no shuffle.
+          val qids = queryIds match {
+            case Some(ids) => side.map(_._1).filter(ids.contains).toIndexedSeq
+            case None => side.map(_._1).toIndexedSeq
+          }
           val idsRdd = s.sparkContext.parallelize(
-            side.map(_._1).toIndexedSeq, s.sparkContext.defaultParallelism)
+            qids, s.sparkContext.defaultParallelism)
           s.createDataset(idsRdd).mapPartitions { it =>
             val dir = dirB.value; val q8m = q8B.value; val sigm = sigB.value
             val seen = scala.collection.mutable.HashSet.empty[Long]
@@ -370,7 +379,11 @@ object Similarity {
           }.toDF("table_id", "bucket", "neighbor_id")
             .groupBy("table_id", "bucket")
             .agg(collect_list(col("neighbor_id")).as("ids"))
-          val probes = sigs.flatMap { case (id, w0, w1) =>
+          val probeSigs = queryIds match {
+            case Some(ids) => sigs.filter(r => ids.contains(r._1))
+            case None => sigs
+          }
+          val probes = probeSigs.flatMap { case (id, w0, w1) =>
             for { t <- 0 until nTables; m <- probeMasks } yield
               (t, bucketOf(w0, w1, t) ^ m, id)
           }.toDF("table_id", "bucket", "query_id")
@@ -1074,7 +1087,11 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = lshTopK(s, d, distributed = false)
+      // the serving run SEARCHES ONLY the sample (the id set is a bounded
+      // 64-row collect — the query-stream prefilter a production health
+      // check would apply); the index itself still covers the full corpus
+      val sampleIds = sample.select(col("query_id")).collect().map(_.getLong(0)).toSet
+      val approx = lshTopK(s, d, distributed = false, queryIds = Some(sampleIds))
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
