@@ -338,6 +338,29 @@ class PlanAuditSpec extends SparkSpec {
       s"quantity envelope not pushed to the fact scan:\n$disj")
   }
 
+  test("planning family: interleave is lane-window + TakeOrdered; shuffle/skyline/budget " +
+    "never materialize a global sort of the fact") {
+    import graft.operators.Planning
+    // pipeline_interleave: per-lane window, stream head via TakeOrdered —
+    // a global Sort node would mean the mix order got materialized
+    val il = planOf(Planning.pipelineInterleave)
+    assert(il.contains("TakeOrderedAndProject"), s"interleave head must be TakeOrdered:\n$il")
+    assert(hashExchanges(il) == 1, s"interleave: one lane exchange expected:\n$il")
+    assert(!il.contains("Exchange rangepartitioning"),
+      s"interleave must not range-sort the corpus:\n$il")
+    // pipeline_global_shuffle: shard map + per-shard sort; the ONLY range
+    // exchange allowed is the final deterministic output ORDER BY
+    val gs = planOf(Planning.pipelineGlobalShuffle)
+    assert(hashExchanges(gs) == 1, s"global_shuffle: one shard exchange expected:\n$gs")
+    // q_skyline: two typed passes, no join operators at all
+    val sk = planOf(Planning.qSkyline)
+    assert(!sk.contains("Join"), s"skyline must not plan any join:\n$sk")
+    // pipeline_budget_gate: the admission window partitions by domain,
+    // never an empty/whole-frame spec over the fact
+    val bg = planOf(Planning.pipelineBudgetGate)
+    assert(hashExchanges(bg) <= 2, s"budget_gate: window + agg exchanges only:\n$bg")
+  }
+
   test("no registered query plans an empty-partition Window (Registry.wholeFrameKey rule)") {
     // lit(1) keys are folded + stripped by EliminateWindowPartitions, so a
     // naive "constant partition" regresses to the per-task WindowExec WARN;
