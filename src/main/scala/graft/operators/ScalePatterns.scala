@@ -408,7 +408,48 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** CHUNKED-BACKFILL plan — the DBLog/Debezium "incremental snapshot"
+    * chunk table (Andradinata & et al., DBLog 2019; the parallel form of
+    * the reference's dump-then-follow bootstrap): the key space of the
+    * table to backfill splits into fixed-size chunks of consecutive keys,
+    * each row = one chunk's [key_lo, key_hi] range + its exact key count.
+    * A backfill executor runs one bounded range-SELECT per chunk,
+    * interleaving with the live changelog (the low/high-watermark dance),
+    * so a 10⁹-key table loads as 10⁷ independent 100-key units with
+    * resume-on-failure granularity.
+    *
+    * Exact global key ranks come from [[bucketedRank]] (the two-phase
+    * bucketed ranking — never a whole-frame sort of the key spectrum);
+    * the chunk fold then aggregates ≤ keys/100 rows. */
+  val cdcBackfillPlan: QueryDef = QueryDef(
+    "cdc_backfill_plan",
+    (s, d) => {
+      val keys = Tables.customer(s, d).select(
+        graft.Registry.wholeFrameKey(col("c_custkey")).as("key"),
+        col("c_custkey").as("v"), col("c_custkey").as("id"))
+      bucketedRank(keys)
+        .select(col("v"), expr("(r - 1) div 100").as("chunk_id"))
+        .groupBy(col("chunk_id"))
+        .agg(min(col("v")).as("key_lo"), max(col("v")).as("key_hi"),
+          count(lit(1)).as("n_keys"))
+        .orderBy("chunk_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT c_custkey,
+               CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS rn
+        FROM customer
+      )
+      SELECT (rn - 1) // 100 AS chunk_id, min(c_custkey) AS key_lo,
+             max(c_custkey) AS key_hi, count(*)::BIGINT AS n_keys
+      FROM r
+      GROUP BY 1
+      ORDER BY chunk_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
-    qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport)
+    qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
+    cdcBackfillPlan)
 }
