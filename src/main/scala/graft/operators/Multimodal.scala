@@ -316,14 +316,28 @@ object Multimodal {
         .as[(String, Array[Byte])]
         .flatMap { case (src, payload) =>
           val md = java.security.MessageDigest.getInstance("MD5")
+          val up = "0123456789ABCDEF".toCharArray   // chunk hex (DuckDB hex())
+          val lo = "0123456789abcdef".toCharArray   // digest hex (md5() output)
           Iterator.range(0, payload.length, 64).map { off =>
             val end = math.min(off + 64, payload.length)
-            val hex = new StringBuilder((end - off) * 2)
+            val hex = new Array[Byte]((end - off) * 2)
             var i = off
-            while (i < end) { hex.append("%02X".format(payload(i) & 0xff)); i += 1 }
+            while (i < end) {
+              val b = payload(i) & 0xff
+              hex((i - off) * 2) = up(b >>> 4).toByte
+              hex((i - off) * 2 + 1) = up(b & 0xf).toByte
+              i += 1
+            }
             md.reset()
-            md.update(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-            (src, md.digest().map("%02x".format(_)).mkString)
+            md.update(hex)
+            val dig = md.digest()
+            val out = new Array[Char](32)
+            var j = 0
+            while (j < 16) {
+              out(j * 2) = lo((dig(j) >>> 4) & 0xf); out(j * 2 + 1) = lo(dig(j) & 0xf)
+              j += 1
+            }
+            (src, new String(out))
           }
         }
         .toDF("source", "h")
