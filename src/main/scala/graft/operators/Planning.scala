@@ -166,6 +166,56 @@ object Planning {
     """.stripMargin.trim)
   )
 
+  /** SHARD-BALANCE report — the check run after [[pipelineGlobalShuffle]]
+    * assigns a layout: per-shard document and token masses folded to one
+    * row (shard count, min/max docs, min/max tokens, and max/mean skew in
+    * per-mille for both). doc_skew_pm ≈ 1000 means perfectly balanced
+    * lanes; a hot shard shows up here before it shows up as the straggler
+    * task of every epoch. One shard aggregate (64 rows) + a 1-row fold —
+    * the fact is scanned once. Integer-exact: max/mean as
+    * (1000·max·n_shards) div total. */
+  val pipelineShardSkew: QueryDef = QueryDef(
+    "pipeline_shard_skew",
+    (s, d) => {
+      val key = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      Tables.documents(s, d)
+        .select(pmod(key, lit(64L)).as("shard"),
+          graft.plans.StringKernels.spaceSegCount(col("text")).as("tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"), sum(col("tok")).as("toks"))
+        .agg(
+          count(lit(1)).as("n_shards"),
+          min(col("docs")).as("min_docs"), max(col("docs")).as("max_docs"),
+          sum(col("docs")).as("total_docs"),
+          min(col("toks")).as("min_tokens"), max(col("toks")).as("max_tokens"),
+          sum(col("toks")).as("total_tokens"))
+        .select(
+          col("n_shards"), col("min_docs"), col("max_docs"),
+          expr("(1000 * max_docs * n_shards) div total_docs").as("doc_skew_pm"),
+          col("min_tokens"), col("max_tokens"),
+          expr("(1000 * max_tokens * n_shards) div total_tokens").as("token_skew_pm"))
+        .orderBy("n_shards")
+    },
+    Some("""
+      WITH k AS (
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 64 AS shard,
+               len(string_split(text, ' '))::BIGINT AS tok
+        FROM documents
+      ), sh AS (
+        SELECT shard, count(*)::BIGINT AS docs, sum(tok)::BIGINT AS toks
+        FROM k GROUP BY shard
+      )
+      SELECT count(*)::BIGINT AS n_shards,
+             min(docs)::BIGINT AS min_docs, max(docs)::BIGINT AS max_docs,
+             ((1000 * max(docs) * count(*)) // sum(docs))::BIGINT AS doc_skew_pm,
+             min(toks)::BIGINT AS min_tokens, max(toks)::BIGINT AS max_tokens,
+             ((1000 * max(toks) * count(*)) // sum(toks))::BIGINT AS token_skew_pm
+      FROM sh
+      ORDER BY n_shards
+    """.stripMargin.trim)
+  )
+
   /** STRIDE-SCHEDULED domain INTERLEAVING — the read-time mixing order a
     * trainer consumes: each language is a lane with weight w (en 8×, zh
     * 1×, rest 2× — the token-budget mix), docs take lane-local positions
@@ -287,5 +337,5 @@ object Planning {
 
   val all: Seq[QueryDef] = Seq(
     pipelineGlobalShuffle, pipelineLengthBuckets, pipelineBudgetGate,
-    pipelineInterleave, qSkyline)
+    pipelineInterleave, pipelineShardSkew, qSkyline)
 }

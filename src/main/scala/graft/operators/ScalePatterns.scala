@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -408,6 +408,60 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** KMV SET-OPERATION sketch — the θ-sketch intersection (Dasgupta et
+    * al., "Theta Sketch Framework", 2016) over the SAME mergeable KMV
+    * states [[sketchWindowMerge]] persists: estimated click-user /
+    * purchase-user cardinalities AND their overlap, without ever
+    * shuffling the user key space. θ = min of the two states' k-th
+    * minima; hashes below θ present in BOTH states are a uniform sample
+    * of the intersection at rate θ, so |A∩B| ≈ |common < θ| / θ. The
+    * whole estimator is Column arithmetic over two broadcast 1-row
+    * states (array_intersect + filter on k=512 arrays) — no driver math,
+    * no UDF in the fold.
+    *
+    * Approximate (σ ≈ 1/√(k−2) ≈ 4.4% at k=512, the spec bounds it) →
+    * rows-only; deterministic: same hashes, same states, same answer on
+    * every run/partitioning. */
+  /** The θ-intersection fold over two 1-row KMV-state frames (columns
+    * `ca` / `pa`) — Column arithmetic only; shared by the operator (k=512)
+    * and the approximate-regime spec (small k over synthetic sets). */
+  private[graft] def thetaOverlapFold(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    def fracOf(h: Column): Column =
+      (h.cast("double") - lit(Long.MinValue.toDouble)) / lit(1.8446744073709552e19)
+    def thetaOf(state: Column): Column =
+      when(size(state) < k, lit(1.0)).otherwise(fracOf(element_at(state, k)))
+    a.crossJoin(broadcast(b))
+      .withColumn("theta", least(thetaOf(col("ca")), thetaOf(col("pa"))))
+      .withColumn("common",
+        size(filter(array_intersect(col("ca"), col("pa")),
+          h => fracOf(h) < col("theta"))))
+      .select(
+        round(graft.functions.Sketches.kmvEstimate(col("ca"), k)).cast("long")
+          .as("est_click_users"),
+        round(graft.functions.Sketches.kmvEstimate(col("pa"), k)).cast("long")
+          .as("est_purchase_users"),
+        round(col("common") / col("theta")).cast("long").as("est_overlap"))
+      .orderBy("est_overlap")
+  }
+
+  val sketchOverlapUsers: QueryDef = QueryDef(
+    "sketch_overlap_users",
+    (s, d) => {
+      val k = 512
+      val st = graft.functions.Sketches.kmvState(k)
+      val states = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("h", xxhash64(col("user_id")))
+        .groupBy(col("event_type")).agg(st(col("h")).as("state"))
+      thetaOverlapFold(
+        states.filter(col("event_type") === "click").select(col("state").as("ca")),
+        states.filter(col("event_type") === "purchase").select(col("state").as("pa")),
+        k)
+    },
+    None // approximate sketch: spec bounds vs exact overlap + determinism
+  )
+
   /** CHUNKED-BACKFILL plan — the DBLog/Debezium "incremental snapshot"
     * chunk table (Andradinata & et al., DBLog 2019; the parallel form of
     * the reference's dump-then-follow bootstrap): the key space of the
@@ -451,5 +505,5 @@ object ScalePatterns {
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
     qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
-    cdcBackfillPlan)
+    cdcBackfillPlan, sketchOverlapUsers)
 }

@@ -224,6 +224,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("sketch_overlap_users: exact below k; theta-intersection within 20% above k") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ScalePatterns
+    // Exact regime at the gate SF: every state holds all hashes, theta=1,
+    // the estimates ARE the exact cardinalities.
+    val got = ScalePatterns.sketchOverlapUsers.fn(spark, sfDir).collect().head
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val (c, p) = (users("click"), users("purchase"))
+    assert(got.getAs[Long]("est_click_users") == c.size)
+    assert(got.getAs[Long]("est_purchase_users") == p.size)
+    assert(got.getAs[Long]("est_overlap") == (c & p).size)
+    // Approximate regime: synthetic 4000/3500-member sets overlapping in
+    // 2500, k=64 (sigma ~ 1/sqrt(62) ~ 12.7%); bound at 20% and assert
+    // determinism across two independent evaluations.
+    import spark.implicits._
+    val st = graft.functions.Sketches.kmvState(64)
+    def stateOf(ids: Seq[Long], alias: String) =
+      ids.toDF("id").select(xxhash64(col("id")).as("h")).agg(st(col("h")).as(alias))
+    val aIds = (0L until 4000L)
+    val bIds = (1500L until 5000L)
+    def estimate() = ScalePatterns.thetaOverlapFold(
+      stateOf(aIds, "ca"), stateOf(bIds, "pa"), 64).collect().head
+    val e1 = estimate(); val e2 = estimate()
+    assert(e1 == e2, "theta-sketch fold must be deterministic")
+    val est = e1.getAs[Long]("est_overlap").toDouble
+    assert(math.abs(est - 2500.0) / 2500.0 <= 0.20,
+      s"overlap estimate $est out of 20% band around 2500")
+  }
+
   test("skylinePass: two-phase (partitioned local + global) equals brute-force dominance") {
     import graft.operators.Planning.skylinePass
     val rnd = new scala.util.Random(4242)
