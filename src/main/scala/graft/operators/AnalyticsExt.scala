@@ -539,9 +539,98 @@ object AnalyticsExt {
     """.stripMargin.trim)
   )
 
+  /** WINDOW FUNNEL (the ClickHouse `windowFunnel` shape) — the time-bound
+    * sequential form the stage-count funnels (`q_funnel`/`q_funnel_metrics`)
+    * don't cover: a user reaches level L iff a strictly ordered
+    * view → click → purchase chain EXISTS with the whole chain inside a
+    * 24 h window of its first event; the table is the level histogram
+    * (0..3 → user count). Ordering is strict (ts, event_id) — the repo's
+    * as-of tie rule — so levels are deterministic under same-ts events.
+    *
+    * The JVM pass is greedy-optimal per start: for a fixed first view,
+    * the earliest strictly-later click admits the earliest purchase, so
+    * scanning views in order finds a chain iff one exists (⇔ the oracle's
+    * EXISTS triple join, which is quadratic only in DuckDB).
+    *
+    * Scale shape: ONE user_id exchange, per-user work linear in that
+    * user's events (sort + two monotone pointers per level) — no
+    * self-joins; the level fold is a ≤4-row aggregate. */
+  val qWindowFunnel: QueryDef = QueryDef(
+    "q_window_funnel",
+    (s, d) => {
+      import s.implicits._
+      val windowUs = 86400000000L // 24 h
+      // no event-type prefilter: a user with no funnel events still owns a
+      // group and lands at level 0 (the oracle's all-users frame); the
+      // greedy pass skips non-funnel rows for free
+      val levels = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy { case (_, _, us, eid) => (us, eid) }
+          def firstAfter(tpe: String, from: Int): Int = {
+            var i = from
+            while (i < evs.length && evs(i)._2 != tpe) i += 1
+            i
+          }
+          var level = 0
+          var vi = firstAfter("view", 0)
+          if (vi < evs.length) level = 1
+          while (vi < evs.length && level < 3) {
+            if (evs(vi)._2 == "view") {
+              val ci = firstAfter("click", vi + 1)
+              if (ci < evs.length) {
+                if (level < 2 && evs(ci)._3 - evs(vi)._3 <= windowUs) level = 2
+                val pi = firstAfter("purchase", ci + 1)
+                if (pi < evs.length && evs(pi)._3 - evs(vi)._3 <= windowUs)
+                  level = 3
+              }
+            }
+            vi += 1
+          }
+          (uid, level)
+        }
+        .toDF("user_id", "level")
+      levels.groupBy(col("level"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      ), l3 AS (
+        SELECT DISTINCT a.user_id FROM e a JOIN e b USING (user_id) JOIN e c USING (user_id)
+        WHERE a.event_type = 'view' AND b.event_type = 'click' AND c.event_type = 'purchase'
+          AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+          AND (c.us > b.us OR (c.us = b.us AND c.event_id > b.event_id))
+          AND c.us - a.us <= 86400000000
+      ), l2 AS (
+        SELECT DISTINCT a.user_id FROM e a JOIN e b USING (user_id)
+        WHERE a.event_type = 'view' AND b.event_type = 'click'
+          AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+          AND b.us - a.us <= 86400000000
+      ), l1 AS (
+        SELECT DISTINCT user_id FROM e WHERE event_type = 'view'
+      ), lv AS (
+        SELECT user_id,
+               CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3
+                    WHEN user_id IN (SELECT user_id FROM l2) THEN 2
+                    WHEN user_id IN (SELECT user_id FROM l1) THEN 1
+                    ELSE 0 END AS level
+        FROM (SELECT DISTINCT user_id FROM events)
+      )
+      SELECT level, count(*)::BIGINT AS n_users
+      FROM lv GROUP BY level ORDER BY level
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qNtile, qDistinctUsers, qCorrSubquery, qMarketShare, qFirstOrderGap, qSetOps,
     qLeftJoin, qFullOuter, qLikeFilter, qCube, qStringAgg, qExcept, qZscoreOutliers,
-    qStreaks, qPercentChange, qSetOpsAll, qEventMarkov, qRunningDistinct
+    qStreaks, qPercentChange, qSetOpsAll, qEventMarkov, qRunningDistinct,
+    qWindowFunnel
   )
 }
