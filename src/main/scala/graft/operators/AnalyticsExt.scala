@@ -555,6 +555,39 @@ object AnalyticsExt {
     * Scale shape: ONE user_id exchange, per-user work linear in that
     * user's events (sort + two monotone pointers per level) — no
     * self-joins; the level fold is a ≤4-row aggregate. */
+  /** The shared greedy funnel kernel: max level reached by a strictly
+    * (us, eid)-ordered view→click→purchase chain whose span fits
+    * `windowUs`. Greedy-optimal per start (earliest later click admits
+    * the earliest purchase), so it equals the EXISTS-chain semantics.
+    * Used by the batch op's per-user group pass AND the streaming twin
+    * ([[graft.streaming.StreamWindowFunnel]]) so both compute identical
+    * levels. `evs`: (event_type, us, event_id), any order. */
+  private[graft] def funnelLevel(evs: Array[(String, Long, Long)],
+      windowUs: Long): Int = {
+    val sorted = evs.sortBy { case (_, us, eid) => (us, eid) }
+    def firstAfter(tpe: String, from: Int): Int = {
+      var i = from
+      while (i < sorted.length && sorted(i)._1 != tpe) i += 1
+      i
+    }
+    var level = 0
+    var vi = firstAfter("view", 0)
+    if (vi < sorted.length) level = 1
+    while (vi < sorted.length && level < 3) {
+      if (sorted(vi)._1 == "view") {
+        val ci = firstAfter("click", vi + 1)
+        if (ci < sorted.length) {
+          if (level < 2 && sorted(ci)._2 - sorted(vi)._2 <= windowUs) level = 2
+          val pi = firstAfter("purchase", ci + 1)
+          if (pi < sorted.length && sorted(pi)._2 - sorted(vi)._2 <= windowUs)
+            level = 3
+        }
+      }
+      vi += 1
+    }
+    level
+  }
+
   val qWindowFunnel: QueryDef = QueryDef(
     "q_window_funnel",
     (s, d) => {
@@ -569,28 +602,8 @@ object AnalyticsExt {
         .as[(Long, String, Long, Long)]
         .groupByKey(_._1)
         .mapGroups { (uid, it) =>
-          val evs = it.toArray.sortBy { case (_, _, us, eid) => (us, eid) }
-          def firstAfter(tpe: String, from: Int): Int = {
-            var i = from
-            while (i < evs.length && evs(i)._2 != tpe) i += 1
-            i
-          }
-          var level = 0
-          var vi = firstAfter("view", 0)
-          if (vi < evs.length) level = 1
-          while (vi < evs.length && level < 3) {
-            if (evs(vi)._2 == "view") {
-              val ci = firstAfter("click", vi + 1)
-              if (ci < evs.length) {
-                if (level < 2 && evs(ci)._3 - evs(vi)._3 <= windowUs) level = 2
-                val pi = firstAfter("purchase", ci + 1)
-                if (pi < evs.length && evs(pi)._3 - evs(vi)._3 <= windowUs)
-                  level = 3
-              }
-            }
-            vi += 1
-          }
-          (uid, level)
+          (uid, funnelLevel(it.map { case (_, t, us, eid) => (t, us, eid) }.toArray,
+            windowUs))
         }
         .toDF("user_id", "level")
       levels.groupBy(col("level"))

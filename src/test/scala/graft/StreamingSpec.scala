@@ -1484,6 +1484,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamWindowFunnel: last-emission levels reproduce batch q_window_funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts").cast("timestamp"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._4.getTime, r._2))
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamWindowFunnel.levels(
+      mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+        .withWatermark("ts", "1 minute"))
+    val q = out.writeStream.format("memory").queryName("streamfunnelw")
+      .outputMode("append").start()
+    try {
+      // three ts-ordered chunks: chains straddle batch AND eviction
+      // boundaries (the 24 h window is far shorter than the corpus span)
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // monotone per-user emissions -> max == last emission == level
+      val got = spark.table("streamfunnelw").groupBy("user_id")
+        .agg(max("level").as("level")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // independent batch truth via the shared kernel over full history
+      def usOf(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      val want = evs.groupBy(_._1).map { case (uid, es) =>
+        uid -> graft.operators.AnalyticsExt.funnelLevel(
+          es.map(e => (e._3, usOf(e._4), e._2)), 86400000000L)
+      }
+      val wantPos = want.filter(_._2 > 0)
+      assert(wantPos.values.toSet.size > 1, "degenerate level distribution — vacuous")
+      assert(got == wantPos,
+        s"mismatch: ${(wantPos.toSet -- got.toSet).take(3)} vs ${(got.toSet -- wantPos.toSet).take(3)}")
+      // and the emitted histogram matches the batch operator's rows >= 1
+      val hist = got.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val batch = graft.operators.AnalyticsExt.qWindowFunnel.fn(spark, sfDir)
+        .collect().map(r => r.getAs[Int]("level") -> r.getAs[Long]("n_users")).toMap
+      batch.filter(_._1 > 0).foreach { case (l, n) =>
+        assert(hist.getOrElse(l, 0L) == n, s"level $l: ${hist.get(l)} vs $n")
+      }
+    } finally q.stop()
+  }
+
   test("StreamBudgetGate: per-doc admissions equal batch pipeline_budget_gate decisions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
