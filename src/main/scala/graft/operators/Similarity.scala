@@ -1068,6 +1068,44 @@ object Similarity {
     * serving path ⇒ rows-only; the spec bounds mean recall and totals. */
   private val RecallSampleN = 64
 
+  /** IVF CLUSTER-QUALITY report — the partition-health half of the index
+    * health-check family (recall is [[embRecallReport]]'s half): per IVF
+    * cell, member count plus mean cosine to the OWN centroid and to the
+    * RUNNER-UP centroid, and their separation. Balanced cells with high
+    * intra / low next cosine mean the coarse quantizer is doing its job;
+    * a fat cell with near-zero separation is the one that degrades both
+    * recall AND probe cost after a corpus shift.
+    *
+    * One narrow kernel map (top-2 cells + cosines in a single
+    * [[graft.plans.NearestCells]] pass, zero exchanges) + one hash
+    * aggregate to K rows. Approximate path (k-means training is
+    * engine-specific) → rows-only; the spec asserts full coverage and the
+    * per-cell invariant mean_intra ≥ mean_next (true per VECTOR by the
+    * nearest-cell assignment, hence over means). */
+  val embClusterQuality: QueryDef = QueryDef(
+    "emb_cluster_quality",
+    (s, d) => {
+      val base = withNorm(s, d)
+      var cents = normalizeRows(cellMeans(
+        emb(s, d).select(col("label").cast("int").as("cell"), col("embedding"))))
+      cents = normalizeRows(cellMeans(base.select(cellOf(cents).as("cell"), col("embedding"))))
+      val top2 = graft.plans.VectorExpressions.nearestCells(col("embedding"), cents, 2)
+      base
+        .select(col("vec_id"), top2.as("nc"))
+        .select(
+          element_at(col("nc"), 1).getField("cell").as("cell"),
+          element_at(col("nc"), 1).getField("cos").as("own_cos"),
+          element_at(col("nc"), 2).getField("cos").as("next_cos"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(col("own_cos")), 4).as("mean_intra"),
+          round(avg(col("next_cos")), 4).as("mean_next"))
+        .withColumn("separation", round(col("mean_intra") - col("mean_next"), 4))
+        .orderBy("cell")
+    },
+    None // k-means path engine-specific: rows-only; invariant spec'd
+  )
+
   val embRecallReport: QueryDef = QueryDef(
     "emb_recall_report",
     (s, d) => {
@@ -1107,5 +1145,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, dedupSemantic,
     annLsh, annIvf, annIvfK, embOutliers, embCosineHist, embPqCodes, annPq,
-    annIvfPq, embRecallReport)
+    annIvfPq, embRecallReport, embClusterQuality)
 }

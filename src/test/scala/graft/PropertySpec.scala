@@ -224,6 +224,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("emb_cluster_quality: covers the corpus; per-cell mean_intra >= mean_next") {
+    import graft.operators.Similarity
+    val rows = Similarity.embClusterQuality.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length > 1, "needs at least two cells")
+    val corpus = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == corpus,
+      "every vector must land in exactly one cell")
+    rows.foreach { r =>
+      val intra = r.getAs[Double]("mean_intra")
+      val next = r.getAs[Double]("mean_next")
+      // nearest-cell assignment makes own-cos >= runner-up cos per vector,
+      // so the means inherit it (ties allowed at 4-dp rounding)
+      assert(intra + 1e-9 >= next,
+        s"cell ${r.getAs[Int]("cell")}: intra $intra < next $next")
+      assert(intra <= 1.0001 && next >= -1.0001)
+    }
+  }
+
   test("sketch_overlap_users: exact below k; theta-intersection within 20% above k") {
     import org.apache.spark.sql.functions._
     import graft.operators.ScalePatterns
