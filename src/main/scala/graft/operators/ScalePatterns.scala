@@ -502,8 +502,69 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** CHANGELOG GAP AUDIT — the "did this consumer lose entries" check a
+    * CDC replica runs against a sequenced id column (binlog position,
+    * Maxwell's xid, a Kafka offset): which ids inside the observed
+    * [min, max] range never arrived. Audited here on the purchase lane
+    * (a filtered consumer by construction, so gaps exist and the audit
+    * is non-degenerate).
+    *
+    * Scale shape: NEVER a whole-frame lag over the id spectrum — ids
+    * group into fixed 512-id BLOCKS (a pure map): per block, missing-
+    * inside = (span − count); missing BETWEEN consecutive observed
+    * blocks = the whole id range separating them. The only window runs
+    * over the N/512-row block frame (tiny, the documented tiny-frame
+    * single exchange), and the final fold is one row. Integer-exact. */
+  val cdcGapAudit: QueryDef = QueryDef(
+    "cdc_gap_audit",
+    (s, d) => {
+      val whole = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.Registry.wholeFrameKey(col("blk")))
+        .orderBy(col("blk"))
+      val blocks = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("event_id div 512").as("blk"))
+        .groupBy(col("blk"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+          count(lit(1)).as("n"))
+      blocks
+        .withColumn("prev_hi", lag(col("hi"), 1).over(whole))
+        .select(
+          col("blk"), col("lo"), col("hi"), col("n"),
+          (col("hi") - col("lo") + 1 - col("n")).as("miss_in"),
+          coalesce(col("lo") - col("prev_hi") - 1, lit(0L)).as("miss_before"))
+        .agg(
+          count(lit(1)).as("n_blocks"), sum(col("n")).as("n_seen"),
+          min(col("lo")).as("first_id"), max(col("hi")).as("last_id"),
+          sum(col("miss_in")).as("missing_in_blocks"),
+          sum(col("miss_before")).as("missing_between_blocks"),
+          (sum(col("miss_in")) + sum(col("miss_before"))).as("missing_total"))
+        .orderBy("n_blocks")
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_id // 512 AS blk, min(event_id) AS lo, max(event_id) AS hi,
+               count(*)::BIGINT AS n
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+      ), g AS (
+        SELECT blk, lo, hi, n,
+               hi - lo + 1 - n AS miss_in,
+               coalesce(lo - lag(hi) OVER (ORDER BY blk) - 1, 0) AS miss_before
+        FROM b
+      )
+      SELECT count(*)::BIGINT AS n_blocks, sum(n)::BIGINT AS n_seen,
+             min(lo) AS first_id, max(hi) AS last_id,
+             sum(miss_in)::BIGINT AS missing_in_blocks,
+             sum(miss_before)::BIGINT AS missing_between_blocks,
+             (sum(miss_in) + sum(miss_before))::BIGINT AS missing_total
+      FROM g
+      ORDER BY n_blocks
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
     qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
-    cdcBackfillPlan, sketchOverlapUsers)
+    cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit)
 }
