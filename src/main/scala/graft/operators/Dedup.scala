@@ -573,17 +573,25 @@ object Dedup {
     * are reconstructed from their surviving lines in order.
     *
     * Scale: linear — a typed flatMap (never `explode(expensiveArrayExpr)`:
-    * Generate re-evaluates per output row), ONE exchange keyed on the line
-    * for the first-occurrence window, one doc_id exchange to reconstruct.
-    * At 100 TB the window key becomes xxhash64(line) (8-byte exchange
-    * payload, like pipeline_contamination's shingle cut); the demo keys on
-    * the line text itself so the oracle comparison is hash-free and exact. */
+    * Generate re-evaluates per output row), and the LINE TEXT rides exactly
+    * ONE exchange. The first-occurrence verdict travels as the 16-byte
+    * `unhex(md5(line))` digest: the dedup window exchange carries only
+    * (doc_id, line_no, digest) — ~24 B/row at any corpus size — and emits
+    * just the DROPPED positions. Reconstruction then repartitions the
+    * chunk stream once by doc_id; the drop-list repartitions by doc_id
+    * too (tiny), so the (doc_id, line_no) join AND the final groupBy both
+    * reuse that one text-bearing exchange (HashPartitioning(doc_id) is a
+    * subset of the join keys — no further shuffle). The chunk flatMap is
+    * evaluated twice (fresh-closure subtrees never canonicalize equal) —
+    * at 100 TB a second linear scan is the right price for keeping text
+    * bytes off the dedup exchange; the oracle mirrors the digest key
+    * (`PARTITION BY md5(line)`), so both engines group by the same key. */
   val dedupLines: QueryDef = QueryDef(
     "dedup_lines",
     (s, d) => {
       import s.implicits._
       val lineWords = 10
-      val chunks = Tables.documents(s, d)
+      def chunks = Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .flatMap { case (id, t) =>
@@ -591,14 +599,22 @@ object Dedup {
             .map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
         }
         .toDF("doc_id", "line_no", "line")
-      val firstWins = Window.partitionBy(col("line"))
+      val firstWins = Window.partitionBy(col("lh"))
         .orderBy(col("doc_id"), col("line_no"))
-      chunks
+      // dedup lane: only the digest rides the line-keyed exchange
+      val dropped = chunks
+        .select(col("doc_id"), col("line_no"), unhex(md5(col("line"))).as("lh"))
         .withColumn("rn", row_number().over(firstWins))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), col("line_no"), lit(1L).as("dup"))
+      // rebuild lane: text repartitions ONCE by doc_id; the join on
+      // (doc_id, line_no) and the groupBy(doc_id) both reuse it
+      chunks.repartition(col("doc_id"))
+        .join(dropped.repartition(col("doc_id")), Seq("doc_id", "line_no"), "left")
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_removed"),
           // kept lines, original order; when() without otherwise yields NULL
           // for dropped lines and collect_list skips NULLs. The transform()
           // HOF is interpreted but runs once per KEPT LINE (not per char) —
@@ -606,7 +622,7 @@ object Dedup {
           nullif(
             array_join(
               transform(
-                array_sort(collect_list(when(col("rn") === 1,
+                array_sort(collect_list(when(col("dup").isNull,
                   struct(col("line_no"), col("line"))))),
                 x => x.getField("line")),
               " "),
@@ -622,7 +638,7 @@ object Dedup {
         FROM words, LATERAL (
           SELECT unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS i) t
       ), ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        SELECT *, row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
         FROM chunks
       )
       SELECT doc_id, count(*) AS n_lines,
@@ -794,9 +810,12 @@ object Dedup {
     * corpus's docs are ~200 words).
     *
     * Shape: every k-token window (typed flatMap, linear) → occurrence
-    * count per window key (one exchange; keyed on the window TEXT so the
-    * oracle comparison is hash-free — at 100 TB the key becomes
-    * xxhash64(window), the [[dedupLines]] swap) → positions of repeated
+    * count per window key (ONE exchange keyed on the 16-byte
+    * `unhex(md5(win))` digest — the raw 10-token window string is
+    * projected away BEFORE the exchange, so the shuffle carries ~24 B/row
+    * instead of ≈10× the corpus text bytes; 128-bit digests make a
+    * false window merge astronomically unlikely, and the oracle mirrors
+    * the key with `PARTITION BY md5(win)`) → positions of repeated
     * windows → per-doc interval merge (gaps-and-islands: a window
     * starting ≤ k-1 after the previous repeated one overlaps it) → spans
     * = islands, covered tokens = span extents. Per-doc output joins back
@@ -819,12 +838,15 @@ object Dedup {
             .map(i => (id, (i + 1).toLong, toks.slice(i, i + k).mkString("_")))
         }
         .toDF("doc_id", "pos", "win")
+        // the window text never leaves the scan stage: only the digest keys
+        // (and rides) the occurrence-count exchange
+        .select(col("doc_id"), col("pos"), unhex(md5(col("win"))).as("wh"))
       // cached: rep feeds BOTH the island merge and the per-doc window
       // counts, and its lineage starts at a typed flatMap (fresh-closure
       // subtrees never canonicalize equal, so an uncached second consumer
       // would re-tokenize and re-shuffle the whole window stream)
       val rep = wins
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("win"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wh"))))
         .filter(col("cnt") > 1)
         .select(col("doc_id"), col("pos"))
         .cache()
@@ -858,7 +880,7 @@ object Dedup {
         WHERE len(w) >= 10
       ), rep AS (
         SELECT doc_id, pos FROM (
-          SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS cnt FROM win)
+          SELECT doc_id, pos, count(*) OVER (PARTITION BY md5(win)) AS cnt FROM win)
         WHERE cnt > 1
       ), isl AS (
         SELECT doc_id, pos,

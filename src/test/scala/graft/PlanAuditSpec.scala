@@ -208,12 +208,27 @@ class PlanAuditSpec extends SparkSpec {
       s"first-seen week must come from a window, not a corpus-scaled broadcast:\n$plan")
   }
 
-  test("dedup_lines: exactly the line exchange + the doc rebuild exchange") {
+  test("dedup_lines: digest-keyed dedup exchange, text rides only the doc_id exchange") {
     import graft.operators.Dedup
     val plan = planOf(Dedup.dedupLines)
-    assert(hashExchanges(plan) == 2,
-      s"dedup_lines must shuffle once on the line and once on doc_id:\n$plan")
+    assert(hashExchanges(plan) == 3,
+      s"dedup_lines: digest exchange + two doc_id repartitions, nothing more:\n$plan")
+    // the first-wins window is keyed on the 16-byte md5 digest, never raw text
+    assert(plan.contains("hashpartitioning(lh"),
+      s"dedup window must key on the md5 digest:\n$plan")
+    assert(!plan.contains("hashpartitioning(line"),
+      s"raw line text must never be a shuffle key:\n$plan")
     assert(!plan.contains("Generate"), "line stream must be a typed flatMap, not explode")
+  }
+
+  test("dedup_substring: occurrence-count exchange keyed on the 16-byte window digest") {
+    import graft.operators.Dedup
+    val plan = planOf(Dedup.dedupSubstring)
+    assert(plan.contains("hashpartitioning(wh"),
+      s"window-occurrence exchange must key on the md5 digest:\n$plan")
+    assert(!plan.contains("hashpartitioning(win"),
+      s"raw 10-token window text must never be a shuffle key:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("q_waiting_suppliers: one fact pass — a single window exchange replaces both self-joins") {
