@@ -54,6 +54,10 @@ object Bench {
         .groupBy("k").agg(sort_array(collect_set(col("h"))).as("hs"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Crashed queries must not masquerade as ~0.08 s successes (round 8: 24
+    // analysis failures flattered the total). Track them and report a
+    // "failed" list in both the stdout line and bench_detail.json.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
@@ -61,7 +65,11 @@ object Bench {
       // count() Catalyst prunes unreferenced aggregates and eliminates the
       // final sort, under-measuring the query.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(300))
+      }
       val t = (System.nanoTime() - t0) / 1e9
       // Drop THIS query's cached frames before the next query runs (outside
       // its timed window — the blocks are this query's debris, not the
@@ -89,18 +97,23 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v)).toDouble
     val total = num(results.map(_._2).sum, 3)
     val sfTag = sfDir.split('/').last
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     // Filtered (SPARK_GRAFT_QUERIES) runs are profiling scratch — never let
     // them overwrite the full-run detail file the round commit picks up.
     if (only.isEmpty) try {
       val detail =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullMap,"sf":"$sfTag"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullMap,"failed":$failedArr,"sf":"$sfTag"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // Failed names outrank timing detail on the wire: cap the failed list at
+    // 10 names (count is always exact) and fit the heaviest queries in what
+    // budget remains.
+    val failedWire = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val heaviestFirst = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
-    val budget = 1500 - 120 // line scaffolding + total/sf/counters
+    val budget = 1500 - 150 - failedWire.length // line scaffolding + counters
     val kept = new StringBuilder
     var nKept = 0
     heaviestFirst.foreach { e =>
@@ -110,6 +123,7 @@ object Bench {
       }
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},""" +
+      s""""n_failed":${failed.length},"failed":$failedWire,""" +
       s""""in_map":$nKept,"queries":{${kept.toString}},"sf":"$sfTag"}"""
     // Stop Spark BEFORE printing: anything Spark logs on shutdown would land
     // after the JSON line the driver wants last.

@@ -19,16 +19,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses by
-    * default; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and we
-    * floor-convert ns→µs here — exactly how DuckDB reads the same column, so
-    * oracle comparisons agree. */
+  /** `events.ts` has shipped in two parquet layouts: nanosecond int64 (old —
+    * Spark 4 refuses unless `spark.sql.legacy.parquet.nanosAsLong=true`, we
+    * floor-convert ns→µs) and `timestamp[us]` without a timezone (current —
+    * Spark 4 reads TIMESTAMP_NTZ, which `unix_micros`/`unix_millis` reject).
+    * Sessions pin `spark.sql.session.timeZone=UTC`, so casting NTZ→TIMESTAMP
+    * is an exact re-tag of the same µs instant, and DuckDB reads the same
+    * naive column — oracle comparisons agree in both layouts. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

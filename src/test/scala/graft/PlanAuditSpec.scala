@@ -377,6 +377,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges(bg) <= 2, s"budget_gate: window + agg exchanges only:\n$bg")
   }
 
+  test("every registered query resolves against sfDir (analysis-only schema-drift alarm)") {
+    // A testdata refresh that changes a column's type (round 8: events.ts
+    // int64-ns → timestamp[us]/NTZ) must produce ONE red spec naming the
+    // query and the error — not 24 silently-absent Verify dumps. Analysis
+    // only: queryExecution.analyzed resolves every expression against the
+    // real parquet schemas without executing anything.
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(broken.isEmpty, s"${broken.size} queries fail analysis:\n${broken.mkString("\n")}")
+  }
+
   test("no registered query plans an empty-partition Window (Registry.wholeFrameKey rule)") {
     // lit(1) keys are folded + stripped by EliminateWindowPartitions, so a
     // naive "constant partition" regresses to the per-task WindowExec WARN;
