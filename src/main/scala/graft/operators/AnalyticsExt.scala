@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -588,25 +588,75 @@ object AnalyticsExt {
     level
   }
 
+  /** One-pass funnel level over rows ALREADY (us, eid)-ordered — the
+    * spill-safe batch kernel. Equivalent to [[funnelLevel]] (both decide
+    * the EXISTS-chain predicate; PropertySpec cross-checks them on random
+    * histories) but O(1) memory per user instead of materializing and
+    * sorting the user's events in an array — the difference between a
+    * hot user (≥100k events) spilling through Spark's external sort and
+    * one task buffering the whole history on heap.
+    *
+    * State: `lastViewUs` (the latest view so far — if it isn't within W
+    * of a click, no earlier view is) and `maxPairViewUs` (the max view
+    * time over view<click pairs — the only chain fact a future purchase
+    * needs, since the span check depends on the view alone). */
+  private[graft] def funnelLevelOrdered(evs: Iterator[(String, Long)],
+      windowUs: Long): Int = {
+    var lastViewUs = Long.MinValue
+    var maxPairViewUs = Long.MinValue
+    var level = 0
+    while (level < 3 && evs.hasNext) {
+      val (tpe, us) = evs.next()
+      tpe match {
+        case "view" =>
+          if (level < 1) level = 1
+          lastViewUs = us // ascending order: always the latest so far
+        case "click" =>
+          if (lastViewUs != Long.MinValue) {
+            if (level < 2 && us - lastViewUs <= windowUs) level = 2
+            if (lastViewUs > maxPairViewUs) maxPairViewUs = lastViewUs
+          }
+        case "purchase" =>
+          if (maxPairViewUs != Long.MinValue && us - maxPairViewUs <= windowUs)
+            level = 3
+        case _ => ()
+      }
+    }
+    level
+  }
+
+  /** Per-user funnel levels of any events-shaped frame (user_id,
+    * event_type, ts, event_id) — the distributable core of
+    * [[qWindowFunnel]], exposed so specs can drive synthetic hot users
+    * through the exact production topology. ONE user_id exchange;
+    * `flatMapSortedGroups` folds the (us, eid) secondary order into the
+    * exchange's existing group sort (external, spill-capable), so the
+    * kernel sees each user's rows ordered without any per-user buffer. */
+  private[graft] def windowFunnelLevels(events: DataFrame,
+      windowUs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (uid, it) =>
+        Iterator.single(
+          (uid, funnelLevelOrdered(it.map { case (_, t, us, _) => (t, us) },
+            windowUs)))
+      }
+      .toDF("user_id", "level")
+  }
+
   val qWindowFunnel: QueryDef = QueryDef(
     "q_window_funnel",
     (s, d) => {
-      import s.implicits._
-      val windowUs = 86400000000L // 24 h
       // no event-type prefilter: a user with no funnel events still owns a
       // group and lands at level 0 (the oracle's all-users frame); the
-      // greedy pass skips non-funnel rows for free
-      val levels = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"), col("event_id"))
-        .as[(Long, String, Long, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (uid, it) =>
-          (uid, funnelLevel(it.map { case (_, t, us, eid) => (t, us, eid) }.toArray,
-            windowUs))
-        }
-        .toDF("user_id", "level")
-      levels.groupBy(col("level"))
+      // one-pass kernel skips non-funnel rows for free
+      windowFunnelLevels(Tables.events(s, d), 86400000000L)
+        .groupBy(col("level"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("level")
     },

@@ -95,38 +95,45 @@ object StreamDedup {
   final case class TimedNearDupHit(id1: Long, id2: Long, jac: Double,
       band_idx: Int, ts: java.sql.Timestamp)
 
-  /** RETENTION-BOUNDED near-dup gate — the form whose state cannot grow
-    * past the retention horizon, for deployments where "duplicate" means
-    * "duplicate of something seen in the last N days" (the usual contract
-    * once a corpus is snapshotted + deduped in batch and the stream only
-    * guards the incremental frontier).
+  /** An LSH candidate pair (bucket-mates in ≥1 band, elected exactly once
+    * on the smallest shared band), stamped with the later doc's ts. */
+  final case class CandidatePair(id1: Long, id2: Long, band_idx: Int,
+      ts: java.sql.Timestamp)
+
+  /** RETENTION-BOUNDED candidate stage of the near-dup gate — the part
+    * that holds state, sized so that a stored document costs a FIXED
+    * ~200 B per band bucket regardless of document length.
     *
-    * `docs`: streaming (doc_id, text, ts). The watermark is declared HERE,
-    * on the shingle flatMap's OUTPUT — a typed flatMap mints fresh
-    * attributes without the event-time tag (the repo's documented
-    * watermark-stripping pitfall), so tagging the upstream frame would
-    * leave the stateful op without a watermark. Tagging the band rows
-    * (16/doc, same ts) yields the identical watermark value.
+    * The earlier form of this gate kept each doc's full hashed shingle
+    * set (O(tokens) longs) in EVERY one of its 16 band buckets so it
+    * could exact-confirm in-op — a ~16× corpus-text memory multiplier at
+    * ingest scale. This stage stores only `(doc_id, band-key signatures,
+    * ts)` per member: the 16 band keys collapse to xxhash64 signatures
+    * (16 longs), which is all the smallest-shared-band election needs
+    * (equality, not content). Shuffle rows shrink identically — no
+    * shingle set and no key strings ride the exchange. Exact Jaccard
+    * confirm moves DOWNSTREAM to a stateless stream-static join against
+    * the corpus/archive ([[nearDupsBounded]]) — the same topology as the
+    * batch operator (band join → candidates → exact confirm join), so
+    * moving it off the state store costs nothing semantically.
     *
-    * Bounds, vs the unbounded [[nearDups]]:
-    *   - bucket members with ts older than the current watermark are
-    *     evicted BEFORE pairing — a newcomer only matches partners still
-    *     inside retention;
-    *   - an event-time timeout at (newest member + 1ms) sweeps buckets
-    *     that go idle, so state death does not require new traffic;
-    *   - lane collapse is ALGEBRAIC, not stateful: at confirm time both
-    *     docs' full band-key vectors are known (the member's rides in
-    *     state), so the pair is emitted only on the SMALLEST shared band
-    *     — exactly-once per pair with no downstream dedup operator. (A
-    *     chained `dropDuplicatesWithinWatermark` would trip Spark's
-    *     global-watermark correctness check for stateful-after-stateful
-    *     plans; this form needs no such state at all.)
-    */
-  def nearDupsBounded(docs: DataFrame, retention: String,
-      tau: Double = 0.8): Dataset[TimedNearDupHit] = {
+    * Signature collisions: grouping on a colliding bucket signature can
+    * only ADD spurious candidates (killed by the exact confirm); electing
+    * on a colliding lower band can only happen if two docs' DIFFERENT
+    * band keys hash equal (~2^-64 per band pair) — accepted odds, same
+    * class as the repo-wide 64-bit content-hash identities.
+    *
+    * `docs`: streaming (doc_id, text, ts). The watermark is declared on
+    * the flatMap OUTPUT (typed flatMaps mint fresh attributes without the
+    * event-time tag — the repo's documented watermark-stripping pitfall).
+    *
+    * Bounds: members older than the watermark are evicted before pairing;
+    * an event-time timeout at (newest member + 1 ms) sweeps idle buckets,
+    * so state death does not require new traffic. */
+  def candidatesBounded(docs: DataFrame,
+      retention: String): Dataset[CandidatePair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     val bands = docs
       .select("doc_id", "text", "ts")
       .as[(Long, String, java.sql.Timestamp)]
@@ -134,41 +141,43 @@ object StreamDedup {
         val hs = Dedup.hashedShingleSet(text)
         if (hs.isEmpty) Iterator.empty
         else {
-          val keys = Dedup.minhashBandKeys(hs)
-          keys.iterator.zipWithIndex
-            .map { case (key, bIdx) => (bIdx, key, id, hs.toSeq, keys, ts) }
+          val sigs: Seq[Long] = Dedup.minhashBandKeys(hs).toSeq.map { k =>
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+              org.apache.spark.unsafe.types.UTF8String.fromString(k), 42L)
+          }
+          sigs.iterator.zipWithIndex
+            .map { case (sig, bIdx) => (bIdx, sig, id, sigs, ts) }
         }
       }
-      .toDF("band_idx", "band_key", "doc_id", "shingles", "band_keys", "ts")
+      .toDF("band_idx", "band_sig", "doc_id", "band_sigs", "ts")
       .withWatermark("ts", retention)
-      .as[(Int, String, Long, Seq[Long], Seq[String], java.sql.Timestamp)]
+      .as[(Int, Long, Long, Seq[Long], java.sql.Timestamp)]
     bands
-      .groupByKey { case (bIdx, key, _, _, _, _) => (bIdx, key) }
-      .flatMapGroupsWithState[List[(Long, Seq[Long], Seq[String], Long)], TimedNearDupHit](
+      .groupByKey { case (bIdx, sig, _, _, _) => (bIdx, sig) }
+      .flatMapGroupsWithState[List[(Long, Seq[Long], Long)], CandidatePair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((bIdx, _), rows, state) =>
           val wmMs = state.getCurrentWatermarkMs()
           // retention eviction first: expired members are not candidates
           var seen = state.getOption
-            .getOrElse(List.empty[(Long, Seq[Long], Seq[String], Long)])
-            .filter(_._4 >= wmMs)
-          val out = scala.collection.mutable.ArrayBuffer.empty[TimedNearDupHit]
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, hs, keys, ts) =>
+            .getOrElse(List.empty[(Long, Seq[Long], Long)])
+            .filter(_._3 >= wmMs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          // doc_id order makes within-batch pairing deterministic and
+          // independent of micro-batch chunking
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sigs, ts) =>
             if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, ohs, okeys, _) =>
+              seen.foreach { case (oid, osigs, _) =>
                 // exactly-once lane election: only the smallest band the
                 // two docs share reports the pair (they share THIS band,
                 // so the index always exists and is ≤ bIdx)
-                val firstShared = keys.iterator.zip(okeys.iterator)
+                val firstShared = sigs.iterator.zip(osigs.iterator)
                   .indexWhere { case (a, b) => a == b }
-                if (firstShared == bIdx) {
-                  val jac = Dedup.sortedJaccardLocal(hs, ohs)
-                  if (jac >= tau)
-                    out += TimedNearDupHit(
-                      math.min(id, oid), math.max(id, oid), jac, bIdx, ts)
-                }
+                if (firstShared == bIdx)
+                  out += CandidatePair(
+                    math.min(id, oid), math.max(id, oid), bIdx, ts)
               }
-              seen = (id, hs, keys, ts.getTime) :: seen
+              seen = (id, sigs, ts.getTime) :: seen
             }
           }
           if (seen.isEmpty) state.remove()
@@ -176,16 +185,61 @@ object StreamDedup {
             state.update(seen)
             // fire once the watermark passes the newest member: every
             // member is then expired and the bucket removes itself
-            val newest = seen.map(_._4).max
+            val newest = seen.map(_._3).max
             if (newest + 1L > wmMs) state.setTimeoutTimestamp(newest + 1L)
           }
           out.iterator
       }
   }
 
+  /** Static (doc_id, hsh) sorted shingle-hash sets for the confirm join —
+    * the same kernel the candidate stage minhashes, so both sides agree
+    * byte-for-byte. `corpus` is the batch-side document store the stream
+    * is feeding (the archive table in production; cache it if the
+    * micro-batch cadence is fast enough to re-read it). */
+  private def corpusShingleSets(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, Dedup.hashedShingleSet(text).toSeq) }
+      .toDF("doc_id", "hsh")
+  }
+
+  /** RETENTION-BOUNDED near-dup gate — candidate state bounded by the
+    * retention horizon AND independent of document length
+    * ([[candidatesBounded]]), exact-confirmed against the document store
+    * via two STATELESS stream-static joins + the codegen'd
+    * [[graft.plans.SortedJaccard]] kernel. Append-mode output, one row
+    * per confirmed pair (the smallest-shared-band election already makes
+    * candidates exactly-once, so no dedup state exists downstream —
+    * chained stateful ops would trip Spark's global-watermark check).
+    *
+    * `corpus`: static (doc_id, text) resolving every doc the stream has
+    * admitted within retention — in production the archive the stream
+    * itself writes; candidates emitted in micro-batch N reference docs
+    * ingested ≤ N, so an archive sink updated per batch is always ahead
+    * of the confirm read. */
+  def nearDupsBounded(docs: DataFrame, corpus: DataFrame, retention: String,
+      tau: Double = 0.8): Dataset[TimedNearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hsh = corpusShingleSets(corpus)
+    val h1 = hsh.toDF("doc_id", "hsh1")
+    val h2 = hsh.toDF("doc_id", "hsh2")
+    candidatesBounded(docs, retention).toDF()
+      .join(h1, col("id1") === h1("doc_id")).drop("doc_id")
+      .join(h2, col("id2") === h2("doc_id")).drop("doc_id")
+      .withColumn("jac",
+        graft.plans.VectorExpressions.sortedJaccard(col("hsh1"), col("hsh2")))
+      .filter(col("jac") >= tau)
+      .select(col("id1"), col("id2"), col("jac"), col("band_idx"), col("ts"))
+      .as[TimedNearDupHit]
+  }
+
   /** [[nearDupsBounded]] as one row per confirmed pair — already distinct
     * by the smallest-shared-band election; no dedup state needed. */
-  def distinctPairsBounded(docs: DataFrame, retention: String,
-      tau: Double = 0.8): DataFrame =
-    nearDupsBounded(docs, retention, tau).toDF().drop("band_idx")
+  def distinctPairsBounded(docs: DataFrame, corpus: DataFrame,
+      retention: String, tau: Double = 0.8): DataFrame =
+    nearDupsBounded(docs, corpus, retention, tau).toDF().drop("band_idx")
 }

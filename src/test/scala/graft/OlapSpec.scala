@@ -57,6 +57,38 @@ class OlapSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("q_window_funnel: hot user (150k events) through the sorted-group pass") {
+    import org.apache.spark.sql.functions._
+    // One user owning 150k interleaved funnel events drives the
+    // production topology (flatMapSortedGroups + one-pass kernel) through
+    // a group far larger than any sf corpus user — the shape that used to
+    // buffer-and-sort per user on heap. Truth: the array kernel on the
+    // same history.
+    val n = 150000
+    val hot = spark.range(n).select(
+      when(col("id") < n / 2, 7L)
+        .otherwise(col("id") % 4 + 10).cast("long").as("user_id"),
+      col("id").as("event_id"),
+      when(col("id") % 7 === 0, "purchase")
+        .when(col("id") % 3 === 0, "click")
+        .when(col("id") % 2 === 0, "view").otherwise("scroll").as("event_type"),
+      timestamp_micros(col("id") * 311000000L).as("ts")) // ~5 min apart
+    val w = 86400000000L
+    val got = graft.operators.AnalyticsExt.windowFunnelLevels(hot, w)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = hot.select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000L, r.getLong(3)))
+      .groupBy(_._1).map { case (uid, evs) =>
+        uid -> graft.operators.AnalyticsExt.funnelLevel(
+          evs.map(e => (e._2, e._3, e._4)), w)
+      }
+    assert(got.keySet == want.keySet && got(7L) >= 0)
+    want.foreach { case (uid, lvl) =>
+      assert(got(uid) == lvl, s"user $uid: ${got(uid)} != $lvl")
+    }
+  }
+
   test("sessionize: session count per user equals number of >30min gaps + 1") {
     import org.apache.spark.sql.functions._
     val sess = Olap.qSessionize.fn(spark, sfDir)

@@ -38,6 +38,25 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("funnelLevelOrdered equals the array funnelLevel kernel on random histories") {
+    // the batch op's spill-safe one-pass kernel vs the buffer kernel the
+    // streaming twin uses: both must decide the same EXISTS-chain levels
+    val ev = for {
+      tpe <- Gen.oneOf("view", "click", "purchase", "scroll")
+      us <- Gen.choose(0L, 400L)
+      eid <- Gen.choose(0L, 1000000L)
+    } yield (tpe, us, eid)
+    val gen = Gen.listOf(ev).map(_.distinctBy(_._3))
+    assertProp(Prop.forAll(gen) { evs =>
+      val w = 100L
+      val sorted = evs.sortBy { case (_, us, eid) => (us, eid) }
+      val one = graft.operators.AnalyticsExt.funnelLevelOrdered(
+        sorted.iterator.map { case (t, us, _) => (t, us) }, w)
+      val arr = graft.operators.AnalyticsExt.funnelLevel(evs.toArray, w)
+      one == arr
+    }, n = 200)
+  }
+
   test("cdc snapshot equals an in-memory replay fold for random event logs") {
     val gen = Gen.nonEmptyListOf(for {
       pk <- Gen.choose(0, 5)

@@ -1459,8 +1459,12 @@ class StreamingSpec extends SparkSpec {
     val filler2 = "another disjoint passage covering alpine railway timetables " +
       "and the maintenance cadence of funicular cables in winter seasons"
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // static confirm-side corpus: every doc the stream will carry (the
+    // archive table in production)
+    val corpus = Seq(1L -> dup, 2L -> dup, 3L -> dup, 4L -> dup,
+      100L -> filler1, 200L -> filler2).toDF("doc_id", "text")
     val out = graft.streaming.StreamDedup.distinctPairsBounded(
-      mem.toDF().toDF("doc_id", "text", "ts"), retention = "60 seconds")
+      mem.toDF().toDF("doc_id", "text", "ts"), corpus, retention = "60 seconds")
     val q = out.writeStream.format("memory").queryName("streamdedupbounded")
       .outputMode("append").start()
     try {
@@ -1482,6 +1486,170 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, 2L), (3L, 4L)),
         s"expected exactly {(1,2),(3,4)} — got $got")
     } finally q.stop()
+  }
+
+  test("StreamDedup.candidatesBounded: state size independent of document length") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The pre-lean gate kept each doc's full shingle set in every band
+    // bucket, so 20× longer documents meant ~20× more state. Lean members
+    // are (id, 16 band signatures, ts) — fixed-size. Drive two corpora of
+    // equal cardinality whose docs differ 20× in token count and assert
+    // the state store doesn't notice.
+    def run(tokens: Int, name: String): (Long, Long) = {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = graft.streaming.StreamDedup.candidatesBounded(
+          mem.toDF().toDF("doc_id", "text", "ts"), retention = "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val docs = (0 until 40).map { i =>
+          (i.toLong, (0 until tokens).map(j => s"w${i}x$j").mkString(" "),
+            new java.sql.Timestamp(1000000L + i))
+        }
+        mem.addData(docs: _*); q.processAllAvailable()
+        val prog = q.recentProgress.flatMap(_.stateOperators.headOption)
+        (prog.map(_.numRowsTotal).max, prog.map(_.memoryUsedBytes).max)
+      } finally q.stop()
+    }
+    val (rowsShort, bytesShort) = run(30, "cand_short")
+    val (rowsLong, bytesLong) = run(600, "cand_long")
+    assert(rowsShort == 40L * 16 && rowsLong == 40L * 16,
+      s"16 band rows per doc expected: $rowsShort / $rowsLong")
+    assert(bytesLong <= bytesShort * 2,
+      s"state grew with doc length: $bytesShort B -> $bytesLong B")
+  }
+
+  test("StreamDedup bounded gate survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dup = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from a warm windowsill nearby in silence today"
+    val filler = "unrelated municipal drainage committee minutes concerning " +
+      "culvert inspection rotas and the allocation of gravel stockpiles"
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup_out").toString
+    val corpus = Seq(1L -> dup, 2L -> dup, 3L -> filler).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def start() = graft.streaming.StreamDedup.distinctPairsBounded(
+        mem.toDF().toDF("doc_id", "text", "ts"), corpus, retention = "60 seconds")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // batch 1 before the stop: doc 1 enters band state, no pair yet
+    val q1 = start()
+    try { mem.addData((1L, dup, ts(1000)), (3L, filler, ts(1001))); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart: doc 2's arrival must pair with doc 1 FROM THE CHECKPOINT
+    val q2 = start()
+    try {
+      mem.addData((2L, dup, ts(1010))); q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("id1", "id2", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 2L, 1.0)),
+        s"expected exactly {(1,2,1.0)} across the restart — got $got")
+    } finally q2.stop()
+  }
+
+  test("StreamWindowFunnel: late stragglers dropped at entry; idle users expire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamWindowFunnel.levels(
+      mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+        .withWatermark("ts", "1 second"),
+      windowUs = 10000000L, idleTtlUs = 30000000L) // 10 s window, 30 s TTL
+    val q = out.writeStream.format("memory").queryName("wfunnel_guard")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 view+click inside the window -> levels 1, 2
+      mem.addData((1L, 1L, "view", ts(100)), (1L, 2L, "click", ts(101)))
+      q.processAllAvailable()
+      // batch 2: a lone click for a carrier user advances the watermark to
+      // ~199 s (a chain must START with a view, so a lone click emits
+      // nothing — and non-funnel types can't carry the watermark here:
+      // the isin filter is pushed BELOW the EventTimeWatermark node, so
+      // filtered rows never reach its stats)
+      mem.addData((9L, 3L, "click", ts(200)))
+      q.processAllAvailable()
+      // batch 3: a fully-late trio for user 2 — level 3 if (wrongly)
+      // processed, zero footprint if the late guard drops it
+      mem.addData((2L, 4L, "view", ts(102)), (2L, 5L, "click", ts(103)),
+        (2L, 6L, "purchase", ts(104)))
+      q.processAllAvailable()
+      val rows = spark.table("wfunnel_guard").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(rows == Set((1L, 1), (1L, 2)),
+        s"late trio must be dropped, not funneled: $rows")
+      // six more carriers, each a 1000 s jump: every batch pushes the
+      // watermark past every earlier user's lastUs + TTL. Without the
+      // idle sweep the state would hold user 1 + all 7 carrier scalars;
+      // with it only the two newest carriers remain (the previous one's
+      // buffer is still inside window+delay of the watermark).
+      (1 to 6).foreach { i =>
+        mem.addData((100L + i, 10L + i, "click", ts(1000L * i)))
+        q.processAllAvailable()
+      }
+      val lastRows = q.recentProgress.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).last
+      assert(lastRows <= 2, s"idle state not swept: $lastRows rows remain")
+      val emitted = spark.table("wfunnel_guard").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(emitted == Set((1L, 1), (1L, 2)), s"carriers must not emit: $emitted")
+    } finally q.stop()
+  }
+
+  test("StreamWindowFunnel survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("wf_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("wf_out").toString
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    def start() = graft.streaming.StreamWindowFunnel.levels(
+        mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+          .withWatermark("ts", "1 second"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // the chain STRADDLES the restart: view+click before, purchase after
+    val q1 = start()
+    try { mem.addData((1L, 1L, "view", ts(100)), (1L, 2L, "click", ts(101))); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData((1L, 3L, "purchase", ts(102))); q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 1), (1L, 2), (1L, 3)),
+        s"chain must complete from checkpointed events: $got")
+    } finally q2.stop()
+  }
+
+  test("StreamBudgetGate counters survive a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("bg_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bg_out").toString
+    val mem = MemoryStream[(Long, String, String, String)]
+    def start() = graft.streaming.StreamBudgetGate.decisions(
+        mem.toDF().toDF("doc_id", "text", "lang", "source"), budget = 10L)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // doc 1: 6 tokens of a 10-token budget -> admitted
+    val q1 = start()
+    try { mem.addData((1L, "a b c d e f", "en", "web")); q1.processAllAvailable() }
+    finally q1.stop()
+    // doc 2 after restart: 6 more tokens overshoot ONLY if the domain
+    // counter resumed from the checkpoint (a reset would re-admit)
+    val q2 = start()
+    try {
+      mem.addData((2L, "g h i j k l", "en", "web")); q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("doc_id", "admitted").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(got == Map(1L -> true, 2L -> false),
+        s"counter must resume across restart: $got")
+    } finally q2.stop()
   }
 
   test("StreamWindowFunnel: last-emission levels reproduce batch q_window_funnel") {
