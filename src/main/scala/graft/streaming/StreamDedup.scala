@@ -14,23 +14,26 @@ import graft.operators.Dedup
   * its archive — the reference's poll-loop analog is re-expressed as one
   * continuous stateful plan.
   *
-  * Topology: one typed flatMap shingles + minhashes each doc (JVM-side
-  * [[Dedup.hashedShingleSet]]/[[Dedup.minhashBandKeys]] — byte-identical
-  * to the batch column pipeline) and emits its 16 (band_idx, band_key)
-  * rows; `flatMapGroupsWithState` keyed on the band bucket holds the
-  * (doc_id, shingle-hash set) list of prior bucket members, confirms
-  * each newcomer against them with the exact sorted-merge jaccard, and
-  * appends the newcomer to state. A pair sharing several bands is
-  * emitted once per SHARING BAND — `distinctPairs` collapses the lanes.
+  * Topology (both forms, round 9): one typed flatMap shingles +
+  * minhashes each doc (JVM-side [[Dedup.hashedShingleSet]]/
+  * [[Dedup.minhashBandKeys]] — byte-identical to the batch column
+  * pipeline) and emits its 16 (band_idx, band-key signature) rows;
+  * `flatMapGroupsWithState` keyed on the band bucket holds prior member
+  * (doc_id, 16 band signatures[, ts]) rows — FIXED ~200 B per member
+  * regardless of document length — and emits each bucket-mate pair as a
+  * CANDIDATE exactly once (smallest-shared-band election over the
+  * signature vectors). Exact Jaccard confirm is DOWNSTREAM and
+  * STATELESS: a stream-static join against the corpus/archive plus the
+  * codegen'd [[graft.plans.SortedJaccard]] kernel — the batch operator's
+  * own band-join → candidates → confirm-join topology.
   *
   * State bounds: a bucket holds only docs agreeing on 4 of 64 minhash
   * rows — near-dup cluster populations, not corpus populations (the
   * batch op's band equi-join reads the same distribution). Per-bucket
-  * work for a newcomer is O(bucket × set-merge), the exact cost the
-  * batch confirm pays per candidate pair. At 100 TB the state store
-  * backend (RocksDB) pages buckets off-heap; eviction policy (e.g. TTL
-  * on stale buckets) composes via GroupStateTimeout when retention is
-  * bounded.
+  * work for a newcomer is O(bucket); the shingle-set merges happen in
+  * the confirm join, the exact cost the batch confirm pays per
+  * candidate pair. At 100 TB the state store backend (RocksDB) pages
+  * buckets off-heap; [[candidatesBounded]] adds retention eviction.
   *
   * Spec contract: streamed over the test corpus in arbitrary chunking,
   * `distinctPairs` equals the batch `dedup_minhash_lsh` rows exactly
@@ -41,40 +44,51 @@ object StreamDedup {
   /** One confirmed near-dup hit, reported on the band lane that found it. */
   final case class NearDupHit(id1: Long, id2: Long, jac: Double, band_idx: Int)
 
-  /** Confirmed jaccard ≥ τ pairs from a streaming (doc_id, text) frame.
-    * Append-mode output: each (pair, band) lane fires exactly once, when
-    * the later doc of the pair arrives. */
-  def nearDups(docs: DataFrame, tau: Double = 0.8): Dataset[NearDupHit] = {
+  /** An unbounded-form LSH candidate pair, elected exactly once on the
+    * smallest shared band. */
+  final case class BandHit(id1: Long, id2: Long, band_idx: Int)
+
+  private[streaming] def bandSigs(text: String): Array[Long] = {
+    val hs = Dedup.hashedShingleSet(text)
+    if (hs.isEmpty) Array.emptyLongArray
+    else Dedup.minhashBandKeys(hs).map { k =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k), 42L)
+    }
+  }
+
+  /** Candidate pairs from a streaming (doc_id, text) frame, each pair
+    * emitted exactly once (when its later doc arrives) via the
+    * smallest-shared-band election — no confirm, no shingle state. */
+  def candidates(docs: DataFrame): Dataset[BandHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bands = docs
+    docs
       .select("doc_id", "text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val hs = Dedup.hashedShingleSet(text)
-        if (hs.isEmpty) Iterator.empty
-        else Dedup.minhashBandKeys(hs).iterator.zipWithIndex
-          .map { case (key, bIdx) => (bIdx, key, id, hs.toSeq) }
+        val sigs: Seq[Long] = bandSigs(text).toSeq
+        sigs.iterator.zipWithIndex.map { case (sig, bIdx) => (bIdx, sig, id, sigs) }
       }
-    bands
-      .groupByKey { case (bIdx, key, _, _) => (bIdx, key) }
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupHit](
+      .groupByKey { case (bIdx, sig, _, _) => (bIdx, sig) }
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], BandHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((bIdx, _), rows, state) =>
           var seen = state.getOption.getOrElse(List.empty[(Long, Seq[Long])])
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          val out = scala.collection.mutable.ArrayBuffer.empty[BandHit]
           // doc_id order makes within-batch pairing deterministic and
           // independent of micro-batch chunking: a batch's docs join the
-          // bucket one at a time, each confirmed against ALL earlier
+          // bucket one at a time, each paired against ALL earlier
           // members (previous batches AND earlier rows of this batch).
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, hs) =>
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sigs) =>
             if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, ohs) =>
-                val jac = Dedup.sortedJaccardLocal(hs, ohs)
-                if (jac >= tau)
-                  out += NearDupHit(math.min(id, oid), math.max(id, oid), jac, bIdx)
+              seen.foreach { case (oid, osigs) =>
+                val firstShared = sigs.iterator.zip(osigs.iterator)
+                  .indexWhere { case (a, b) => a == b }
+                if (firstShared == bIdx)
+                  out += BandHit(math.min(id, oid), math.max(id, oid), bIdx)
               }
-              seen = (id, hs) :: seen
+              seen = (id, sigs) :: seen
             }
           }
           state.update(seen)
@@ -82,13 +96,36 @@ object StreamDedup {
       }
   }
 
-  /** The band lanes collapsed to one row per confirmed pair — the frame
-    * to compare against batch `dedup_minhash_lsh`. (Streaming
-    * `dropDuplicates` state on (id1, id2) is unbounded like every
-    * exactly-once dedup; [[distinctPairsBounded]] is the retention-bounded
-    * form.) */
-  def distinctPairs(docs: DataFrame, tau: Double = 0.8): DataFrame =
-    nearDups(docs, tau).toDF().drop("band_idx").dropDuplicates("id1", "id2")
+  /** Confirmed jaccard ≥ τ pairs from a streaming (doc_id, text) frame.
+    * Append-mode output, each pair exactly once (election — no dedup
+    * state). `corpus`: static (doc_id, text) resolving every admitted
+    * doc (the archive in production). */
+  def nearDups(docs: DataFrame, corpus: DataFrame,
+      tau: Double = 0.8): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hsh = corpusShingleSets(corpus)
+    val h1 = hsh.toDF("doc_id", "hsh1")
+    val h2 = hsh.toDF("doc_id", "hsh2")
+    candidates(docs).toDF()
+      .join(h1, col("id1") === h1("doc_id")).drop("doc_id")
+      .join(h2, col("id2") === h2("doc_id")).drop("doc_id")
+      .withColumn("jac",
+        graft.plans.VectorExpressions.sortedJaccard(col("hsh1"), col("hsh2")))
+      .filter(col("jac") >= tau)
+      .select(col("id1"), col("id2"), col("jac"), col("band_idx"))
+      .as[NearDupHit]
+  }
+
+  /** The confirmed pairs as one row per pair — the frame to compare
+    * against batch `dedup_minhash_lsh`. Already distinct by the
+    * smallest-shared-band election (the earlier per-band-lane form
+    * needed a chained streaming `dropDuplicates` here — unbounded
+    * exactly-once state this topology simply doesn't have). */
+  def distinctPairs(docs: DataFrame, corpus: DataFrame,
+      tau: Double = 0.8): DataFrame =
+    nearDups(docs, corpus, tau).toDF().drop("band_idx")
 
   /** A confirmed hit stamped with the arriving doc's event time (the later
     * doc of the pair — the one whose arrival completed it). */
@@ -138,16 +175,9 @@ object StreamDedup {
       .select("doc_id", "text", "ts")
       .as[(Long, String, java.sql.Timestamp)]
       .flatMap { case (id, text, ts) =>
-        val hs = Dedup.hashedShingleSet(text)
-        if (hs.isEmpty) Iterator.empty
-        else {
-          val sigs: Seq[Long] = Dedup.minhashBandKeys(hs).toSeq.map { k =>
-            org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-              org.apache.spark.unsafe.types.UTF8String.fromString(k), 42L)
-          }
-          sigs.iterator.zipWithIndex
-            .map { case (sig, bIdx) => (bIdx, sig, id, sigs, ts) }
-        }
+        val sigs: Seq[Long] = bandSigs(text).toSeq
+        sigs.iterator.zipWithIndex
+          .map { case (sig, bIdx) => (bIdx, sig, id, sigs, ts) }
       }
       .toDF("band_idx", "band_sig", "doc_id", "band_sigs", "ts")
       .withWatermark("ts", retention)

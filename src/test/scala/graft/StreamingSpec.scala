@@ -1424,7 +1424,9 @@ class StreamingSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
     val mem = MemoryStream[(Long, String)]
-    val out = graft.streaming.StreamDedup.distinctPairs(mem.toDF().toDF("doc_id", "text"))
+    val out = graft.streaming.StreamDedup.distinctPairs(
+      mem.toDF().toDF("doc_id", "text"),
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
     val q = out.writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
     try {
       // split mid-corpus so dup pairs span micro-batches: the second half's
