@@ -908,7 +908,79 @@ object Dedup {
     """.stripMargin.trim)
   )
 
+  /** QUALITY-AWARE CANONICAL SELECTION over the near-dup clusters — the
+    * decision step a real dedup pipeline runs after clustering: within
+    * each jaccard≥0.8 connected component, KEEP the most complete member
+    * (max `n_chars`, doc_id tie-break) and DROP the rest. `dedup_clusters`
+    * answers "which docs are the same"; this answers "which copy
+    * survives" — and the right survivor is the longest version, not the
+    * lowest doc_id (near-dup chains are typically truncations/edits of
+    * one fullest original). Output: one row per member of every
+    * multi-member cluster with its verdict.
+    *
+    * Scale shape: identical to [[dedupClusters]] (the edge discovery and
+    * star contraction dominate; both are 100 TB-bucketed) plus one
+    * cluster-keyed window over the assignment frame — cluster populations,
+    * not corpus populations. The oracle replays the same recursive
+    * transitive closure as `dedup_clusters` and is therefore quadratic in
+    * DuckDB — like its parent, it is sf0.01-gated and dropped from the
+    * sf0.1 light-set sweep. */
+  val dedupKeepBest: QueryDef = QueryDef(
+    "dedup_keep_best",
+    (s, d) => {
+      val edges = confirmedPairs(s, d).select(col("id1"), col("id2"))
+      val nEdges = edges.count()
+      val parts = math.max(2L, math.min(3200L, nEdges / 25000L)).toInt
+      val (labels, _) = starComponents(s, edges, parts)
+      val assign = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lab"), col("doc_id")).as("cluster_id"), col("n_chars"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      val pick = byCluster.orderBy(col("n_chars").desc, col("doc_id"))
+      assign
+        .withColumn("rk", row_number().over(pick))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+          col("n_members"), (col("rk") === 1).as("is_kept"))
+        .orderBy("cluster_id", "doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, $duckShingleHashes AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+      ), cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+      ), edges AS (
+        SELECT id1 AS a, id2 AS b FROM cand UNION ALL SELECT id2 AS a, id1 AS b FROM cand
+      ), r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+      ), assign AS (
+        SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
+               any_value(d.n_chars) AS n_chars
+        FROM documents d LEFT JOIN r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+      ), sized AS (
+        SELECT cluster_id, doc_id, n_chars,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+               CAST(row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        FROM assign
+      )
+      SELECT cluster_id, doc_id, n_chars, n_members, rk = 1 AS is_kept
+      FROM sized
+      WHERE n_members >= 2
+      ORDER BY cluster_id, doc_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupClusters,
-    dedupLines, dedupIncremental, dedupContainment, dedupSubstring)
+    dedupLines, dedupIncremental, dedupContainment, dedupSubstring, dedupKeepBest)
 }

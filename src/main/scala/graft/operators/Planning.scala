@@ -166,6 +166,62 @@ object Planning {
     """.stripMargin.trim)
   )
 
+  /** MULTI-EPOCH MIXTURE PLAN — temperature-scaled domain weighting
+    * (α = 0.5: sample shares ∝ √tokens, the standard square-root
+    * rebalancing that upweights small domains without letting them
+    * dominate) turned into a concrete repetition plan against a training
+    * token budget: per (lang, source) domain, its planned token draw and
+    * how many times its data gets repeated (in basis points — 25000 bp =
+    * the domain is seen 2.5×). This is the data-constrained planning
+    * table: which domains run multi-epoch and which are subsampled.
+    *
+    * Everything is INTEGER-exact across engines: weights are
+    * floor(√tokens) (IEEE sqrt is correctly rounded, so floor∘sqrt is
+    * deterministic in both Spark and DuckDB), shares/draws/repeats are
+    * integer div arithmetic over the weight sums.
+    *
+    * Scale shape: one corpus scan → ≤ langs×sources rows; the weight
+    * total is a whole-frame window over that TINY aggregate
+    * (Registry.wholeFrameKey — a lit(1) key would be folded back to the
+    * warn-spamming empty spec). */
+  val pipelineEpochPlan: QueryDef = QueryDef(
+    "pipeline_epoch_plan",
+    (s, d) => {
+      val budget = 1000000L // demo training-run token budget
+      val perDomain = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          graft.plans.StringKernels.spaceSegCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .withColumn("weight", floor(sqrt(col("tokens"))).cast("long"))
+      perDomain
+        .withColumn("wsum", sum(col("weight")).over(
+          Window.partitionBy(graft.Registry.wholeFrameKey(col("weight")))))
+        .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+          col("weight"),
+          expr("(10000 * weight) div wsum").as("share_bp"),
+          expr(s"($budget * weight) div wsum").as("planned_tokens"),
+          expr(s"(10000 * (($budget * weight) div wsum)) div tokens").as("repeat_bp"))
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH ps AS (
+        SELECT lang, source, count(*) AS n_docs,
+               sum(len(string_split(text, ' ')))::BIGINT AS tokens
+        FROM documents
+        GROUP BY lang, source
+      ), w AS (
+        SELECT *, CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM ps
+      )
+      SELECT lang, source, n_docs, tokens, weight,
+             (10000 * weight) // (sum(weight) OVER ())::BIGINT AS share_bp,
+             (1000000 * weight) // (sum(weight) OVER ())::BIGINT AS planned_tokens,
+             (10000 * ((1000000 * weight) // (sum(weight) OVER ())::BIGINT)) // tokens AS repeat_bp
+      FROM w
+      ORDER BY lang, source
+    """.stripMargin.trim)
+  )
+
   /** SHARD-BALANCE report — the check run after [[pipelineGlobalShuffle]]
     * assigns a layout: per-shard document and token masses folded to one
     * row (shard count, min/max docs, min/max tokens, and max/mean skew in
@@ -337,5 +393,5 @@ object Planning {
 
   val all: Seq[QueryDef] = Seq(
     pipelineGlobalShuffle, pipelineLengthBuckets, pipelineBudgetGate,
-    pipelineInterleave, pipelineShardSkew, qSkyline)
+    pipelineInterleave, pipelineShardSkew, pipelineEpochPlan, qSkyline)
 }

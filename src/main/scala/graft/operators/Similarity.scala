@@ -99,6 +99,56 @@ object Similarity {
     """.stripMargin.trim)
   )
 
+  /** RANGE (radius) search — the other exact retrieval primitive beside
+    * top-k: ALL corpus vectors with cosine ≥ τ of each query, however
+    * many or few that is. This is the serving shape for dedup-at-
+    * threshold and recall-oriented retrieval filters, where a fixed k
+    * either truncates dense neighborhoods or pads sparse ones. τ = 0.25
+    * sits in this synthetic corpus's discriminative band (88 hits at
+    * sf0.01 vs 2 at 0.4).
+    *
+    * Scale shape: the query set broadcasts (one row per query), the
+    * corpus scans ONCE with the codegen'd FloatVecDot kernel, and the
+    * τ-filter prunes before any exchange — output-sized, not
+    * corpus-sized, shuffle. At 100 TB compose with the IVF router
+    * exactly like [[annIvfK]]: probe only cells whose centroid cosine
+    * clears τ minus the cell radius margin. */
+  val annRangeSearch: QueryDef = QueryDef(
+    "ann_range_search",
+    (s, d) => {
+      val base = withNorm(s, d)
+      val q = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val c = base.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+      c.crossJoin(broadcast(q))
+        .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+        .filter(col("cos") >= 0.25)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings
+      ),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn FROM n WHERE vec_id >= 8),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               round(
+                 list_sum(list_transform(generate_series(1, $Dim), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+                 / (qn * cn), 6) AS cos
+        FROM c CROSS JOIN q
+      )
+      SELECT query_id, neighbor_id, cos
+      FROM scored
+      WHERE cos >= 0.25
+      ORDER BY query_id, neighbor_id
+    """.stripMargin.trim)
+  )
+
   /** Per-label block-size bound for the EXACT pairwise embedding audit:
     * labels at or under it compare all pairs (labels×cap² worst case);
     * labels above it route through a random-hyperplane LSH candidate path
@@ -1143,7 +1193,7 @@ object Similarity {
     None // approximate serving path: rows-only; spec bounds mean recall
   )
 
-  val all: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, dedupSemantic,
-    annLsh, annIvf, annIvfK, embOutliers, embCosineHist, embPqCodes, annPq,
-    annIvfPq, embRecallReport, embClusterQuality)
+  val all: Seq[QueryDef] = Seq(annBruteforce, annRangeSearch, dedupEmbedding,
+    dedupSemantic, annLsh, annIvf, annIvfK, embOutliers, embCosineHist,
+    embPqCodes, annPq, annIvfPq, embRecallReport, embClusterQuality)
 }

@@ -281,7 +281,9 @@ class PlanAuditSpec extends SparkSpec {
       "pipeline_dataset_card", "emb_recall_report", "text_bm25",
       // q_key_skew_report: the 1-row overall fold × 1-row top-10 fold
       // sketch_overlap_users: the two 1-row KMV states meet in the fold
-      "q_key_skew_report", "sketch_overlap_users")
+      // ann_range_search: the 8-query broadcast × corpus scan
+      // (the ann_bruteforce pattern with a τ-filter instead of top-k)
+      "q_key_skew_report", "sketch_overlap_users", "ann_range_search")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
