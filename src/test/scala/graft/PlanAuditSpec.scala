@@ -379,6 +379,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges(bg) <= 2, s"budget_gate: window + agg exchanges only:\n$bg")
   }
 
+  test("ann_range_search: query broadcast, tau filter inside the join, zero hash exchanges") {
+    import graft.operators.Similarity
+    val plan = planOf(Similarity.annRangeSearch)
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"query set must broadcast:\n$plan")
+    // the tau filter must run as the join condition (prune during the
+    // scan), never after a materialized corpus x queries product
+    assert(plan.contains(">= 0.25"), s"tau filter missing from the plan:\n$plan")
+    assert(hashExchanges(plan) == 0,
+      s"range search must not hash-shuffle (only the output range sort):\n$plan")
+  }
+
+  test("pipeline_epoch_plan: one domain aggregate exchange; window over the tiny aggregate") {
+    import graft.operators.Planning
+    val plan = planOf(Planning.pipelineEpochPlan)
+    assert(hashExchanges(plan) <= 2,
+      s"epoch plan: domain agg (+ whole-frame window key) exchanges only:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("every registered query resolves against sfDir (analysis-only schema-drift alarm)") {
     // A testdata refresh that changes a column's type (round 8: events.ts
     // int64-ns → timestamp[us]/NTZ) must produce ONE red spec naming the
