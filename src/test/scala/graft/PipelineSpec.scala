@@ -31,6 +31,71 @@ class PipelineSpec extends SparkSpec {
     assert(extra == 0, s"LSH produced $extra sub-threshold pairs")
   }
 
+  test("dedup_keep_best: exactly one keeper per cluster, and it is a max-n_chars member") {
+    val rows = Dedup.dedupKeepBest.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_members"), r.getAs[Boolean]("is_kept")))
+    assert(rows.nonEmpty, "no multi-member clusters at sf0.001 — spec is vacuous")
+    // cluster ids must agree with the cluster operator's assignment
+    val assign = Dedup.dedupClusters.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    rows.groupBy(_._1).foreach { case (cid, members) =>
+      assert(members.count(_._5) == 1, s"cluster $cid: ${members.count(_._5)} keepers")
+      val maxChars = members.map(_._3).max
+      val keeper = members.find(_._5).get
+      assert(keeper._3 == maxChars, s"cluster $cid keeper has ${keeper._3} < $maxChars chars")
+      // doc_id tie-break: keeper is the smallest id among max-chars members
+      assert(keeper._2 == members.filter(_._3 == maxChars).map(_._2).min)
+      members.foreach { m =>
+        assert(m._4 == members.length, s"cluster $cid n_members ${m._4} != ${members.length}")
+        assert(assign(m._2) == cid, s"doc ${m._2}: cluster op says ${assign(m._2)}, not $cid")
+      }
+    }
+  }
+
+  test("ann_range_search equals a brute-force radius recompute") {
+    val got = Similarity.annRangeSearch.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"))).toSet
+    // independent brute force with built-in HOFs (different kernel path)
+    val n = Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      col("embedding"),
+      sqrt(aggregate(zip_with(col("embedding"), col("embedding"), (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).as("nrm"))
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val c = n.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val want = c.crossJoin(q)
+      .withColumn("cos", round(
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("cn")), 6))
+      .filter(col("cos") >= 0.25)
+      .select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "no in-radius pairs at sf0.001 — spec is vacuous")
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("pipeline_epoch_plan: integer invariants hold (weights, shares, budget)") {
+    import graft.operators.Planning
+    val rows = Planning.pipelineEpochPlan.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("tokens"), r.getAs[Long]("weight"),
+        r.getAs[Long]("share_bp"), r.getAs[Long]("planned_tokens"),
+        r.getAs[Long]("repeat_bp")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tokens, w, shareBp, planned, repeatBp) =>
+      assert(w * w <= tokens && tokens < (w + 1) * (w + 1),
+        s"weight $w is not isqrt($tokens)")
+      assert(shareBp >= 0 && shareBp <= 10000)
+      assert(repeatBp == (10000L * planned) / tokens)
+    }
+    // integer div floors, so totals never exceed the exact budget/shares
+    assert(rows.map(_._3).sum <= 10000L, "shares exceed 100%")
+    assert(rows.map(_._4).sum <= 1000000L, "planned draw exceeds the token budget")
+  }
+
   test("ann_lsh reaches >= 50% recall@3 against exact within-bucket truth") {
     val exact = {
       import org.apache.spark.sql.expressions.Window
