@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, round, sqrt}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** STREAMING EMBEDDING near-dup gate — the vector analog of
+  * [[StreamDedup]]: documents' embeddings arrive on a stream and every
+  * newcomer is checked against the corpus seen so far through
+  * random-hyperplane LSH bucket state, emitting cosine ≥ τ pairs as they
+  * become known. This is the SemDeDup-style semantic-dedup valve run at
+  * ingest, where the text gate can't see paraphrase-level duplication.
+  *
+  * Topology (the round-9 lean-state shape shared with [[StreamDedup]]):
+  * a typed flatMap computes each vector's 16 8-bit hyperplane table
+  * buckets (JVM mirror of the batch hyperplane-LSH lanes — same
+  * deterministic integer-mix plane weights as
+  * `Similarity.embeddingTop3`/`lshTopK`); `flatMapGroupsWithState`
+  * keyed on (table, bucket) stores prior members as (vec_id, 16 bucket
+  * keys) — ~100 B per member per bucket, independent of vector
+  * dimension — and emits each bucket-mate pair ONCE via the
+  * smallest-shared-table election. Exact cosine confirm is DOWNSTREAM
+  * and STATELESS: a stream-static join against the embedding corpus +
+  * the codegen'd FloatVecDot kernel. Retention bounding composes
+  * exactly as in [[StreamDedup.candidatesBounded]] (watermark + ts in
+  * state + event-time timeout) when the deployment's duplicate horizon
+  * is bounded.
+  *
+  * Recall contract: a pair is surfaced iff the two vectors share at
+  * least one of the 16 tables — the same candidate contract as the
+  * batch hyperplane-LSH path (measured ≈0.996 at cos 0.9 for these
+  * 16×8-bit lanes); the confirm stage never admits a sub-τ pair. */
+object StreamEmbDedup {
+
+  /** An LSH candidate pair (bucket-mates in ≥1 table), elected exactly
+    * once on the smallest shared table. */
+  final case class VecCandidate(id1: Long, id2: Long, table_idx: Int)
+
+  /** A confirmed cosine ≥ τ pair, reported on its electing table lane. */
+  final case class VecNearDup(id1: Long, id2: Long, cos: Double, table_idx: Int)
+
+  private val NTables = 16
+  private val NPlanes = 8
+
+  /** Deterministic hyperplane weights in [-0.5, 0.5) — the same integer
+    * mix as the batch LSH lanes, so signatures are stable across runs,
+    * executors, and engines. */
+  private def wgt(t: Int, p: Int, i: Int): Double =
+    ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
+      .toDouble / 1000003.0 - 0.5
+
+  /** The 16 8-bit table buckets of one embedding: per table, one sign
+    * bit per hyperplane (left-to-right double fold, the FloatVecDot
+    * order). */
+  private[graft] def tableBuckets(v: Seq[Float]): Array[Int] =
+    Array.tabulate(NTables) { t =>
+      var bucket = 0
+      var p = 0
+      while (p < NPlanes) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * wgt(t, p, i); i += 1 }
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      bucket
+    }
+
+  /** Candidate pairs from a streaming (vec_id, embedding) frame, each
+    * pair emitted exactly once (when its later vector arrives). */
+  def candidates(vecs: DataFrame): Dataset[VecCandidate] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        val buckets: Seq[Int] = tableBuckets(v).toSeq
+        buckets.iterator.zipWithIndex
+          .map { case (b, t) => (t, b, id, buckets) }
+      }
+      .groupByKey { case (t, b, _, _) => (t, b) }
+      .flatMapGroupsWithState[List[(Long, Seq[Int])], VecCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((tIdx, _), rows, state) =>
+          var seen = state.getOption.getOrElse(List.empty[(Long, Seq[Int])])
+          val out = scala.collection.mutable.ArrayBuffer.empty[VecCandidate]
+          // vec_id order: deterministic pairing independent of chunking
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, buckets) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, obuckets) =>
+                val firstShared = buckets.iterator.zip(obuckets.iterator)
+                  .indexWhere { case (a, b) => a == b }
+                if (firstShared == tIdx)
+                  out += VecCandidate(math.min(id, oid), math.max(id, oid), tIdx)
+              }
+              seen = (id, buckets) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Confirmed cosine ≥ τ pairs. `corpus`: static (vec_id, embedding)
+    * resolving every admitted vector (the embedding store in
+    * production). Cosines round to 6 dp like the batch operators. */
+  def nearDups(vecs: DataFrame, corpus: DataFrame,
+      tau: Double = 0.9): Dataset[VecNearDup] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dot = graft.plans.VectorExpressions.floatDot _
+    val normed = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val h1 = normed.toDF("vec_id", "v1", "n1")
+    val h2 = normed.toDF("vec_id", "v2", "n2")
+    candidates(vecs).toDF()
+      .join(h1, col("id1") === h1("vec_id")).drop("vec_id")
+      .join(h2, col("id2") === h2("vec_id")).drop("vec_id")
+      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("id1"), col("id2"), col("cos"), col("table_idx"))
+      .as[VecNearDup]
+  }
+
+  /** One row per confirmed pair — already distinct by the
+    * smallest-shared-table election. */
+  def distinctPairs(vecs: DataFrame, corpus: DataFrame,
+      tau: Double = 0.9): DataFrame =
+    nearDups(vecs, corpus, tau).toDF().drop("table_idx")
+}

@@ -1450,6 +1450,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamEmbDedup: streamed embedding near-dups equal the LSH-candidate truth across splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic corpus: the sf corpora have no cos >= 0.9 pairs (max
+    // 0.479 at sf0.001), so plant near-identical vectors deliberately
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val base = (0 until 30).map(i => (100L + i, vec()))
+    val dups = Seq(0, 7, 19).zipWithIndex.map { case (b, k) =>
+      val v = base(b)._2.clone(); v(0) += 0.01f
+      (200L + k, v)
+    }
+    val all = base ++ dups
+    // truth via the SAME bucket helper + the kernel's double fold order
+    def dotJ(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    def cosJ(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(dotJ(a, b) / (math.sqrt(dotJ(a, a)) * math.sqrt(dotJ(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bucketsOf = all.map { case (id, v) =>
+      id -> graft.streaming.StreamEmbDedup.tableBuckets(v.toSeq)
+    }.toMap
+    val want = (for {
+      (i, vi) <- all; (j, vj) <- all
+      if i < j &&
+        bucketsOf(i).zip(bucketsOf(j)).exists { case (x, y) => x == y }
+      c = cosJ(vi, vj) if c >= 0.9
+    } yield (i, j, c)).toSet
+    assert(want.size >= 3, s"planted dups not in the candidate truth: $want")
+    val corpus = all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.streaming.StreamEmbDedup.distinctPairs(
+      mem.toDF().toDF("vec_id", "embedding"), corpus)
+    val q = out.writeStream.format("memory").queryName("streamembdedup")
+      .outputMode("append").start()
+    try {
+      // dup pairs straddle the split: bases in batch 1, dups in batch 2
+      mem.addData(base.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      mem.addData(dups.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("streamembdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("StreamDedup.distinctPairsBounded: retention evicts partners, in-window pairs still fire") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
