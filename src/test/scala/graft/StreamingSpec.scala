@@ -1500,6 +1500,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamEmbDedup survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val v1 = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val v2 = v1.clone(); v2(1) += 0.01f
+    val filler = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val ckpt = java.nio.file.Files.createTempDirectory("embd_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("embd_out").toString
+    val corpus = Seq(1L -> v1.toSeq, 2L -> v2.toSeq, 9L -> filler.toSeq)
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def start() = graft.streaming.StreamEmbDedup.distinctPairs(
+        mem.toDF().toDF("vec_id", "embedding"), corpus)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // vector 1 enters bucket state before the stop
+    val q1 = start()
+    try { mem.addData((1L, v1.toSeq), (9L, filler.toSeq)); q1.processAllAvailable() }
+    finally q1.stop()
+    // its near-identical twin arrives after the restart: the pair must
+    // fire from checkpointed bucket state
+    val q2 = start()
+    try {
+      mem.addData((2L, v2.toSeq)); q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)), s"expected {(1,2)} across the restart: $got")
+    } finally q2.stop()
+  }
+
   test("StreamDedup.distinctPairsBounded: retention evicts partners, in-window pairs still fire") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
