@@ -128,4 +128,78 @@ object StreamEmbDedup {
   def distinctPairs(vecs: DataFrame, corpus: DataFrame,
       tau: Double = 0.9): DataFrame =
     nearDups(vecs, corpus, tau).toDF().drop("table_idx")
+
+  /** A bounded-form candidate pair, stamped with the later vector's ts. */
+  final case class TimedVecCandidate(id1: Long, id2: Long, table_idx: Int,
+      ts: java.sql.Timestamp)
+
+  /** RETENTION-BOUNDED candidate stage — the [[StreamDedup.candidatesBounded]]
+    * machinery for vectors: `vecs` is a streaming (vec_id, embedding, ts)
+    * frame; the watermark is declared on the flatMap OUTPUT (typed maps
+    * strip the event-time tag), members older than the watermark evict
+    * BEFORE pairing, and an event-time timeout at (newest member + 1 ms)
+    * sweeps idle buckets — state is O(vectors inside retention), with the
+    * same ~100 B fixed member size as the unbounded form. */
+  def candidatesBounded(vecs: DataFrame,
+      retention: String): Dataset[TimedVecCandidate] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .select("vec_id", "embedding", "ts")
+      .as[(Long, Seq[Float], java.sql.Timestamp)]
+      .flatMap { case (id, v, ts) =>
+        val buckets: Seq[Int] = tableBuckets(v).toSeq
+        buckets.iterator.zipWithIndex
+          .map { case (b, t) => (t, b, id, buckets, ts) }
+      }
+      .toDF("table_idx", "bucket", "vec_id", "buckets", "ts")
+      .withWatermark("ts", retention)
+      .as[(Int, Int, Long, Seq[Int], java.sql.Timestamp)]
+      .groupByKey { case (t, b, _, _, _) => (t, b) }
+      .flatMapGroupsWithState[List[(Long, Seq[Int], Long)], TimedVecCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((tIdx, _), rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          var seen = state.getOption
+            .getOrElse(List.empty[(Long, Seq[Int], Long)])
+            .filter(_._3 >= wmMs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TimedVecCandidate]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, buckets, ts) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, obuckets, _) =>
+                val firstShared = buckets.iterator.zip(obuckets.iterator)
+                  .indexWhere { case (a, b) => a == b }
+                if (firstShared == tIdx)
+                  out += TimedVecCandidate(
+                    math.min(id, oid), math.max(id, oid), tIdx, ts)
+              }
+              seen = (id, buckets, ts.getTime) :: seen
+            }
+          }
+          if (seen.isEmpty) state.remove()
+          else {
+            state.update(seen)
+            val newest = seen.map(_._3).max
+            if (newest + 1L > wmMs) state.setTimeoutTimestamp(newest + 1L)
+          }
+          out.iterator
+      }
+  }
+
+  /** Retention-bounded confirmed pairs — [[candidatesBounded]] +
+    * the stateless corpus confirm join. */
+  def distinctPairsBounded(vecs: DataFrame, corpus: DataFrame,
+      retention: String, tau: Double = 0.9): DataFrame = {
+    val dot = graft.plans.VectorExpressions.floatDot _
+    val normed = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val h1 = normed.toDF("vec_id", "v1", "n1")
+    val h2 = normed.toDF("vec_id", "v2", "n2")
+    candidatesBounded(vecs, retention).toDF()
+      .join(h1, col("id1") === h1("vec_id")).drop("vec_id")
+      .join(h2, col("id2") === h2("vec_id")).drop("vec_id")
+      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("id1"), col("id2"), col("cos"), col("ts"))
+  }
 }

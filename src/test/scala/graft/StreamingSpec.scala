@@ -1500,6 +1500,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamEmbDedup.distinctPairsBounded: retention evicts partners, in-window pairs fire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rnd = new scala.util.Random(13)
+    val v = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def near(eps: Float) = { val w = v.clone(); w(0) += eps; w.toSeq }
+    val filler = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat).toSeq
+    val corpus = Seq(1L -> near(0.00f), 2L -> near(0.01f), 3L -> near(0.02f),
+      4L -> near(0.03f), 100L -> filler).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val out = graft.streaming.StreamEmbDedup.distinctPairsBounded(
+      mem.toDF().toDF("vec_id", "embedding", "ts"), corpus, retention = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("streamembbounded")
+      .outputMode("append").start()
+    try {
+      // batch 1: twins inside the window -> (1,2) fires
+      mem.addData((1L, near(0.00f), ts(1000)), (2L, near(0.01f), ts(1010)))
+      q.processAllAvailable()
+      // batch 2: filler advances the watermark past vectors 1-2
+      mem.addData((100L, filler, ts(2000)))
+      q.processAllAvailable()
+      // batch 3: 3 duplicates 1/2 but they are beyond retention; 4
+      // duplicates 3 inside the window -> only (3,4)
+      mem.addData((3L, near(0.02f), ts(2001)), (4L, near(0.03f), ts(2002)))
+      q.processAllAvailable()
+      val got = spark.table("streamembbounded").select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (3L, 4L)), s"expected {(1,2),(3,4)}: $got")
+    } finally q.stop()
+  }
+
   test("StreamEmbDedup survives a checkpointed stop/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
