@@ -222,6 +222,54 @@ object Planning {
     """.stripMargin.trim)
   )
 
+  /** WEIGHTED (token-proportional) downsampling via SYSTEMATIC interval
+    * selection — the sampler a corpus-shrink runs when big documents must
+    * stay represented ∝ their token mass: within each (lang, source)
+    * domain, documents lie on the cumulative token line in doc_id order
+    * and a document is SELECTED iff it straddles a stride boundary
+    * (its cumulative interval contains a multiple of the stride), so
+    * selection probability ∝ tokens with exactly ⌊mass/stride⌋±1 picks
+    * per domain. Unlike A-Res/exp-key weighted reservoirs this needs no
+    * floating pow/log — `div` arithmetic only, bit-equal across engines
+    * and deterministic under retries.
+    *
+    * Scale shape: one corpus scan, one per-domain window (the
+    * budget-gate exchange — parallel across domains, never a global
+    * prefix sum), output is the sample. */
+  val pipelineWeightedSample: QueryDef = QueryDef(
+    "pipeline_weighted_sample",
+    (s, d) => {
+      val stride = 500L // demo: one pick per ~500 tokens of domain mass
+      val before = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.plans.StringKernels.spaceSegCount(col("text")).as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+        .withColumn("pick", expr(s"(cum_before + n_tokens) div $stride - cum_before div $stride"))
+        .filter(col("pick") > 0)
+        .select(col("lang"), col("source"), col("doc_id"), col("n_tokens"),
+          expr(s"cum_before div $stride + 1").as("bucket"))
+        .orderBy("lang", "source", "doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM t
+      )
+      SELECT lang, source, doc_id, n_tokens,
+             cum_before // 500 + 1 AS bucket
+      FROM c
+      WHERE (cum_before + n_tokens) // 500 - cum_before // 500 > 0
+      ORDER BY lang, source, doc_id
+    """.stripMargin.trim)
+  )
+
   /** SHARD-BALANCE report — the check run after [[pipelineGlobalShuffle]]
     * assigns a layout: per-shard document and token masses folded to one
     * row (shard count, min/max docs, min/max tokens, and max/mean skew in
@@ -393,5 +441,6 @@ object Planning {
 
   val all: Seq[QueryDef] = Seq(
     pipelineGlobalShuffle, pipelineLengthBuckets, pipelineBudgetGate,
-    pipelineInterleave, pipelineShardSkew, pipelineEpochPlan, qSkyline)
+    pipelineInterleave, pipelineShardSkew, pipelineEpochPlan,
+    pipelineWeightedSample, qSkyline)
 }

@@ -78,6 +78,29 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("pipeline_weighted_sample: exactly floor(mass/stride) picks per domain, buckets unique") {
+    import graft.operators.Planning
+    val picks = Planning.pipelineWeightedSample.fn(spark, sfDir).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("source")),
+        r.getAs[Long]("bucket")))
+    assert(picks.nonEmpty)
+    val mass = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("lang", "source").agg(sum(col("tok")).as("mass")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("mass")).toMap
+    picks.groupBy(_._1).foreach { case (dom, ps) =>
+      val expect = mass(dom) / 500L
+      assert(ps.length.toLong == expect, s"$dom: ${ps.length} picks != $expect")
+      assert(ps.map(_._2).distinct.length == ps.length, s"$dom: duplicate buckets")
+      assert(ps.map(_._2).forall(b => b >= 1 && b <= expect))
+    }
+    // every domain with at least one full stride of mass is represented
+    mass.filter(_._2 >= 500L).keys.foreach { dom =>
+      assert(picks.exists(_._1 == dom), s"$dom has mass but no picks")
+    }
+  }
+
   test("pipeline_epoch_plan: integer invariants hold (weights, shares, budget)") {
     import graft.operators.Planning
     val rows = Planning.pipelineEpochPlan.fn(spark, sfDir).collect()

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""One-command oracle sweep: graft.Verify + check_oracle at any SF.
+
+Usage: python3 tools/run_sweep.py <sfDir> [outDir]
+
+Encapsulates the documented recipe so future rounds can't forget it:
+at sf0.1+ the dedup_minhash_lsh / dedup_clusters / dedup_keep_best
+oracles are quadratic brute-force SQL (hours in DuckDB) and are dropped
+from oracle_sql.json before the compare. Exits non-zero on any FAIL or
+on a non-empty _failures.json.
+"""
+import json
+import os
+import subprocess
+import sys
+
+QUADRATIC = ("dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1]
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sweep_out"
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    light = sf not in ("sf0.001", "sf0.01")
+    subprocess.run(["rm", "-rf", out_dir], check=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"], env=env)
+    if r.returncode != 0:
+        print(f"[sweep] Verify exited {r.returncode}")
+        return 1
+    failures = json.load(open(f"{out_dir}/_failures.json"))
+    if failures:
+        print(f"[sweep] {len(failures)} queries FAILED in Verify: {sorted(failures)}")
+        return 1
+    if light:
+        p = f"{out_dir}/oracle_sql.json"
+        d = json.load(open(p))
+        dropped = [k for k in QUADRATIC if d.pop(k, None) is not None]
+        json.dump(d, open(p, "w"))
+        print(f"[sweep] light-set at {sf}: dropped quadratic oracles {dropped}")
+    return subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "check_oracle.py"),
+         sf_dir, out_dir]).returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())
