@@ -1851,6 +1851,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamWeightedSample: streamed picks equal batch pipeline_weighted_sample exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, String, String)]
+    val out = graft.streaming.StreamWeightedSample.picks(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"))
+    val q = out.writeStream.format("memory").queryName("wsample")
+      .outputMode("append").start()
+    try {
+      // split mid-corpus: second-half picks depend on counters the first
+      // half accumulated (a reset would re-anchor the stride grid)
+      val (first, second) = docs.splitAt(docs.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("wsample").select("doc_id", "tok", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.operators.Planning.pipelineWeightedSample.fn(spark, sfDir)
+        .select("doc_id", "n_tokens", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty, "batch sampler picks nothing — spec is vacuous")
+      assert(got == want,
+        s"mismatch: ${(want -- got).take(3)} vs ${(got -- want).take(3)}")
+      // cross-batch proof: some pick lands in the second half
+      val firstIds = first.map(_._1).toSet
+      assert(want.exists(p => !firstIds.contains(p._1)),
+        "all picks in the first batch — reshape the split")
+    } finally q.stop()
+  }
+
   test("StreamContamination: ingest gate reproduces batch pipeline_contamination exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
