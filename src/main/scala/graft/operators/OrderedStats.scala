@@ -131,7 +131,11 @@ object OrderedStats {
     * (~5e32) — and the n·Σxy − Σx·Σy forms are divided down to integer
     * basis points with the verified truncate-toward-zero integer division.
     * One partial-aggregated exchange over 3 groups; products stay in int64
-    * range pre-sum (qty·cents ≤ 5.5e8). */
+    * range pre-sum (qty·cents ≤ 5.5e8) but the RUNNING SUMS do not: Σy²
+    * clears int64 around 10⁶ rows/group (the sf1 bench found it at 6M
+    * rows under ANSI overflow checking), so each product is widened to
+    * decimal BEFORE the sum — the aggregation buffer is decimal end to
+    * end, matching DuckDB's HUGEINT accumulator. */
   val qCovExact: QueryDef = QueryDef(
     "q_cov_exact",
     (s, d) =>
@@ -143,11 +147,11 @@ object OrderedStats {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).cast("decimal(38,0)").as("n"),
-          sum(col("x")).cast("decimal(38,0)").as("sx"),
-          sum(col("y")).cast("decimal(38,0)").as("sy"),
-          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
-          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
-          sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+          sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy"))
         .select(
           col("l_returnflag"),
           col("n").cast("long").as("n"),

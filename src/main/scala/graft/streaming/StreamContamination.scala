@@ -38,10 +38,29 @@ object StreamContamination {
     * corpus (any frame with a `text` column). A doc quarantines when at
     * least `minHits` of its distinct 8-grams appear in the benchmark —
     * the conservative default flags a SINGLE shared 8-gram, the usual
-    * leakage policy. */
-  def decisions(docs: DataFrame, benchmark: DataFrame, minHits: Long = 1L): Dataset[Decision] = {
+    * leakage policy.
+    *
+    * `maxBenchNgrams` bounds the driver-side collect: the design premise
+    * is that the benchmark battery is TINY next to the training corpus
+    * (eval sets are ~MBs), and the default cap of 2M distinct 8-grams
+    * (~hundreds of MB as JVM strings — a 100-MB-of-text battery) keeps
+    * that premise explicit instead of implied. A battery over the cap
+    * fails FAST at stream-construction time with the remediation named,
+    * rather than OOMing the driver mid-ingest; the scale path for a
+    * genuinely huge battery is the hashed-shingle stream-static join
+    * (probe xxhash64 shingle hashes against a benchmark hash table, the
+    * [[StreamDedup]] confirm topology), which gives up the zero-shuffle
+    * stateless map this gate exists for. */
+  def decisions(docs: DataFrame, benchmark: DataFrame, minHits: Long = 1L,
+      maxBenchNgrams: Long = 2000000L): Dataset[Decision] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val nDistinct = benchmark.select("text").as[String]
+      .flatMap(graft.operators.Curation.wordShingles8).distinct().count()
+    require(nDistinct <= maxBenchNgrams,
+      s"benchmark battery has $nDistinct distinct 8-grams (cap $maxBenchNgrams): " +
+        "too large to broadcast as a driver set — probe hashed shingles via a " +
+        "stream-static join instead, or raise maxBenchNgrams deliberately")
     val bench: Set[String] = benchmark.select("text").as[String].collect()
       .iterator.flatMap(graft.operators.Curation.wordShingles8).toSet
     val b = spark.sparkContext.broadcast(bench)

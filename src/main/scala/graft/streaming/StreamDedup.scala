@@ -99,21 +99,32 @@ object StreamDedup {
   /** Confirmed jaccard ≥ τ pairs from a streaming (doc_id, text) frame.
     * Append-mode output, each pair exactly once (election — no dedup
     * state). `corpus`: static (doc_id, text) resolving every admitted
-    * doc (the archive in production). */
+    * doc (the archive in production) — or a pre-shingled (doc_id, hsh)
+    * frame, see [[corpusShingleSets]].
+    *
+    * **Unresolvable candidates are loud, not dropped.** The confirm
+    * joins are LEFT joins: a candidate whose doc is missing from the
+    * corpus snapshot (archive sink lagging the confirm read, or a
+    * corpus/stream id mismatch) emits with the sentinel `jac = -1.0`
+    * instead of vanishing — the "archive is always ahead" assumption is
+    * deployment-dependent, and an inner join silently converted its
+    * violation into missed duplicates. Route `jac < 0` rows to an alert
+    * sink; [[distinctPairs]] (the batch-parity frame) filters them. */
   def nearDups(docs: DataFrame, corpus: DataFrame,
       tau: Double = 0.8): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, when}
     val hsh = corpusShingleSets(corpus)
     val h1 = hsh.toDF("doc_id", "hsh1")
     val h2 = hsh.toDF("doc_id", "hsh2")
     candidates(docs).toDF()
-      .join(h1, col("id1") === h1("doc_id")).drop("doc_id")
-      .join(h2, col("id2") === h2("doc_id")).drop("doc_id")
+      .join(h1, col("id1") === h1("doc_id"), "left").drop("doc_id")
+      .join(h2, col("id2") === h2("doc_id"), "left").drop("doc_id")
       .withColumn("jac",
-        graft.plans.VectorExpressions.sortedJaccard(col("hsh1"), col("hsh2")))
-      .filter(col("jac") >= tau)
+        when(col("hsh1").isNull || col("hsh2").isNull, lit(-1.0)).otherwise(
+          graft.plans.VectorExpressions.sortedJaccard(col("hsh1"), col("hsh2"))))
+      .filter(col("jac") >= tau || col("jac") < 0.0)
       .select(col("id1"), col("id2"), col("jac"), col("band_idx"))
       .as[NearDupHit]
   }
@@ -122,10 +133,14 @@ object StreamDedup {
     * against batch `dedup_minhash_lsh`. Already distinct by the
     * smallest-shared-band election (the earlier per-band-lane form
     * needed a chained streaming `dropDuplicates` here — unbounded
-    * exactly-once state this topology simply doesn't have). */
+    * exactly-once state this topology simply doesn't have). Filters the
+    * `jac = -1` unresolved-candidate sentinels — parity is over
+    * CONFIRMED pairs. */
   def distinctPairs(docs: DataFrame, corpus: DataFrame,
       tau: Double = 0.8): DataFrame =
-    nearDups(docs, corpus, tau).toDF().drop("band_idx")
+    nearDups(docs, corpus, tau).toDF()
+      .filter(org.apache.spark.sql.functions.col("jac") >= tau)
+      .drop("band_idx")
 
   /** A confirmed hit stamped with the arriving doc's event time (the later
     * doc of the pair — the one whose arrival completed it). */
@@ -225,14 +240,28 @@ object StreamDedup {
   /** Static (doc_id, hsh) sorted shingle-hash sets for the confirm join —
     * the same kernel the candidate stage minhashes, so both sides agree
     * byte-for-byte. `corpus` is the batch-side document store the stream
-    * is feeding (the archive table in production; cache it if the
-    * micro-batch cadence is fast enough to re-read it). */
+    * is feeding (the archive table in production).
+    *
+    * The frame is consumed TWICE per micro-batch (h1/h2 aliases), and a
+    * typed-map subtree never canonicalizes equal (fresh closures), so an
+    * uncached version re-shingled the full corpus twice every batch. Two
+    * escapes, in preference order:
+    *  - a corpus that ALREADY carries an `hsh` column (the materialized
+    *    shingled-archive table — shingle once at archive-write time, the
+    *    production shape) is used as-is, no typed map at all;
+    *  - otherwise the shingled frame is `.cache()`d — the first batch
+    *    pays one shingle pass and later batches reuse the blocks. The
+    *    cache pins the corpus SNAPSHOT; for an archive growing under the
+    *    stream, pass the pre-shingled table instead (the [[nearDups]]
+    *    sentinel rows make a stale snapshot loud, not silent). */
   private def corpusShingleSets(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus.select("doc_id", "text").as[(Long, String)]
+    if (corpus.columns.contains("hsh")) corpus.select("doc_id", "hsh")
+    else corpus.select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) => (id, Dedup.hashedShingleSet(text).toSeq) }
       .toDF("doc_id", "hsh")
+      .cache()
   }
 
   /** RETENTION-BOUNDED near-dup gate — candidate state bounded by the

@@ -102,6 +102,20 @@ object StreamEmbDedup {
       }
   }
 
+  /** Static (vec_id, embedding, nrm) confirm-side frame. Consumed twice
+    * per micro-batch (h1/h2 aliases), so it is `.cache()`d — the first
+    * batch pays the norm scan, later batches reuse the blocks — unless
+    * the corpus ALREADY carries an `nrm` column (the production shape:
+    * an embedding store with norms materialized at write time), which is
+    * used as-is. The cache pins the corpus snapshot; a growing store
+    * should pass the pre-normed table. */
+  private def normedCorpus(corpus: DataFrame): DataFrame = {
+    val dot = graft.plans.VectorExpressions.floatDot _
+    if (corpus.columns.contains("nrm")) corpus.select("vec_id", "embedding", "nrm")
+    else corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm")).cache()
+  }
+
   /** Confirmed cosine ≥ τ pairs. `corpus`: static (vec_id, embedding)
     * resolving every admitted vector (the embedding store in
     * production). Cosines round to 6 dp like the batch operators. */
@@ -110,8 +124,7 @@ object StreamEmbDedup {
     val spark = vecs.sparkSession
     import spark.implicits._
     val dot = graft.plans.VectorExpressions.floatDot _
-    val normed = corpus.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val normed = normedCorpus(corpus)
     val h1 = normed.toDF("vec_id", "v1", "n1")
     val h2 = normed.toDF("vec_id", "v2", "n2")
     candidates(vecs).toDF()
@@ -191,8 +204,7 @@ object StreamEmbDedup {
   def distinctPairsBounded(vecs: DataFrame, corpus: DataFrame,
       retention: String, tau: Double = 0.9): DataFrame = {
     val dot = graft.plans.VectorExpressions.floatDot _
-    val normed = corpus.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val normed = normedCorpus(corpus)
     val h1 = normed.toDF("vec_id", "v1", "n1")
     val h2 = normed.toDF("vec_id", "v2", "n2")
     candidatesBounded(vecs, retention).toDF()

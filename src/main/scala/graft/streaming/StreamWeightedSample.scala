@@ -19,8 +19,29 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * restart point). Token counting is the byte-exact JVM mirror of the
   * SpaceSegCount kernel, and within a micro-batch a domain's rows
   * process in doc_id order — the same determinism contract as the
-  * batch op, so the spec can drive the same corpus through both forms
-  * and assert pick-for-pick equality. */
+  * batch op (and what makes a task retry re-emit the SAME picks:
+  * shuffle-fetch order is not deterministic, so an arrival-order fold
+  * could pick different docs on retry with identical end state).
+  *
+  * **Ordered-arrival contract.** Pick-for-pick equality with batch
+  * `pipeline_weighted_sample` holds exactly when documents arrive in
+  * globally ascending doc_id order ACROSS micro-batches (each batch's
+  * domain slice is a contiguous doc_id run — the replay-a-corpus and
+  * ingest-by-monotone-id shapes). Under out-of-order ingest the
+  * within-batch sort still makes every batch deterministic, but the
+  * stride grid lands on a different interleaving than the batch op
+  * saw: only the probability-proportional property (every doc picked
+  * w.p. ~tok/stride, one pick per stride tokens of domain throughput)
+  * is guaranteed, not batch parity.
+  *
+  * **Memory.** The group fold buffers only (doc_id, tok) PAIRS — the
+  * token count folds out of each text as the iterator is consumed, and
+  * the text is dropped before the sort. A hot domain with a large
+  * micro-batch costs ~48 B/doc on the task heap (100k docs ≈ 5 MB),
+  * not the O(total text bytes) the previous `rows.toSeq.sortBy` paid;
+  * a true external (spilling) sort is not reachable here because
+  * streaming plans reject Sort operators below fmgws and the state
+  * operator's required child ordering covers the grouping key only. */
 object StreamWeightedSample {
 
   /** One selected document. `bucket`: 1-based stride index it covers. */
@@ -40,8 +61,14 @@ object StreamWeightedSample {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((lang, source), rows, state) =>
           var cum = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(_._1).flatMap { case (id, text, _, _) =>
-            val tok = StreamBudgetGate.tokenCount(text)
+          // Fold texts down to (doc_id, tok) as the iterator streams past —
+          // only the 16-byte pair survives to the sort, never the text.
+          val idTok = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.foreach { case (id, text, _, _) =>
+            idTok += ((id, StreamBudgetGate.tokenCount(text)))
+          }
+          idTok.sortInPlaceBy(_._1)
+          val out = idTok.flatMap { case (id, tok) =>
             val before = cum
             cum += tok
             if (cum / stride > before / stride)

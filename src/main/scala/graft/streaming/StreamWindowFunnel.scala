@@ -42,7 +42,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *     parity spec does), for which re-emissions are harmless — a
   *     post-expiry subset of history can never exceed the full-history
   *     level, and no viable chain member is ever expired (the buffer must
-  *     already be empty).
+  *     already be empty). COUNT-style consumers (e.g. "level-ups per
+  *     user") would double-count around an expiry boundary: this
+  *     operator's output contract is max-fold-only — aggregate emissions
+  *     with max per user, never count them. If a count-style consumer
+  *     ever becomes a requirement, add a restart marker to [[LevelUp]]
+  *     (emitted on the first post-expiry event) rather than weakening
+  *     the TTL.
   *
   * `events`: streaming (user_id, event_id, event_type, ts) with
   * `withWatermark("ts", lateness)` applied upstream; the watermarked ts

@@ -119,7 +119,7 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._4).sum <= 1000000L, "planned draw exceeds the token budget")
   }
 
-  test("ann_lsh reaches >= 50% recall@3 against exact within-bucket truth") {
+  test("ann_lsh reaches >= 80% recall@3 against exact within-bucket truth") {
     val exact = {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(spark, sfDir)
@@ -135,7 +135,10 @@ class PipelineSpec extends SparkSpec {
     val approx = graft.operators.Similarity.annLsh.fn(spark, sfDir).select("query_id", "neighbor_id")
     val hit = approx.intersect(exact).count().toDouble
     val total = exact.count().toDouble
-    assert(hit / total >= 0.5, s"ANN-LSH recall ${hit / total} too low")
+    // measured 0.90 here / 0.86 at sf0.1 — floor at measured-minus-margin
+    // so a regression that halves recall reds this spec, not just the
+    // degenerate-failure guard the old 0.5 floor was
+    assert(hit / total >= 0.8, s"ANN-LSH recall ${hit / total} too low")
   }
 
   test("ann_lsh serving and distributed paths return identical rows") {
@@ -171,12 +174,13 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("ann_ivf reaches >= 40% recall@5 for the query set") {
+  test("ann_ivf reaches >= 50% recall@5 for the query set") {
     import org.apache.spark.sql.expressions.Window
     val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
     val approx = Similarity.annIvf.fn(spark, sfDir).select("query_id", "neighbor_id")
     val hit = approx.intersect(exact).count().toDouble
-    assert(hit / exact.count() >= 0.4, s"IVF recall ${hit / exact.count()} too low")
+    // measured 0.60-0.625 (nprobe=4 routing ceiling); floor at 0.5
+    assert(hit / exact.count() >= 0.5, s"IVF recall ${hit / exact.count()} too low")
   }
 
   test("NearestCells kernel: cosine argmax, descending order, ties to lower cell") {
@@ -220,11 +224,12 @@ class PipelineSpec extends SparkSpec {
     assert(secs < 60, s"K=$k probe took $secs s — codegen no longer constant in K?")
   }
 
-  test("ann_ivf_k (parameterized K=64, k-means|| seeding) reaches >= 40% recall@5") {
+  test("ann_ivf_k (parameterized K=64, k-means|| seeding) reaches >= 50% recall@5") {
     val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
     val approx = Similarity.annIvfK.fn(spark, sfDir).select("query_id", "neighbor_id")
     val hit = approx.intersect(exact).count().toDouble
-    assert(hit / exact.count() >= 0.4, s"IVF-K recall ${hit / exact.count()} too low")
+    // same routing ceiling as ann_ivf; floor tightened 0.4 -> 0.5
+    assert(hit / exact.count() >= 0.5, s"IVF-K recall ${hit / exact.count()} too low")
     // the trained quantizer really has ~K cells (not the 10 labels)
     val seeds = Similarity.kmeansParSeeds(spark, sfDir, 64)
     assert(seeds.length == 64, s"k-means|| produced ${seeds.length} seeds")
@@ -233,21 +238,23 @@ class PipelineSpec extends SparkSpec {
     assert(seeds.zip(again).forall { case (a, b) => a.sameElements(b) })
   }
 
-  test("ann_pq (ADC shortlist + exact rerank) reaches >= 70% recall@5") {
+  test("ann_pq (ADC shortlist + exact rerank) reaches >= 85% recall@5") {
     val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
     val approx = Similarity.annPq.fn(spark, sfDir).select("query_id", "neighbor_id")
     val hit = approx.intersect(exact).count().toDouble
-    // measured 0.975 on this corpus (0.90 at sf0.1); bound leaves noise room
-    assert(hit / exact.count() >= 0.7, s"PQ recall ${hit / exact.count()} too low")
+    // measured 0.975 on this corpus (0.90 at sf0.1); 0.85 = measured-minus-
+    // margin — a halved-recall regression can no longer stay green
+    assert(hit / exact.count() >= 0.85, s"PQ recall ${hit / exact.count()} too low")
   }
 
-  test("ann_ivfpq (cell routing + ADC + rerank) reaches >= 40% recall@5") {
+  test("ann_ivfpq (cell routing + ADC + rerank) reaches >= 50% recall@5") {
     val exact = Similarity.annBruteforce.fn(spark, sfDir).select("query_id", "neighbor_id")
     val approx = Similarity.annIvfPq.fn(spark, sfDir).select("query_id", "neighbor_id")
     val hit = approx.intersect(exact).count().toDouble
     // recall is bounded by the nprobe=4 cell routing (ann_ivf's ceiling),
-    // not by the PQ stage — the shortlist covers every probed cell here
-    assert(hit / exact.count() >= 0.4, s"IVFPQ recall ${hit / exact.count()} too low")
+    // not by the PQ stage — the shortlist covers every probed cell here.
+    // measured 0.60-0.75; floor tightened 0.4 -> 0.5
+    assert(hit / exact.count() >= 0.5, s"IVFPQ recall ${hit / exact.count()} too low")
   }
 
   test("emb_pq_codes: valid geometry, bounded distortion, deterministic training") {
@@ -261,9 +268,10 @@ class PipelineSpec extends SparkSpec {
     }
     // distortion: a unit vector quantized to 64 bits must keep well over
     // half its energy even on this uniform-random (worst-case) corpus —
-    // measured mean err 0.33; 0.5 is the degeneracy guard
+    // measured mean err 0.33; 0.40 = measured-plus-margin (was 0.5, a
+    // degeneracy guard a real codebook regression could slip under)
     val meanErr = codes.map(_.getAs[Double]("err")).sum / codes.length
-    assert(meanErr > 0.0 && meanErr < 0.5, s"mean PQ distortion $meanErr out of band")
+    assert(meanErr > 0.0 && meanErr < 0.40, s"mean PQ distortion $meanErr out of band")
     // training is deterministic: same corpus, bit-identical codebooks
     val b1 = Similarity.pqBooks(spark, sfDir)
     val b2 = Similarity.pqBooks(spark, sfDir)

@@ -401,9 +401,15 @@ class PlanAuditSpec extends SparkSpec {
   test("every registered query resolves against sfDir (analysis-only schema-drift alarm)") {
     // A testdata refresh that changes a column's type (round 8: events.ts
     // int64-ns → timestamp[us]/NTZ) must produce ONE red spec naming the
-    // query and the error — not 24 silently-absent Verify dumps. Analysis
-    // only: queryExecution.analyzed resolves every expression against the
-    // real parquet schemas without executing anything.
+    // query and the error — not 24 silently-absent Verify dumps. Mostly
+    // analysis-only: queryExecution.analyzed resolves every expression
+    // against the real parquet schemas without running the query. The
+    // exception is the dedup_clusters/dedup_keep_best family, whose
+    // QueryDef construction executes the shared LSH edge discovery +
+    // star contraction (partition sizing and the contraction fixpoint
+    // need edge counts before a plan exists) — those two run real work
+    // here, which still serves the alarm: a schema break inside the
+    // discovery chain reds this spec with the query named.
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sfDir).queryExecution.analyzed; None }
       catch { case e: Throwable =>

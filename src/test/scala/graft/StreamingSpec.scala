@@ -1450,6 +1450,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamDedup: candidate unresolvable in the corpus surfaces as a jac=-1 sentinel, not a silent drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two exact-dup pairs; the corpus snapshot is missing doc 4 (archive
+    // sink lagging the confirm read) — pair (3,4) must NOT vanish
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val docs = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2))
+    val laggedCorpus = docs.filter(_._1 != 4L).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamDedup.nearDups(
+      mem.toDF().toDF("doc_id", "text"), laggedCorpus)
+    val q = out.writeStream.format("memory").queryName("dedup_sentinel")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val rows = spark.table("dedup_sentinel").select("id1", "id2", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 1.0)), s"resolved exact dup missing: $rows")
+      assert(rows.contains((3L, 4L, -1.0)), s"unresolvable candidate dropped silently: $rows")
+      // the batch-parity frame filters the sentinel
+      val parity = graft.streaming.StreamDedup.distinctPairs(
+        mem.toDF().toDF("doc_id", "text"), laggedCorpus)
+      val q2 = parity.writeStream.format("memory").queryName("dedup_sentinel2")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val confirmed = spark.table("dedup_sentinel2").select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(confirmed == Set((1L, 2L)), s"parity frame must exclude sentinels: $confirmed")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("StreamEmbDedup: streamed embedding near-dups equal the LSH-candidate truth across splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1885,6 +1920,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamWeightedSample: hot domain — 120k docs in ONE micro-batch group, scrambled arrival") {
+    // The spill-safety regression guard for the (doc_id, tok) pair fold:
+    // one (lang, source) domain receives 120k docs in a single micro-batch
+    // (the heap-pressure shape the old rows.toSeq buffering paid full text
+    // for), delivered in scrambled order so the id-order sort is load-
+    // bearing. Expected picks are computed locally by the same stride fold
+    // in doc_id order.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 120000
+    val docs = (0 until n).map { i =>
+      val tok = i % 23 + 1
+      (i.toLong, Seq.fill(tok)("t").mkString(" "), "en", "hot")
+    }
+    // deterministic scramble: process order must not matter
+    val scrambled = docs.sortBy { case (id, _, _, _) => (id * 2654435761L) % n }
+    val mem = MemoryStream[(Long, String, String, String)]
+    val out = graft.streaming.StreamWeightedSample.picks(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"))
+    val q = out.writeStream.format("memory").queryName("wsample_hot")
+      .outputMode("append").start()
+    try {
+      mem.addData(scrambled: _*)
+      q.processAllAvailable()
+      val got = spark.table("wsample_hot").select("doc_id", "tok", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      var cum = 0L
+      val want = docs.flatMap { case (id, _, _, _) =>
+        val tok = (id % 23 + 1)
+        val before = cum
+        cum += tok
+        if (cum / 500L > before / 500L) Some((id, tok, before / 500L + 1L)) else None
+      }.toSet
+      assert(want.size > 2000, s"only ${want.size} expected picks — reshape")
+      assert(got == want,
+        s"mismatch: ${(want -- got).take(3)} vs ${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("StreamContamination: ingest gate reproduces batch pipeline_contamination exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1919,6 +1993,22 @@ class StreamingSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       assert(flags.forall { case (id, fl) => fl == (want(id)._2 > 0) })
     } finally q.stop()
+  }
+
+  test("StreamContamination: over-cap benchmark battery fails fast at construction") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val battery = Seq(
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+      "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10").toDF("text")
+    // cap below the battery's distinct 8-gram count → loud refusal naming
+    // the remediation, BEFORE any driver-side collect
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamContamination.decisions(docs, battery, maxBenchNgrams = 3L)
+    }
+    assert(e.getMessage.contains("distinct 8-grams"), e.getMessage)
+    // at the default cap the same battery constructs fine
+    graft.streaming.StreamContamination.decisions(docs, battery)
   }
 
   test("fromRabbitDeliveries: recorded AMQP bodies parse identically to clean lines") {
