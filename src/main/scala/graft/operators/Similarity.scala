@@ -1193,7 +1193,127 @@ object Similarity {
     None // approximate serving path: rows-only; spec bounds mean recall
   )
 
+  // ------------------------------------------- persisted index artifacts ----
+
+  /** Root for saved ANN index artifacts: one subdirectory per corpus
+    * (md5 of the sf dir path), overridable via SPARK_GRAFT_INDEX_DIR.
+    * Anchored at the JVM working directory (the repo root under sbt), in
+    * the gitignored data/ tree. */
+  private[graft] def annIndexDir(d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      s"${sys.props("user.dir")}/data/ann_index")
+    s"$root/$tag"
+  }
+
+  /** Runs the IVFPQ training + encode ONCE and writes the three artifact
+    * tables [[annIvfPq]] otherwise rebuilds per invocation. */
+  private def writeAnnIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val books = pqBooks(s, d)
+    val base = withNorm(s, d)
+    var cents = normalizeRows(cellMeans(
+      emb(s, d).select(col("label").cast("int").as("cell"), col("embedding"))))
+    cents = normalizeRows(cellMeans(base.select(cellOf(cents).as("cell"), col("embedding"))))
+    import s.implicits._
+    // centroids: K rows of (cell, centroid) — the coarse quantizer
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    // codebooks: M×K rows of (m, k, centroid) — the PQ model
+    (for { mm <- books.indices; kk <- books(mm).indices }
+      yield (mm, kk, books(mm)(kk).toSeq)).toDF("m", "k", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    // corpus codes: (cell, vec_id, codes) — the inverted lists, 8-byte
+    // payload per vector; the ONLY corpus-sized table, written in one
+    // distributed encode pass (both kernels are plan constants)
+    base.select(
+      cellOf(cents).as("cell"),
+      col("vec_id"),
+      graft.plans.VectorExpressions.pqEncode(col("embedding"), books)
+        .getField("codes").as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/corpus_codes.parquet")
+  }
+
+  /** BUILD-ONCE half of the FAISS build/serve split: trains the IVFPQ
+    * model (label-mean + Lloyd coarse quantizer, sample-trained PQ
+    * codebooks — identical training to [[annIvfPq]]) and PERSISTS it as
+    * three parquet tables (centroids, codebooks, corpus inverted-list
+    * codes), so serving never retrains. Every in-repo ANN lane before
+    * round 10 rebuilt its model per invocation — free at bench SF,
+    * a non-starter at 100 TB where the corpus encode alone is a full
+    * scan. Training is deterministic, so a rebuild is byte-identical;
+    * the saved-index precedent is `sketch_window_merge`'s persisted KMV
+    * states. Output: the artifact manifest (deterministic counts). */
+  val annIndexBuild: QueryDef = QueryDef(
+    "ann_index_build",
+    (s, d) => {
+      val dir = annIndexDir(d)
+      writeAnnIndex(s, d, dir)
+      import s.implicits._
+      val nCent = s.read.parquet(s"$dir/centroids.parquet").count()
+      val nBooks = s.read.parquet(s"$dir/codebooks.parquet").count()
+      val nCodes = s.read.parquet(s"$dir/corpus_codes.parquet").count()
+      Seq(
+        ("centroids", nCent, s"dim=$Dim"),
+        ("codebooks", nBooks, s"m=$PqM,k=$PqK,subdim=$pqSubDim"),
+        ("corpus_codes", nCodes, s"bytes_per_vec=$PqM"))
+        .toDF("component", "n_rows", "detail")
+        .orderBy("component")
+    },
+    None // engine-specific trained model: manifest is rows-only; the
+    //      serve-parity spec proves the artifact byte-equivalent
+  )
+
+  /** SERVE half: [[annIvfPq]]'s exact plan, but every model input comes
+    * from the SAVED artifact — centroids and codebooks load as tiny
+    * plan constants (K and M×K rows), the corpus is scanned by its
+    * persisted 8-byte (cell, codes) rows, and the float embeddings are
+    * touched ONLY by the 8-row query side and the shortlist rerank
+    * join (the FAISS refine-from-storage path). Zero training, zero
+    * corpus encode at serve time: repeated searches pay probe cost
+    * only. Bootstraps the artifact if absent (one-time, then reused —
+    * also what makes the query self-contained under a fresh JVM).
+    * Answers are bit-identical to inline [[annIvfPq]] (training is
+    * deterministic), which the spec asserts row-for-row. */
+  val annIndexSearch: QueryDef = QueryDef(
+    "ann_index_search",
+    (s, d) => {
+      val dir = annIndexDir(d)
+      if (!new java.io.File(s"$dir/corpus_codes.parquet").exists())
+        writeAnnIndex(s, d, dir)
+      val nProbe = 4
+      // model load: K + M×K rows — bounded collects, not training
+      val cents = s.read.parquet(s"$dir/centroids.parquet").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+      val bookRows = s.read.parquet(s"$dir/codebooks.parquet").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      val books = Array.tabulate(PqM)(mm => Array.tabulate(PqK)(kk => bookRows((mm, kk))))
+      val corpus = s.read.parquet(s"$dir/corpus_codes.parquet")
+        .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+      val base = withNorm(s, d)
+      val queries = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          graft.plans.VectorExpressions.pqLut(col("embedding"), books).as("lut"),
+          explode(transform(
+            graft.plans.VectorExpressions.nearestCells(col("embedding"), cents, nProbe),
+            c => c.getField("cell"))).as("cell"))
+      val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+      val shortlist = corpus
+        .join(broadcast(queries), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc", graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut")))
+        .withColumn("arank", row_number().over(adcW))
+        .filter(col("arank") <= PqShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      pqRerank(base, shortlist)
+    },
+    None // approximate: serve-parity + recall spec'd against annIvfPq
+  )
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annRangeSearch, dedupEmbedding,
     dedupSemantic, annLsh, annIvf, annIvfK, embOutliers, embCosineHist,
-    embPqCodes, annPq, annIvfPq, embRecallReport, embClusterQuality)
+    embPqCodes, annPq, annIvfPq, embRecallReport, embClusterQuality,
+    annIndexBuild, annIndexSearch)
 }

@@ -257,6 +257,28 @@ class PipelineSpec extends SparkSpec {
     assert(hit / exact.count() >= 0.5, s"IVFPQ recall ${hit / exact.count()} too low")
   }
 
+  test("ann_index_build + ann_index_search: saved artifact serves bit-identical to inline ann_ivfpq") {
+    // build/serve split: the manifest reports the three artifact tables,
+    // and searching FROM the saved parquet model (no retraining, no
+    // corpus encode) returns row-for-row the inline ann_ivfpq answers —
+    // training is deterministic, so the artifact is byte-equivalent.
+    val manifest = Similarity.annIndexBuild.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("component") -> r.getAs[Long]("n_rows")).toMap
+    assert(manifest.keySet == Set("centroids", "codebooks", "corpus_codes"), manifest.toString)
+    assert(manifest("codebooks") == 16L * 16L, s"codebooks: ${manifest("codebooks")}")
+    assert(manifest("corpus_codes") == Tables.embeddings(spark, sfDir).count(),
+      "corpus_codes must cover every vector")
+    val served = Similarity.annIndexSearch.fn(spark, sfDir).collect().map(_.toString).toSeq
+    val inline = Similarity.annIvfPq.fn(spark, sfDir).collect().map(_.toString).toSeq
+    assert(served == inline, s"saved-index serve diverges from inline ivfpq: " +
+      s"${served.diff(inline).take(3)} vs ${inline.diff(served).take(3)}")
+    // zero corpus encode at serve time: the PqEncode kernel must not
+    // appear anywhere in the serving plan (codes come from parquet)
+    val plan = Similarity.annIndexSearch.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString.toLowerCase.replace("_", "")
+    assert(!plan.contains("pqencode"), "serve plan re-encodes the corpus")
+  }
+
   test("emb_pq_codes: valid geometry, bounded distortion, deterministic training") {
     val codes = Similarity.embPqCodes.fn(spark, sfDir).collect()
     assert(codes.length == 500)
@@ -771,6 +793,40 @@ class PipelineSpec extends SparkSpec {
       .select(col("doc_id"), length(col("text")).cast("long").as("expect_bytes"))
     val joined = out.join(direct, "doc_id").filter(col("n_bytes") =!= col("expect_bytes"))
     assert(joined.count() == 0)
+  }
+
+  test("mm_wav_decode: the WAV parser is real — round-trips, walks chunks, rejects junk") {
+    import graft.operators.Multimodal
+    // round trip: synthesized container parses back to its own fields
+    val w = Multimodal.parseWav(Multimodal.synthWav("abc XYZ"))
+    assert(w.sampleRate == 16000 && w.channels == 1 && w.bitsPerSample == 16)
+    assert(w.samples.toSeq == "abc XYZ".getBytes("US-ASCII").toSeq.map(b => (b - 128) * 256))
+    // an extra chunk between fmt and data must be skipped, not tripped over
+    val base = Multimodal.synthWav("hi")
+    val extra = java.nio.ByteBuffer.allocate(base.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 36)                        // RIFF..fmt chunk
+      .put("LIST".getBytes("US-ASCII")).putInt(3) // odd-sized foreign chunk
+      .put(Array[Byte](1, 2, 3, 0))               // + its alignment pad
+      .put(base, 36, base.length - 36)            // data chunk
+    val riffSize = extra.array().length - 8
+    val patched = extra.array().clone()
+    patched(4) = (riffSize & 0xff).toByte
+    patched(5) = ((riffSize >> 8) & 0xff).toByte
+    assert(Multimodal.parseWav(patched).samples.length == 2)
+    // junk is rejected loudly, never decoded into stats
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav("not a wav at all".getBytes("US-ASCII"))
+    }
+    val truncated = base.take(base.length - 1)
+    intercept[IllegalArgumentException] { Multimodal.parseWav(truncated) }
+    // non-PCM format code refused
+    val nonPcm = base.clone(); nonPcm(20) = 3 // IEEE float tag
+    intercept[IllegalArgumentException] { Multimodal.parseWav(nonPcm) }
+    // and the operator output matches a direct recomputation on the corpus
+    val out = Multimodal.mmWavDecode.fn(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(r =>
+      r.getAs[Int]("sample_rate") == 16000 && r.getAs[Int]("bits") == 16))
   }
 
   test("dedup_semantic matches an independent crossJoin+window recomputation") {
