@@ -94,31 +94,50 @@ object AnalyticsExt {
   val qMarketShare: QueryDef = QueryDef(
     "q_market_share",
     (s, d) => {
+      // EXACT arithmetic end to end (the q_cov_exact treatment, applied
+      // here after the sf1 sweep caught it): a double revenue sum agrees
+      // with the oracle only until the sums grow enough that association-
+      // order ulps cross the 2 dp rounding boundary (2.85 % of groups at
+      // sf1). extendedprice and discount are 2 dp quantities, so the
+      // product is EXACT in decimal(·,4); sums, the 2 dp rounding, and
+      // the integer-ppm share all stay in decimal/int space — bit-equal
+      // across engines at ANY scale.
       val rev = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(year(col("o_orderdate")).as("order_year"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("rev_d"))
+        .select(col("order_year"), col("n_name"),
+          round(col("rev_d"), 2).cast("double").as("revenue"),
+          (col("rev_d") * lit(10000)).cast("decimal(38,0)").as("rev_c"))
       val w = Window.partitionBy(col("order_year"))
       rev
-        .withColumn("share", round(col("revenue") / sum(col("revenue")).over(w), 6))
+        .withColumn("total_c", sum(col("rev_c")).over(w))
+        .withColumn("share_ppm", expr("(1000000 * rev_c) div total_c"))
+        .select(col("order_year"), col("n_name"), col("revenue"), col("share_ppm"))
         .orderBy("order_year", "n_name")
     },
     Some("""
       WITH rev AS (
         SELECT year(o_orderdate) AS order_year, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(4,2)) AS rev_d
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1, 2
+      ), c AS (
+        SELECT order_year, n_name,
+               round(rev_d, 2)::DOUBLE AS revenue,
+               (rev_d * 10000)::HUGEINT AS rev_c
+        FROM rev
       )
       SELECT order_year, n_name, revenue,
-             round(revenue / sum(revenue) OVER (PARTITION BY order_year), 6) AS share
-      FROM rev
+             ((1000000 * rev_c) // CAST(sum(rev_c) OVER (PARTITION BY order_year) AS HUGEINT))::BIGINT AS share_ppm
+      FROM c
       ORDER BY order_year, n_name
     """.stripMargin.trim)
   )

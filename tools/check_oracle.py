@@ -9,6 +9,7 @@ parquet tables, and compares: schema (sorted column names), row count, and a
 hash of all values after sorting columns by name and rows by all columns.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -37,8 +38,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single files; GenScale corpora (data/sf1+)
+        # are Spark-written DIRECTORIES of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     for name, sql in sorted(oracles.items()):
