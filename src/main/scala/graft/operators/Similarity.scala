@@ -206,7 +206,26 @@ object Similarity {
     * never O(n²). */
   private[graft] def embeddingTop3(s: SparkSession, d: String, cap: Int): DataFrame = {
     val nTables = 16
-    val nPlanes = 8
+
+    val sizes = emb(s, d).groupBy(col("label")).agg(count(lit(1)).as("label_n"))
+    // Bits per lane GROW with the biggest over-cap label — the annLsh
+    // round-2 rule, which this leg was missing: with a fixed 8-bit lane,
+    // bucket population is O(n) and the bucket self-join O(n²/256) —
+    // the sf10 bench (20k-member labels) materialized ~125M candidate
+    // pairs and died spilling. B = ⌈log₂(n/8)⌉ keeps ~8 vectors/bucket,
+    // so candidates stay O(n × lanes). B stays 8 through sf1 (n=2000 →
+    // 250 buckets-worth fits 8 bits), so sub-sf10 outputs are unchanged.
+    // Recall tradeoff is real and documented: at cos≥0.9 per-lane
+    // collision is (1−θ/π)^B, 16-lane recall 0.996 at B=8 → 0.93 at
+    // B=12 — the near-dup band a semantic dedup acts on stays covered,
+    // while the (already-declared) "top-3 of LSH candidates" over-cap
+    // contract thins for sub-threshold pairs. The one-row aggregate here
+    // is a declared construction-time action (the dedup_clusters
+    // partition-sizing precedent).
+    val maxBig: Long = sizes.filter(col("label_n") > cap)
+      .agg(coalesce(max(col("label_n")), lit(0L))).head.getLong(0)
+    val nPlanes = math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (maxBig + 7) / 8 - 1)))
     // Deterministic hyperplane weights in [-0.5, 0.5) — same integer mix
     // as lshTopK, so signatures are stable across runs and executors.
     def wgt(t: Int, p: Int, i: Int): Double =
@@ -216,7 +235,6 @@ object Similarity {
       (for { t <- 0 until nTables; p <- 0 until nPlanes } yield
         Array.tabulate(Dim)(i => wgt(t, p, i))).toArray
 
-    val sizes = emb(s, d).groupBy(col("label")).agg(count(lit(1)).as("label_n"))
     val base = withNorm(s, d).join(sizes, Seq("label")).cache()
     val small = base.filter(col("label_n") <= cap)
     val big = base.filter(col("label_n") > cap)
@@ -229,20 +247,46 @@ object Similarity {
       .select(col("label"), col("id1"), col("id2"), col("cos"))
 
     // (label, vec_id, t, bucket): one codegen'd signature pass, then the
-    // 16 8-bit lanes unpacked from the two sig words. The lane array is
-    // pure bit arithmetic on two longs — cheap enough for Generate's
-    // per-output-row re-evaluation (the explode pitfall is about
-    // re-running EXPENSIVE generators, e.g. tokenizers).
+    // 16 B-bit lanes unpacked from the packed sig words (straddle-safe:
+    // a lane crossing a 64-bit word boundary ORs the tail of word i with
+    // the head of word i+1). The lane array is pure bit arithmetic on a
+    // few longs — cheap enough for Generate's per-output-row
+    // re-evaluation (the explode pitfall is about re-running EXPENSIVE
+    // generators, e.g. tokenizers).
+    val nWords = (nTables * nPlanes + 63) / 64
+    val sigWords = (0 until nWords).map(i => element_at(col("sig"), i + 1).as(s"w$i"))
     val sig = big.select(col("label"), col("vec_id"),
       graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"))
-      .select(col("label"), col("vec_id"),
-        element_at(col("sig"), 1).as("w0"), element_at(col("sig"), 2).as("w1"))
+      .select(col("label") +: col("vec_id") +: sigWords: _*)
+    val laneMask = (1L << nPlanes) - 1
     val laneCols = (0 until nTables).map { t =>
-      val word = if (t < 8) col("w0") else col("w1")
-      struct(lit(t).as("t"), shiftrightunsigned(word, 8 * (t % 8)).bitwiseAND(lit(255L)).as("bucket"))
+      val start = t * nPlanes
+      val i0 = start >>> 6
+      val sh = start & 63
+      val low = shiftrightunsigned(col(s"w$i0"), sh)
+      val bucket =
+        if (sh + nPlanes > 64 && i0 + 1 < nWords)
+          low.bitwiseOR(shiftleft(col(s"w${i0 + 1}"), 64 - sh)).bitwiseAND(lit(laneMask))
+        else low.bitwiseAND(lit(laneMask))
+      struct(lit(t).as("t"), bucket.as("bucket"))
     }
-    val buckets = sig.select(col("label"), col("vec_id"), explode(array(laneCols: _*)).as("lane"))
+    val rawBuckets = sig.select(col("label"), col("vec_id"), explode(array(laneCols: _*)).as("lane"))
       .select(col("label"), col("vec_id"), col("lane.t").as("t"), col("lane.bucket").as("bucket"))
+    // POSTING TRUNCATION (the FAISS oversized-list rule): hyperplane cells
+    // are skewed on correlated data — the sf10 census measured buckets of
+    // 576 members and 2×10⁸ pre-dedup pairs from C(pop,2) blowup, which
+    // more bits cannot fix (skew is directional, not resolution-bound).
+    // Each (label, lane, bucket) keeps its 64 lowest vec_ids: a hot
+    // bucket is the LEAST selective cell (an uninformative hyperplane
+    // region), and a genuine near-dup pair still collides in its quieter
+    // lanes — while worst-case pair volume becomes buckets × C(64,2),
+    // linear in the corpus. WindowGroupLimit prunes the rank map-side.
+    val popCap = 64
+    val popW = Window.partitionBy(col("label"), col("t"), col("bucket")).orderBy(col("vec_id"))
+    val buckets = rawBuckets
+      .withColumn("pn", row_number().over(popW))
+      .filter(col("pn") <= popCap)
+      .drop("pn")
     val bigPairs = buckets.as("x")
       .join(buckets.as("y"), Seq("label", "t", "bucket"))
       .select(col("label"), col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
@@ -317,8 +361,20 @@ object Similarity {
       val nTables = 16 // L independent hash tables: union of candidates
       // Parquet-metadata count — sizes nPlanes to the corpus (train-free).
       val corpusN = emb(s, d).count()
-      val nPlanes = math.max(6, math.min(8,
+      // Bits per table grow with log₂(corpus) WITHOUT the old 8-bit lane
+      // ceiling: the byte-aligned two-word packing silently clamped
+      // nPlanes at 8, so past ~2k vectors bucket population grew O(N) and
+      // the candidate stage was Θ(N²/256) — the sf10 bench measured it at
+      // 70× the sf1 time (1146 s) before this fix. Two regimes, keeping
+      // every ≤sf0.1 corpus bit-identical to the old plan: the original
+      // ~N/8-bucket rule up to 8 bits, then a ~32-deep-bucket rule
+      // (coarser, preserving multi-probe recall) up to 18 bits. Lanes are
+      // B bits wide, straddle-safe across the packed sig words.
+      val b8 = math.max(6, math.min(8,
         math.ceil(math.log(corpusN / 8.0) / math.log(2)).toInt))
+      val bScale = math.min(18,
+        math.ceil(math.log(corpusN / 32.0) / math.log(2)).toInt)
+      val nPlanes = math.max(b8, bScale)
       val topM = 16 // SQ8 shortlist per query before the full-precision re-join
       // Deterministic hyperplane weights in [-0.5, 0.5): w(t,p,i) from a
       // fixed integer mix; same for every run and every executor.
@@ -327,27 +383,31 @@ object Similarity {
           .toDouble / 1000003.0 - 0.5
       // All bucket bits come from ONE codegen'd pass
       // ([[graft.plans.HyperplaneSig]]) — per-plane Column terms would
-      // generate 128 separate dot loops (Janino pitfall). Each table owns a
-      // fixed 8-bit LANE of the 128-bit signature; when nPlanes < 8 the
-      // spare lane slots get an all-zero plane, whose sign bit is a
-      // constant 1 for every vector — bucket equality is unaffected and the
-      // probe flips touch only the real bits.
-      val zeroPlane = Array.fill(Dim)(0.0)
+      // generate separate dot loops per plane (Janino pitfall). Table t
+      // owns bits [t·B, (t+1)·B) of the packed signature.
       val planes: Array[Array[Double]] =
-        (for { t <- 0 until nTables; p <- 0 until 8 } yield
-          if (p < nPlanes) Array.tabulate(Dim)(i => w(t, p, i)) else zeroPlane).toArray
-      def bucketOf(w0: Long, w1: Long, t: Int): Int =
-        (((if (t < 8) w0 >>> (8 * t) else w1 >>> (8 * (t - 8)))) & 0xFF).toInt
+        (for { t <- 0 until nTables; p <- 0 until nPlanes } yield
+          Array.tabulate(Dim)(i => w(t, p, i))).toArray
+      val nWords = (nTables * nPlanes + 63) / 64
+      val laneMask = (1L << nPlanes) - 1
+      def bucketOf(words: scala.collection.Seq[Long], t: Int): Int = {
+        val start = t * nPlanes
+        val i0 = start >>> 6
+        val sh = start & 63
+        val low = words(i0) >>> sh
+        val v = if (sh + nPlanes > 64 && i0 + 1 < nWords)
+          low | (words(i0 + 1) << (64 - sh))
+        else low
+        (v & laneMask).toInt
+      }
       // Multi-probe masks: the exact bucket plus every 1-bit flip.
       val probeMasks: Array[Int] = (0 +: (0 until nPlanes).map(1 << _)).toArray
 
-      // (id, sig word 0, sig word 1, SQ8 bytes) in one pass over the corpus.
+      // (id, packed sig words, SQ8 bytes) in one pass over the corpus.
       def sideData = emb(s, d)
         .select(col("vec_id"),
           graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"),
           graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
-        .select(col("vec_id"),
-          element_at(col("sig"), 1).as("w0"), element_at(col("sig"), 2).as("w1"), col("q8"))
 
       val shortlist: DataFrame =
         if (!distributed) {
@@ -359,15 +419,54 @@ object Similarity {
           // directory is complete), so the local top-topM is globally
           // exact for that query — one job, zero shuffles before the tiny
           // exact-rerank joins.
-          val side = sideData.as[(Long, Long, Long, Array[Byte])].collect()
-          val builders = Array.fill(nTables * 256)(new scala.collection.mutable.ArrayBuilder.ofLong)
-          side.foreach { case (id, w0, w1, _) =>
+          // Index layout is POSITION-COMPACT primitive arrays, not id-keyed
+          // maps: the hot loop touches one candidate every ~30 ns, and the
+          // previous Map[Long, Array[Byte]] lookup + HashSet dedup boxed a
+          // Long per touch — measured as the dominant cost at sf10 (the
+          // whole-corpus query stream visits ~10⁹ candidates). Flat q8/sig
+          // arrays give locality, the visited array replaces the per-query
+          // HashSet with a stamp compare, and the top-M is an in-place
+          // insertion sort over primitive arrays (identical (adot desc,
+          // id asc) order to the old sortBy — serving ≡ distributed holds).
+          val side = sideData.as[(Long, Seq[Long], Array[Byte])].collect()
+          val nSide = side.length
+          val q8Len = if (nSide == 0) 0 else side(0)._3.length
+          val posIds = new Array[Long](nSide)
+          val q8Flat = new Array[Byte](nSide * q8Len)
+          val sigFlat = new Array[Long](nSide * nWords)
+          val idToPos = new java.util.HashMap[java.lang.Long, java.lang.Integer](nSide * 2)
+          var bp = 0
+          while (bp < nSide) {
+            val (id, words, q8) = side(bp)
+            posIds(bp) = id
+            System.arraycopy(q8, 0, q8Flat, bp * q8Len, q8Len)
+            var wi = 0
+            while (wi < nWords) { sigFlat(bp * nWords + wi) = words(wi); wi += 1 }
+            idToPos.put(id, bp)
+            bp += 1
+          }
+          def bucketAt(sig: Array[Long], pos: Int, t: Int): Int = {
+            val start = t * nPlanes
+            val i0 = (start >>> 6) + pos * nWords
+            val sh = start & 63
+            val low = sig(i0) >>> sh
+            val v = if (sh + nPlanes > 64 && (start >>> 6) + 1 < nWords)
+              low | (sig(i0 + 1) << (64 - sh))
+            else low
+            (v & laneMask).toInt
+          }
+          val builders = Array.fill(nTables << nPlanes)(new scala.collection.mutable.ArrayBuilder.ofInt)
+          bp = 0
+          while (bp < nSide) {
             var t = 0
-            while (t < nTables) { builders(t * 256 + bucketOf(w0, w1, t)) += id; t += 1 }
+            while (t < nTables) { builders((t << nPlanes) + bucketAt(sigFlat, bp, t)) += bp; t += 1 }
+            bp += 1
           }
           val dirB = s.sparkContext.broadcast(builders.map(_.result()))
-          val q8B = s.sparkContext.broadcast(side.map(r => r._1 -> r._4).toMap)
-          val sigB = s.sparkContext.broadcast(side.map(r => r._1 -> ((r._2, r._3))).toMap)
+          val q8FB = s.sparkContext.broadcast(q8Flat)
+          val sigFB = s.sparkContext.broadcast(sigFlat)
+          val posIdsB = s.sparkContext.broadcast(posIds)
+          val idToPosB = s.sparkContext.broadcast(idToPos)
           // Parallelize the query id list evenly: P narrow tasks, no shuffle.
           val qids = queryIds match {
             case Some(ids) => side.map(_._1).filter(ids.contains).toIndexedSeq
@@ -376,28 +475,42 @@ object Similarity {
           val idsRdd = s.sparkContext.parallelize(
             qids, s.sparkContext.defaultParallelism)
           s.createDataset(idsRdd).mapPartitions { it =>
-            val dir = dirB.value; val q8m = q8B.value; val sigm = sigB.value
-            val seen = scala.collection.mutable.HashSet.empty[Long]
-            val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+            val dir = dirB.value; val q8f = q8FB.value; val sigf = sigFB.value
+            val ids = posIdsB.value; val i2p = idToPosB.value
+            val visited = new Array[Int](ids.length)
+            var stamp = 0
+            val accTop = new Array[Int](topM)
+            val idTop = new Array[Long](topM)
             it.flatMap { q =>
-              seen.clear(); buf.clear()
-              val (w0, w1) = sigm(q)
-              val qa = q8m(q)
+              stamp += 1
+              val qp = i2p.get(q).intValue
+              val qOff = qp * q8Len
+              var m = 0
               var t = 0
               while (t < nTables) {
-                val base = bucketOf(w0, w1, t)
+                val base = bucketAt(sigf, qp, t)
                 var mi = 0
                 while (mi < probeMasks.length) {
-                  val ids = dir(t * 256 + (base ^ probeMasks(mi)))
+                  val bucket = dir((t << nPlanes) + (base ^ probeMasks(mi)))
                   var k = 0
-                  while (k < ids.length) {
-                    val n = ids(k)
-                    if (n != q && seen.add(n)) {
-                      val na = q8m(n)
+                  while (k < bucket.length) {
+                    val np = bucket(k)
+                    if (np != qp && visited(np) != stamp) {
+                      visited(np) = stamp
                       var acc = 0; var i = 0
-                      val len = math.min(qa.length, na.length)
-                      while (i < len) { acc += qa(i) * na(i); i += 1 }
-                      buf += ((acc, n))
+                      val nOff = np * q8Len
+                      while (i < q8Len) { acc += q8f(qOff + i) * q8f(nOff + i); i += 1 }
+                      val nid = ids(np)
+                      if (m < topM || acc > accTop(m - 1) ||
+                        (acc == accTop(m - 1) && nid < idTop(m - 1))) {
+                        var j = if (m < topM) m else topM - 1
+                        while (j > 0 && (accTop(j - 1) < acc ||
+                          (accTop(j - 1) == acc && idTop(j - 1) > nid))) {
+                          accTop(j) = accTop(j - 1); idTop(j) = idTop(j - 1); j -= 1
+                        }
+                        accTop(j) = acc; idTop(j) = nid
+                        if (m < topM) m += 1
+                      }
                     }
                     k += 1
                   }
@@ -405,8 +518,10 @@ object Similarity {
                 }
                 t += 1
               }
-              buf.sortBy { case (adot, n) => (-adot, n) }.take(topM)
-                .map { case (_, n) => (q, n) }.toList
+              val out = new Array[(Long, Long)](m)
+              var j = 0
+              while (j < m) { out(j) = (q, idTop(j)); j += 1 }
+              out.iterator
             }
           }.toDF("query_id", "neighbor_id")
         } else {
@@ -416,16 +531,16 @@ object Similarity {
           // would coalesce an unsized repartition back to one partition —
           // the parallelism, not the volume, is the point).
           val sigs = sideData
-            .select(col("vec_id"), col("w0"), col("w1"))
+            .select(col("vec_id"), col("sig"))
             .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-            .as[(Long, Long, Long)]
+            .as[(Long, Seq[Long])]
           // POSTING LISTS: one row per (table, bucket) with member ids —
           // the inverted-index shape; bucket population is O(1) by the
           // nPlanes sizing, so the lists stay small at any N. The streams
-          // are typed flatMaps over (id, w0, w1) — no Generate re-eval of
-          // the hyperplane dots (the measured explode pitfall).
-          val postings = sigs.flatMap { case (id, w0, w1) =>
-            (0 until nTables).map(t => (t, bucketOf(w0, w1, t), id))
+          // are typed flatMaps over (id, sig words) — no Generate re-eval
+          // of the hyperplane dots (the measured explode pitfall).
+          val postings = sigs.flatMap { case (id, words) =>
+            (0 until nTables).map(t => (t, bucketOf(words, t), id))
           }.toDF("table_id", "bucket", "neighbor_id")
             .groupBy("table_id", "bucket")
             .agg(collect_list(col("neighbor_id")).as("ids"))
@@ -433,9 +548,9 @@ object Similarity {
             case Some(ids) => sigs.filter(r => ids.contains(r._1))
             case None => sigs
           }
-          val probes = probeSigs.flatMap { case (id, w0, w1) =>
+          val probes = probeSigs.flatMap { case (id, words) =>
             for { t <- 0 until nTables; m <- probeMasks } yield
-              (t, bucketOf(w0, w1, t) ^ m, id)
+              (t, bucketOf(words, t) ^ m, id)
           }.toDF("table_id", "bucket", "query_id")
           val q8 = emb(s, d).select(col("vec_id"),
             graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
