@@ -1041,8 +1041,10 @@ object Similarity {
     * one node (FAISS trains on ~10⁵ vectors regardless of corpus size),
     * then the corpus encode is the distributed part — so the sample
     * collect is the declared model build, not a scale leak. */
-  private[graft] def pqBooks(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
-    val sample = withNorm(s, d).filter(col("vec_id") < 256)
+  private[graft] def pqBooks(s: SparkSession, d: String,
+      keep: Option[Column] = None): Array[Array[Array[Double]]] = {
+    val src = keep.map(withNorm(s, d).filter(_)).getOrElse(withNorm(s, d))
+    val sample = src.filter(col("vec_id") < 256)
       .orderBy(col("vec_id"))
       .select(col("embedding"), col("nrm")).collect()
       .map { r =>
@@ -1323,12 +1325,16 @@ object Similarity {
   }
 
   /** Runs the IVFPQ training + encode ONCE and writes the three artifact
-    * tables [[annIvfPq]] otherwise rebuilds per invocation. */
-  private def writeAnnIndex(s: SparkSession, d: String, dir: String): Unit = {
-    val books = pqBooks(s, d)
-    val base = withNorm(s, d)
+    * tables [[annIvfPq]] otherwise rebuilds per invocation. `keep`
+    * restricts BOTH training and the encoded corpus to a subset — the
+    * build-time view [[annIndexUpsert]] freezes its model against. */
+  private def writeAnnIndex(s: SparkSession, d: String, dir: String,
+      keep: Option[Column] = None): Unit = {
+    val books = pqBooks(s, d, keep)
+    val base = keep.map(withNorm(s, d).filter(_)).getOrElse(withNorm(s, d))
+    val seed = keep.map(emb(s, d).filter(_)).getOrElse(emb(s, d))
     var cents = normalizeRows(cellMeans(
-      emb(s, d).select(col("label").cast("int").as("cell"), col("embedding"))))
+      seed.select(col("label").cast("int").as("cell"), col("embedding"))))
     cents = normalizeRows(cellMeans(base.select(cellOf(cents).as("cell"), col("embedding"))))
     import s.implicits._
     // centroids: K rows of (cell, centroid) — the coarse quantizer
@@ -1380,6 +1386,18 @@ object Similarity {
     //      serve-parity spec proves the artifact byte-equivalent
   )
 
+  /** Model load from a saved artifact: K + M×K rows — bounded collects,
+    * not training. Shared by the serve and upsert halves. */
+  private[graft] def loadAnnModel(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = s.read.parquet(s"$dir/centroids.parquet").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val bookRows = s.read.parquet(s"$dir/codebooks.parquet").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    (cents, Array.tabulate(PqM)(mm => Array.tabulate(PqK)(kk => bookRows((mm, kk)))))
+  }
+
   /** SERVE half: [[annIvfPq]]'s exact plan, but every model input comes
     * from the SAVED artifact — centroids and codebooks load as tiny
     * plan constants (K and M×K rows), the corpus is scanned by its
@@ -1398,13 +1416,7 @@ object Similarity {
       if (!new java.io.File(s"$dir/corpus_codes.parquet").exists())
         writeAnnIndex(s, d, dir)
       val nProbe = 4
-      // model load: K + M×K rows — bounded collects, not training
-      val cents = s.read.parquet(s"$dir/centroids.parquet").collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1).map(_._2)
-      val bookRows = s.read.parquet(s"$dir/codebooks.parquet").collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
-      val books = Array.tabulate(PqM)(mm => Array.tabulate(PqK)(kk => bookRows((mm, kk))))
+      val (cents, books) = loadAnnModel(s, dir)
       val corpus = s.read.parquet(s"$dir/corpus_codes.parquet")
         .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
       val base = withNorm(s, d)
@@ -1427,8 +1439,59 @@ object Similarity {
     None // approximate: serve-parity + recall spec'd against annIvfPq
   )
 
+  /** The deterministic "new arrivals" slice for the upsert lane: every
+    * tenth vector (pmod 7) is withheld from the frozen build and later
+    * added. ~10% churn — a realistic ingest increment. */
+  private[graft] def upsertIsNew: Column = pmod(col("vec_id"), lit(10)) === 7
+
+  /** INCREMENTAL-ADD half of the index lifecycle (FAISS `add` semantics):
+    * the model is FROZEN — new vectors are assigned to their nearest
+    * existing cell and PQ-encoded with the existing codebooks, never
+    * retrained. The increment lands as a separate `upsert_codes` parquet
+    * segment (the Lucene-style delta-segment form — the natural
+    * distributed rendering of FAISS's in-place posting-list append), so
+    * the op is idempotent across reruns and serving reads
+    * base ∪ segments. Parity contract (spec-asserted bit-for-bit):
+    * upsert(model(base), new) ≡ encode-all(model(base), base ∪ new) —
+    * i.e. the segmented index is indistinguishable from having encoded
+    * the full corpus under the same frozen model.
+    *
+    * Scale shape: ONE narrow codegen'd encode pass over the increment
+    * (both kernels are plan constants), zero exchanges before the
+    * manifest agg; at 100 TB the increment encode touches only the new
+    * data — which is the entire point of the build/serve/add split. */
+  val annIndexUpsert: QueryDef = QueryDef(
+    "ann_index_upsert",
+    (s, d) => {
+      import s.implicits._
+      val dir = annIndexDir(d) + "-frozen"
+      if (!new java.io.File(s"$dir/corpus_codes.parquet").exists())
+        writeAnnIndex(s, d, dir, keep = Some(!upsertIsNew))
+      val (cents, books) = loadAnnModel(s, dir)
+      withNorm(s, d).filter(upsertIsNew)
+        .select(
+          cellOf(cents).as("cell"),
+          col("vec_id"),
+          graft.plans.VectorExpressions.pqEncode(col("embedding"), books)
+            .getField("codes").as("codes"))
+        .write.mode("overwrite").parquet(s"$dir/upsert_codes.parquet")
+      val nBase = s.read.parquet(s"$dir/corpus_codes.parquet").count()
+      val up = s.read.parquet(s"$dir/upsert_codes.parquet")
+      val nNew = up.count()
+      val touched = up.select(countDistinct(col("cell"))).first().getLong(0)
+      Seq(
+        ("base_codes", nBase, "model=frozen"),
+        ("total_codes", nBase + nNew, s"bytes_per_vec=$PqM"),
+        ("upsert_codes", nNew, s"cells_touched=$touched"))
+        .toDF("component", "n_rows", "detail")
+        .orderBy("component")
+    },
+    None // engine-specific trained model: manifest is rows-only; the
+    //      frozen-model parity spec proves the segment bit-equivalent
+  )
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annRangeSearch, dedupEmbedding,
     dedupSemantic, annLsh, annIvf, annIvfK, embOutliers, embCosineHist,
     embPqCodes, annPq, annIvfPq, embRecallReport, embClusterQuality,
-    annIndexBuild, annIndexSearch)
+    annIndexBuild, annIndexSearch, annIndexUpsert)
 }

@@ -279,6 +279,36 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("pqencode"), "serve plan re-encodes the corpus")
   }
 
+  test("ann_index_upsert: frozen-model segment equals encode-all under the same model") {
+    // FAISS `add` semantics: the withheld ~10% slice is encoded with the
+    // FROZEN base model into a delta segment; base ∪ segment must be
+    // bit-identical to encoding the FULL corpus under that same model —
+    // the segmented index is indistinguishable from a monolithic encode.
+    val manifest = Similarity.annIndexUpsert.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("component") -> r.getAs[Long]("n_rows")).toMap
+    val nAll = Tables.embeddings(spark, sfDir).count()
+    val nNew = Tables.embeddings(spark, sfDir).filter(Similarity.upsertIsNew).count()
+    assert(manifest.keySet == Set("base_codes", "total_codes", "upsert_codes"), manifest.toString)
+    assert(manifest("upsert_codes") == nNew, s"segment rows: ${manifest("upsert_codes")} != $nNew")
+    assert(manifest("total_codes") == nAll, "base ∪ segment must cover every vector")
+    val dir = Similarity.annIndexDir(sfDir) + "-frozen"
+    val (cents, books) = Similarity.loadAnnModel(spark, dir)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), concat_ws(",", col("codes")).as("cs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+    val segmented = keyed(spark.read.parquet(s"$dir/corpus_codes.parquet")
+      .unionByName(spark.read.parquet(s"$dir/upsert_codes.parquet")))
+    val monolithic = keyed(Tables.embeddings(spark, sfDir).select(
+      element_at(graft.plans.VectorExpressions.nearestCells(col("embedding"), cents, 1), 1)
+        .getField("cell").as("cell"),
+      col("vec_id"),
+      graft.plans.VectorExpressions.pqEncode(col("embedding"), books)
+        .getField("codes").as("codes")))
+    assert(segmented == monolithic,
+      s"segmented index diverges from frozen-model monolithic encode: " +
+      s"${segmented.diff(monolithic).take(3)} vs ${monolithic.diff(segmented).take(3)}")
+  }
+
   test("emb_pq_codes: valid geometry, bounded distortion, deterministic training") {
     val codes = Similarity.embPqCodes.fn(spark, sfDir).collect()
     assert(codes.length == 500)
@@ -827,6 +857,46 @@ class PipelineSpec extends SparkSpec {
     val out = Multimodal.mmWavDecode.fn(spark, sfDir).collect()
     assert(out.nonEmpty && out.forall(r =>
       r.getAs[Int]("sample_rate") == 16000 && r.getAs[Int]("bits") == 16))
+  }
+
+  test("mm_png_decode: the PNG parser is real — CRC-verifies, inflates, defilters, rejects junk") {
+    import graft.operators.Multimodal
+    // round trip across a filter boundary: > 32 chars forces a second
+    // scanline, which synthPng Up-filters — the parser must reconstruct
+    val text = "The quick brown fox jumps over the lazy dog!"
+    val p = Multimodal.parsePng(Multimodal.synthPng(text))
+    assert(p.width == 32 && p.height == 2 && p.bitDepth == 8 && p.colorType == 0)
+    val want = text.getBytes("US-ASCII").map(_ & 0xff).padTo(64, 0).toSeq
+    assert(p.pixels.toSeq == want, "defiltered pixels diverge from the layout rule")
+    // an ancillary chunk (with a valid CRC) is skipped, not tripped over
+    val base = Multimodal.synthPng("hi")
+    val ihdrEnd = 8 + 12 + 13
+    val anc = {
+      val body = "tEXtjunk".getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      java.nio.ByteBuffer.allocate(12 + 4).putInt(4).put(body)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val withAnc = base.take(ihdrEnd) ++ anc ++ base.drop(ihdrEnd)
+    assert(Multimodal.parsePng(withAnc).pixels.take(2).toSeq == Seq('h'.toInt, 'i'.toInt))
+    // junk is rejected loudly: bad signature, corrupted CRC, truncation
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePng("not a png at all".getBytes("US-ASCII"))
+    }
+    val corrupt = base.clone(); corrupt(ihdrEnd + 8) = (corrupt(ihdrEnd + 8) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { Multimodal.parsePng(corrupt) }
+    intercept[IllegalArgumentException] { Multimodal.parsePng(base.take(base.length - 5)) }
+    // a non-grayscale color type is refused (patch IHDR + fix its CRC)
+    val rgb = base.clone(); rgb(8 + 8 + 9) = 2
+    val crc2 = new java.util.zip.CRC32(); crc2.update(rgb, 12, 4 + 13)
+    System.arraycopy(java.nio.ByteBuffer.allocate(4).putInt(crc2.getValue.toInt).array(),
+      0, rgb, 12 + 4 + 13, 4)
+    intercept[IllegalArgumentException] { Multimodal.parsePng(rgb) }
+    // and the operator output matches the geometry rule on the corpus
+    val out = Multimodal.mmPngDecode.fn(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(r =>
+      r.getAs[Int]("width") == 32 &&
+      r.getAs[Long]("n_pixels") == 32L * r.getAs[Int]("height")))
   }
 
   test("dedup_semantic matches an independent crossJoin+window recomputation") {

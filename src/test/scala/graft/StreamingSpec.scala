@@ -2135,4 +2135,63 @@ class StreamingSpec extends SparkSpec {
       assert(byId(2).getAs[String]("title") == "two")
     } finally spark.sql("DROP DATABASE IF EXISTS EVODB CASCADE")
   }
+
+  test("StreamAnnServe: streaming IVF serve matches the batch probe+rank plan hit-for-hit") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.plans.VectorExpressions
+    // frozen coarse quantizer from the persisted index artifact
+    Similarity.annIndexBuild.fn(spark, sfDir).collect()
+    val (cents, _) = Similarity.loadAnnModel(spark, Similarity.annIndexDir(sfDir))
+    val corpus = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val qRows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val hits = graft.streaming.StreamAnnServe.topK(
+      mem.toDF().toDF("query_id", "embedding"), corpus, cents)
+    val q = hits.toDF().writeStream.format("memory").queryName("annserve")
+      .outputMode("append").start()
+    try {
+      mem.addData(qRows.take(3): _*) // queries split across two micro-batches
+      q.processAllAvailable()
+      mem.addData(qRows.drop(3): _*)
+      q.processAllAvailable()
+      def key(qid: Long, nid: Long, cos: Double, rank: Int) =
+        (qid, rank, nid, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val got = spark.table("annserve").collect().map(r =>
+        key(r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+      // batch recomputation: same frozen cents, same probe width, exact
+      // cosine within probed cells, window top-5 — the ann_ivf serve plan
+      val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        VectorExpressions.floatDot(a, b)
+      val tagged = corpus.select(
+        element_at(VectorExpressions.nearestCells(col("embedding"), cents, 1), 1)
+          .getField("cell").as("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      val queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(transform(
+            VectorExpressions.nearestCells(col("embedding"), cents, 4),
+            c => c.getField("cell"))).as("cell"))
+        .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      val win = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      val want = tagged.join(queries, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 5)
+        .collect().map(r =>
+          key(r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+            r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+      assert(got.nonEmpty && got == want,
+        s"streaming serve diverges: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+      // every query answered with a full top-5
+      assert(got.groupBy(_._1).forall(_._2.size == 5))
+    } finally q.stop()
+  }
 }
