@@ -1006,7 +1006,77 @@ object Dedup {
     """.stripMargin.trim)
   )
 
+  /** Boilerplate-prefix dedup: groups of documents sharing an IDENTICAL
+    * leading 64 characters — the "same template header" signal (CCNet /
+    * RefinedWeb strip repeated leading boilerplate before quality
+    * scoring; a shared prefix with divergent bodies is template reuse,
+    * not content duplication, and the near-dup lanes miss it when the
+    * bodies dominate the shingle set). One partial-aggregated shuffle on
+    * a 16-byte digest of the prefix — the raw text never shuffles; same
+    * scale shape as [[dedupExact]]. Reference analog: the dedup family of
+    * README.md:5 re-expressed for corpus curation. */
+  val dedupPrefix: QueryDef = QueryDef(
+    "dedup_prefix",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(substring(col("text"), 1, 64)).as("prefix_hash"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("keep_id"),
+    Some("""
+      SELECT md5(substr(text, 1, 64)) AS prefix_hash,
+             count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             min(doc_id) AS keep_id
+      FROM documents
+      GROUP BY 1
+      HAVING count(*) >= 2
+      ORDER BY keep_id
+    """.stripMargin.trim)
+  )
+
+  /** Token-reorder duplicate audit: documents identical as a BAG of
+    * whitespace tokens (sorted-token digest) but not byte-identical —
+    * the "shuffled copy" class that exact dedup misses and shingle
+    * Jaccard only partially scores (reordering breaks shingles but not
+    * unigram sets). Reported per source as an audit (group rows would be
+    * empty at small SF): n_docs vs distinct bag digests, difference =
+    * reorder-duplicate docs. Tokenization is a literal single-space
+    * split on BOTH engines (empty tokens from runs sort first in both).
+    * Two partial-aggregated digest shuffles, text never shuffles. */
+  val dedupReorder: QueryDef = QueryDef(
+    "dedup_reorder",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          md5(concat_ws(" ", sort_array(split(col("text"), " ")))).as("bow"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("bow")).as("n_bags"),
+          (count(lit(1)) - countDistinct(col("bow"))).as("n_reorder_dups"))
+        .orderBy("source"),
+    Some("""
+      WITH g AS (
+        SELECT source,
+               md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow
+        FROM documents
+      )
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT bow) AS n_bags,
+             count(*) - count(DISTINCT bow) AS n_reorder_dups
+      FROM g
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupClusters,
-    dedupLines, dedupIncremental, dedupContainment, dedupSubstring, dedupKeepBest)
+    dedupLines, dedupIncremental, dedupContainment, dedupSubstring, dedupKeepBest,
+    dedupPrefix, dedupReorder)
 }

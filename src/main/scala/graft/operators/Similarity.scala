@@ -1310,6 +1310,75 @@ object Similarity {
     None // approximate serving path: rows-only; spec bounds mean recall
   )
 
+  /** Per-label membership cap for the exact kNN-graph block join: labels
+    * at or under it build the full exact graph; the cap is a row_number
+    * window over vec_id (deterministic, oracle-expressible), mirroring
+    * [[graft.operators.Dedup.cappedBlockIds]]'s policy. Both test SFs sit
+    * far under it (≤200 vectors/label); at 100 TB an over-cap label's
+    * graph routes through the persisted-index serving path
+    * ([[annIndexSearch]]) instead of an O(block²) join. */
+  private val KnnBlockCap = 512
+
+  /** Exact k-nearest-neighbor GRAPH within label blocks — the
+    * neighborhood-graph primitive under graph clustering, kNN-LM
+    * retrieval eval and NN-descent seeding: every (capped) vector gets
+    * its k=3 most-cosine-similar neighbors among its label's members.
+    * The block self-join shuffles both sides once on `label` (narrow
+    * rows: id + embedding), the dot product is the codegen'd
+    * [[graft.plans.FloatVecDot]] kernel via [[cosPre]], and ranking is a
+    * per-src window on the joined frame — O(Σ block²·Dim) work bounded
+    * by [[KnnBlockCap]], never corpus². Exact, so fully oracle-checked
+    * (DuckDB recomputes every pair). */
+  val embKnnGraph: QueryDef = QueryDef(
+    "emb_knn_graph",
+    (s, d) => {
+      val capW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val base = withNorm(s, d)
+        .withColumn("crn", row_number().over(capW))
+        .filter(col("crn") <= KnnBlockCap)
+      val a = base.select(col("label"), col("vec_id").as("src"),
+        col("embedding").as("av"), col("nrm").as("an"))
+      val b = base.select(col("label"), col("vec_id").as("dst"),
+        col("embedding").as("bv"), col("nrm").as("bn"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      a.join(b, Seq("label"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cos", round(cosPre(col("av"), col("bv"), col("an"), col("bn")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("label"), col("src"), col("rank"), col("dst"), col("cos"))
+        .orderBy("src", "rank")
+    },
+    Some(s"""
+      WITH capped AS (
+        SELECT * FROM (
+          SELECT vec_id, label, embedding,
+                 row_number() OVER (PARTITION BY label ORDER BY vec_id) AS crn
+          FROM embeddings)
+        WHERE crn <= $KnnBlockCap
+      ),
+      n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(generate_series(1, $Dim),
+                 i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM capped
+      ),
+      scored AS (
+        SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+               round(
+                 list_sum(list_transform(generate_series(1, $Dim),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                 / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+      )
+      SELECT label, src, rank, dst, cos
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rank
+            FROM scored)
+      WHERE rank <= 3
+      ORDER BY src, rank
+    """.stripMargin.trim)
+  )
+
   // ------------------------------------------- persisted index artifacts ----
 
   /** Root for saved ANN index artifacts: one subdirectory per corpus
@@ -1490,8 +1559,75 @@ object Similarity {
     //      frozen-model parity spec proves the segment bit-equivalent
   )
 
+  /** Ensures the frozen-model artifact (base minus the withheld slice) and
+    * its delta segment both exist on disk — the shared bootstrap for the
+    * upsert-adjacent lanes, so each query is self-contained under a fresh
+    * JVM. Returns the artifact directory. */
+  private def ensureFrozenWithSegment(s: SparkSession, d: String): String = {
+    val dir = annIndexDir(d) + "-frozen"
+    if (!new java.io.File(s"$dir/corpus_codes.parquet").exists())
+      writeAnnIndex(s, d, dir, keep = Some(!upsertIsNew))
+    if (!new java.io.File(s"$dir/upsert_codes.parquet").exists()) {
+      val (cents, books) = loadAnnModel(s, dir)
+      withNorm(s, d).filter(upsertIsNew)
+        .select(
+          cellOf(cents).as("cell"),
+          col("vec_id"),
+          graft.plans.VectorExpressions.pqEncode(col("embedding"), books)
+            .getField("codes").as("codes"))
+        .write.mode("overwrite").parquet(s"$dir/upsert_codes.parquet")
+    }
+    dir
+  }
+
+  /** COMPACTION leg of the index lifecycle (Lucene segment merge / FAISS
+    * `merge_from`): folds the delta segment back into ONE contiguous codes
+    * table so serving returns to a single range-clustered scan instead of a
+    * base ∪ segments union. Duplicate vec_ids resolve newest-generation-
+    * wins (segments override base — the LSM/Lucene rule; here the sets are
+    * disjoint and the spec asserts zero overwrites). The merged table is
+    * range-repartitioned on (cell, vec_id) and sorted within partitions, so
+    * each inverted list lands contiguous in its parquet row groups — at
+    * 100 TB this is what keeps a probe's posting-list read sequential after
+    * months of ingest. Cost is the Lucene merge cost by design: one shuffle
+    * over the 8-byte codes rows (never the float embeddings), with an
+    * explicit partition count (AQE would coalesce a tiny repartition to 1).
+    * Inputs stay in place — swapping `compacted` in for base+segment is the
+    * caller's atomic-pointer step. Output: deterministic manifest. */
+  val annIndexCompact: QueryDef = QueryDef(
+    "ann_index_compact",
+    (s, d) => {
+      import s.implicits._
+      val dir = ensureFrozenWithSegment(s, d)
+      val base = s.read.parquet(s"$dir/corpus_codes.parquet")
+      val seg = s.read.parquet(s"$dir/upsert_codes.parquet")
+      val nBase = base.count(); val nSeg = seg.count()
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("gen").desc)
+      val merged = base.withColumn("gen", lit(0))
+        .unionByName(seg.withColumn("gen", lit(1)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "gen")
+      val parts = math.max(1, ((nBase + nSeg) / 50000L).toInt + 1)
+      merged.repartitionByRange(parts, col("cell"), col("vec_id"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite").parquet(s"$dir/compacted_codes.parquet")
+      val comp = s.read.parquet(s"$dir/compacted_codes.parquet")
+      val stats = comp.agg(
+        count(lit(1)).as("n"), countDistinct(col("cell")).as("cells")).first()
+      val (nComp, nCells) = (stats.getLong(0), stats.getLong(1))
+      Seq(
+        ("compacted_codes", nComp, s"cells=$nCells,parts=$parts"),
+        ("merged_base", nBase, "gen=0"),
+        ("merged_segments", nSeg, s"overwrites=${nBase + nSeg - nComp}"))
+        .toDF("component", "n_rows", "detail")
+        .orderBy("component")
+    },
+    None // engine-specific trained model: manifest is rows-only; the
+    //      compaction spec proves content parity with base ∪ segment
+  )
+
   val all: Seq[QueryDef] = Seq(annBruteforce, annRangeSearch, dedupEmbedding,
     dedupSemantic, annLsh, annIvf, annIvfK, embOutliers, embCosineHist,
     embPqCodes, annPq, annIvfPq, embRecallReport, embClusterQuality,
-    annIndexBuild, annIndexSearch, annIndexUpsert)
+    annIndexBuild, annIndexSearch, annIndexUpsert, annIndexCompact, embKnnGraph)
 }

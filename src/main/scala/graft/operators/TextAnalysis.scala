@@ -925,10 +925,77 @@ object TextAnalysis {
     """.stripMargin.trim)
   )
 
+  /** Number of BPE merge rounds [[textBpeTrain]] learns. Small by design:
+    * each round is one tiny vocabulary-table job, and 12 rounds is enough
+    * to exercise multi-character merges (merges of earlier merges). */
+  private[graft] val BpeMerges = 12
+
+  /** FULL iterative BPE training (Sennrich et al. 2016) — the tokenizer-
+    * training loop itself, not just one pair census ([[textBpePairs]] is
+    * the single-round version). The classic two-level shape keeps it
+    * linear: the corpus is read ONCE into a word-frequency table (Zipf:
+    * vocabulary-sized, orders of magnitude smaller than the corpus —
+    * this is why HF/SentencePiece trainers all start here), and every
+    * merge round runs on that table only: adjacent-symbol pair counts
+    * weighted by word freq (one tiny exchange), argmax with a TOTAL
+    * deterministic order (count desc, then left/right symbol asc), then
+    * a greedy left-to-right non-overlapping merge rewrite of the symbol
+    * sequences. Each round localCheckpoints the (tiny) vocab so the
+    * typed-map lineage never deepens. At 100 TB the corpus pass
+    * dominates and parallelizes; rounds cost O(vocab) each — the same
+    * sequential-by-nature loop real trainers run. The driver holds only
+    * the merge table (rows = [[BpeMerges]]).
+    *
+    * Rows-only by design (SQL cannot express the iteration); the spec
+    * replays an INDEPENDENT single-node scala implementation of the
+    * textbook algorithm and asserts the merge tables identical. */
+  val textBpeTrain: QueryDef = QueryDef(
+    "text_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      val words = docs(s, d).select(col("text")).as[String]
+        .flatMap(_.split(" ", -1).iterator.filter(_.nonEmpty))
+        .toDF("w").groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      var vocab = words.as[(String, Long)]
+        .map { case (w, f) => (w.map(_.toString).toList, f) }
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to BpeMerges) {
+        val best = vocab
+          .flatMap { case (syms, f) =>
+            (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))
+          }
+          .toDF("l", "r", "f")
+          .groupBy(col("l"), col("r")).agg(sum(col("f")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("l"), col("r"))
+          .as[(String, String, Long)].head()
+        merges += ((r, best._1, best._2, best._3))
+        val (bl, br) = (best._1, best._2)
+        val prev = vocab
+        vocab = vocab.map { case (syms, f) =>
+          val arr = syms.toArray
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < arr.length) {
+            if (i < arr.length - 1 && arr(i) == bl && arr(i + 1) == br) {
+              out += (bl + br); i += 2
+            } else { out += arr(i); i += 1 }
+          }
+          (out.toList, f)
+        }.localCheckpoint()
+        prev.unpersist()
+      }
+      merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+        .orderBy("merge_rank")
+    },
+    None // iterative training loop: rows-only; spec replays an
+    //      independent local implementation and asserts identity
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
     textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
     textRepetition, qZipfSlope, textLangidEval, textNgramNovelty, textEntropy,
-    textBpePairs, textBm25
+    textBpePairs, textBm25, textBpeTrain
   )
 }

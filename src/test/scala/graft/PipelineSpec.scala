@@ -309,6 +309,41 @@ class PipelineSpec extends SparkSpec {
       s"${segmented.diff(monolithic).take(3)} vs ${monolithic.diff(segmented).take(3)}")
   }
 
+  test("ann_index_compact: merged table content-equal to base ∪ segment, posting lists contiguous") {
+    // Lucene-merge semantics: the compacted codes table must carry exactly
+    // the base ∪ segment rows (zero overwrites — the sets are disjoint),
+    // and each output file must be internally sorted by (cell, vec_id) so
+    // an inverted list is a contiguous run, not scattered rows.
+    val manifest = Similarity.annIndexCompact.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("component") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[String]("detail")))).toMap
+    val nAll = Tables.embeddings(spark, sfDir).count()
+    assert(manifest.keySet == Set("compacted_codes", "merged_base", "merged_segments"),
+      manifest.toString)
+    assert(manifest("compacted_codes")._1 == nAll, "compacted table must cover every vector")
+    assert(manifest("merged_segments")._2.endsWith("overwrites=0"),
+      s"expected disjoint base/segment: ${manifest("merged_segments")._2}")
+    val dir = Similarity.annIndexDir(sfDir) + "-frozen"
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), concat_ws(",", col("codes")).as("cs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+    val compacted = keyed(spark.read.parquet(s"$dir/compacted_codes.parquet"))
+    val segmented = keyed(spark.read.parquet(s"$dir/corpus_codes.parquet")
+      .unionByName(spark.read.parquet(s"$dir/upsert_codes.parquet")))
+    assert(compacted == segmented,
+      s"compaction changed index content: ${compacted.diff(segmented).take(3)} " +
+      s"vs ${segmented.diff(compacted).take(3)}")
+    // contiguity: rows within each parquet file arrive in (cell, vec_id) order
+    val byFile = spark.read.parquet(s"$dir/compacted_codes.parquet")
+      .select(input_file_name().as("f"), col("cell"), col("vec_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).values
+    byFile.foreach { rows =>
+      val run = rows.map(r => (r._2, r._3)).toSeq
+      assert(run == run.sorted, s"unsorted compacted file (first rows: ${run.take(5)})")
+    }
+  }
+
   test("emb_pq_codes: valid geometry, bounded distortion, deterministic training") {
     val codes = Similarity.embPqCodes.fn(spark, sfDir).collect()
     assert(codes.length == 500)
@@ -1001,5 +1036,51 @@ class PipelineSpec extends SparkSpec {
     assert(rawMalformed.contains("not json at all"))
     // accepted ∪ rejected covers every input line exactly once
     assert(accepted.count() + rejected.count() == lines.length)
+  }
+
+  test("text_bpe_train: distributed merge table equals an independent local BPE") {
+    // Replays the textbook single-node algorithm (Sennrich et al. 2016)
+    // over the same corpus — word-freq table, weighted adjacent-pair
+    // counts, argmax by (count desc, left asc, right asc), greedy
+    // left-to-right non-overlapping rewrite — and asserts the distributed
+    // trainer's merge table is IDENTICAL, rank for rank.
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0)).toSeq
+    var vocab: Seq[(Vector[String], Long)] = texts.iterator
+      .flatMap(_.split(" ", -1).iterator.filter(_.nonEmpty))
+      .toSeq.groupBy(identity).iterator
+      .map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }
+      .toSeq
+    val expect = (1 to TextAnalysis.BpeMerges).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      val ((bl, br), bc) = counts.toSeq
+        .minBy { case ((l, rr), c) => (-c, l, rr) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == bl && syms(i + 1) == br) {
+            out += (bl + br); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (r, bl, br, bc)
+    }
+    val got = TextAnalysis.textBpeTrain.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect,
+      s"merge tables diverge: got ${got.take(4)} expected ${expect.take(4)}")
+    // the loop must reach merge-of-merge territory (a >2-char token)
+    assert(got.exists(m => m._2.length + m._3.length > 2),
+      s"no multi-character merge learned: $got")
   }
 }

@@ -2194,4 +2194,45 @@ class StreamingSpec extends SparkSpec {
       assert(got.groupBy(_._1).forall(_._2.size == 5))
     } finally q.stop()
   }
+
+  test("StreamIndexUpsert: streamed segments ∪ base equal a monolithic frozen-model encode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.plans.VectorExpressions
+    // bootstrap the frozen artifact (base = corpus minus the withheld slice)
+    Similarity.annIndexUpsert.fn(spark, sfDir).collect()
+    val dir = Similarity.annIndexDir(sfDir) + "-frozen"
+    val (cents, books) = Similarity.loadAnnModel(spark, dir)
+    val segRoot = java.nio.file.Files.createTempDirectory("graft-segs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-segs-ckpt").toString
+    val newRows = Tables.embeddings(spark, sfDir).filter(Similarity.upsertIsNew)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIndexUpsert.sink(
+      mem.toDF().toDF("vec_id", "embedding"), cents, books, segRoot, ckpt)
+    try {
+      // the ingest delta arrives across two micro-batches → two segments
+      mem.addData(newRows.take(newRows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(newRows.drop(newRows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val segDirs = new java.io.File(segRoot).listFiles().filter(_.getName.startsWith("segment-"))
+    assert(segDirs.length == 2, s"expected one segment per micro-batch: ${segDirs.toSeq}")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), concat_ws(",", col("codes")).as("cs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+    val segmented = keyed(spark.read.parquet(s"$dir/corpus_codes.parquet")
+      .unionByName(spark.read.parquet(s"$segRoot/segment-*.parquet")))
+    val monolithic = keyed(Tables.embeddings(spark, sfDir).select(
+      element_at(VectorExpressions.nearestCells(col("embedding"), cents, 1), 1)
+        .getField("cell").as("cell"),
+      col("vec_id"),
+      VectorExpressions.pqEncode(col("embedding"), books).getField("codes").as("codes")))
+    assert(segmented == monolithic,
+      s"streamed segments diverge from monolithic frozen-model encode: " +
+      s"${segmented.diff(monolithic).take(3)} vs ${monolithic.diff(segmented).take(3)}")
+  }
 }
