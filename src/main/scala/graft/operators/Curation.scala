@@ -758,9 +758,76 @@ object Curation {
     """.stripMargin.trim)
   )
 
+  /** CCNet's perplexity-bucket split (Wenzek et al. 2020) — the
+    * head/middle/tail cut every CommonCrawl-derived corpus ships with:
+    * per language, rank documents by LM fluency (the exact-integer
+    * bigram-LM avg from [[TextAnalysis.textLmScore]] — higher = more
+    * predictable = "head") and split into 3 equal-frequency buckets
+    * (1 = head … 3 = tail), reporting per (lang, bucket) the doc count,
+    * token mass and score range — the table a curriculum/mix planner
+    * consumes. The tile assignment is the DISTRIBUTED two-phase rank
+    * ([[ScalePatterns.bucketedRank]] on v = −avg_pm, doc_id tie-break +
+    * arithmetic [[ScalePatterns.sqlTile]]), not a per-lang window sort —
+    * at 100 TB a language is one giant partition and the windowed ntile
+    * would funnel it through one reducer; the oracle IS the windowed
+    * ntile (same answer, different plan). Integer end-to-end. */
+  val pipelinePplBuckets: QueryDef = QueryDef(
+    "pipeline_ppl_buckets",
+    (s, d) => {
+      val scores = TextAnalysis.textLmScore.fn(s, d)
+        .select(col("doc_id"), col("avg_pm"))
+      val toks = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val data = scores.join(toks, "doc_id").select(
+        col("lang").as("key"),
+        (-col("avg_pm")).cast("double").as("v"),
+        col("doc_id").as("id"),
+        col("avg_pm"), col("n_toks"))
+      ScalePatterns.bucketedRank(data)
+        .withColumn("bucket", ScalePatterns.sqlTile(3))
+        .groupBy(col("key").as("lang"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sum_toks"),
+          max(col("avg_pm")).as("max_avg_pm"),
+          min(col("avg_pm")).as("min_avg_pm"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS w2
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      ), c AS (
+        SELECT w1, w2, count(*) AS n12 FROM b GROUP BY w1, w2
+      ), lm AS (
+        SELECT w1, w2,
+               ((10000 * n12) // (sum(n12) OVER (PARTITION BY w1)))::BIGINT AS cond_pm
+        FROM c
+      ), scored AS (
+        SELECT doc_id, (sum(cond_pm) // count(*))::BIGINT AS avg_pm
+        FROM b JOIN lm USING (w1, w2)
+        GROUP BY doc_id
+      ), ranked AS (
+        SELECT d.lang, s.avg_pm, len(string_split(d.text, ' '))::BIGINT AS n_toks,
+               CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_pm DESC, s.doc_id) AS INT) AS bucket
+        FROM scored s JOIN documents d USING (doc_id)
+      )
+      SELECT lang, bucket, count(*) AS n_docs,
+             sum(n_toks)::BIGINT AS sum_toks,
+             max(avg_pm) AS max_avg_pm, min(avg_pm) AS min_avg_pm
+      FROM ranked
+      GROUP BY lang, bucket
+      ORDER BY lang, bucket
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     pipelineContamination, pipelinePackSequences, pipelineStratifiedSample,
     pipelineQualityFilter, textTokenLenHist, pipelineDomainMix,
     pipelineShardManifest, pipelineE2eManifest, pipelineDedupReport,
-    pipelinePiiScrub, pipelineTokenBudget, pipelineDatasetCard)
+    pipelinePiiScrub, pipelineTokenBudget, pipelineDatasetCard,
+    pipelinePplBuckets)
 }

@@ -192,6 +192,71 @@ object TrainingOps {
     None // rows-only: float-sum moments carry partitioning-order low bits
   )
 
+  /** LINEAR QUALITY-CLASSIFIER train + score — the model-based filtering
+    * lane every large pretraining pipeline runs (GPT-3 appendix A /
+    * CCNet / LLaMA: train a linear classifier on hashed bag-of-words to
+    * recognize a reference class, score the whole crawl, keep docs that
+    * clear the threshold). The machinery is the operator: distributed
+    * feature hashing (`HashingTF`, 4096 buckets — collision-tolerant,
+    * vocabulary-free, the fastText trick), logistic regression via
+    * Spark ML's L-BFGS (each iteration one treeAggregate gradient pass —
+    * at 100 TB this is N sequential corpus scans, the known cost of the
+    * lane), then ONE scoring pass over the full corpus with the model as
+    * a broadcast constant. The reference class is the corpus's own
+    * learnable signal: the [[TextAnalysis.textQuality]] heuristic at its
+    * 0.5 admit cut (lang/source are statistically identical word salad
+    * by construction, so a lexical model can't see them; distilling a
+    * hand-written heuristic into a trainable scorer is itself the
+    * standard bootstrap for these filters) — in production the positive
+    * set becomes "reference corpus" and ONLY the label column changes.
+    * Train membership is the md5 doc_id-derived 70% (the
+    * [[pipelineTrainSplit]] hash — stable under reruns and
+    * repartitioning); the report aggregates per lang: docs, train rows,
+    * positives, mean P(positive) in per-mille, flagged count, holdout
+    * accuracy. Rows-only by design (an iteratively-fit float model has
+    * no SQL oracle); the spec bounds holdout accuracy, asserts coverage
+    * and retrain determinism. */
+  val pipelineQualityClassifier: QueryDef = QueryDef(
+    "pipeline_quality_classifier",
+    (s, d) => {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.feature.HashingTF
+      import org.apache.spark.ml.functions.vector_to_array
+      val label = TextAnalysis.textQuality.fn(s, d)
+        .select(col("doc_id"),
+          (col("quality_score") >= 0.5).cast("double").as("label"))
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        split(lower(col("text")), " ").as("toks"),
+        (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(100)) < 70).as("is_train"))
+        .join(label, "doc_id")
+      val feat = new HashingTF()
+        .setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 12)
+        .transform(docs)
+      val model = new LogisticRegression()
+        .setMaxIter(20).setRegParam(0.01)
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(feat.filter(col("is_train")))
+      model.transform(feat)
+        .select(col("lang"), col("label"), col("is_train"),
+          element_at(vector_to_array(col("probability")), 2).as("p"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("is_train").cast("long")).as("n_train"),
+          sum(col("label")).cast("long").as("n_pos"),
+          round(avg(col("p")) * 1000).cast("long").as("mean_p_pm"),
+          sum((col("p") >= 0.5).cast("long")).as("n_flagged"),
+          round(avg(when(!col("is_train"),
+            ((col("p") >= 0.5) === (col("label") === 1.0)).cast("double"))) * 1000)
+            .cast("long").as("holdout_acc_pm"))
+        .orderBy("lang")
+    },
+    None // iteratively-fit float model: rows-only; spec bounds holdout
+    //      accuracy and asserts coverage + retrain determinism
+  )
+
   val all: Seq[QueryDef] = Seq(pipelineTrainSplit, embLabelCentroids, qApproxDistinct,
-    qApproxQuantile, embTopComponent)
+    qApproxQuantile, embTopComponent, pipelineQualityClassifier)
 }

@@ -150,4 +150,29 @@ class CurationSpec extends SparkSpec {
     val again = graft.sources.ShardWriter.write(spark, sfDir, out)
     assert(again.collect().toSet == firstRows)
   }
+
+  test("pipeline_ppl_buckets: per-lang equal-frequency tertiles, ordered score ranges, full coverage") {
+    import graft.operators.{Curation, TextAnalysis}
+    val rows = Curation.pipelinePplBuckets.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("max_avg_pm"), r.getAs[Long]("min_avg_pm")))
+    val byLang = rows.groupBy(_._1)
+    // lm-scored docs are partitioned exactly (every doc lands in one bucket)
+    val scored = TextAnalysis.textLmScore.fn(spark, sfDir).count()
+    assert(rows.map(_._3).sum == scored, "buckets must partition the scored corpus")
+    byLang.foreach { case (lang, bs) =>
+      // all 3 buckets present, sizes equal-frequency (ntile: max spread 1)
+      assert(bs.map(_._2).toSet == Set(1, 2, 3), s"$lang missing a bucket")
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang tertiles unbalanced: ${sizes.toSeq}")
+      // head scores >= middle >= tail (bucket 1 is the most fluent cut):
+      // with desc assignment every member of a higher bucket scores >=
+      // every member of a lower one, so min(higher) >= max(lower)
+      val ordered = bs.sortBy(_._2)
+      ordered.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi._5 >= lo._4,
+          s"$lang bucket ${hi._2} min ${hi._5} below bucket ${lo._2} max ${lo._4}")
+      }
+    }
+  }
 }

@@ -1038,6 +1038,36 @@ class PipelineSpec extends SparkSpec {
     assert(accepted.count() + rejected.count() == lines.length)
   }
 
+  test("pipeline_quality_classifier: learns the reference class, deterministic retrain, full coverage") {
+    import graft.operators.TrainingOps
+    val rows = TrainingOps.pipelineQualityClassifier.fn(spark, sfDir).collect()
+    val byLang = rows.map(r => r.getAs[String]("lang") -> r).toMap
+    // every language present, doc counts cover the corpus exactly
+    val langTotals = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == langTotals.keySet, s"langs: ${byLang.keySet} vs ${langTotals.keySet}")
+    langTotals.foreach { case (l, n) =>
+      assert(byLang(l).getAs[Long]("n_docs") == n, s"coverage broken for $l")
+    }
+    rows.foreach { r =>
+      val (l, nPos, nFlag, acc) = (r.getAs[String]("lang"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("n_flagged"), r.getAs[Long]("holdout_acc_pm"))
+      // the distilled model must genuinely learn the heuristic off hashed
+      // bag-of-words: holdout accuracy >= 0.8 per language (measured
+      // 0.885-1.000 at sf0.001; a dead model scores the ~0.75 base rate
+      // only by flagging nothing, which the flag-count check rejects)
+      assert(acc >= 800, s"holdout accuracy $l=$acc below 0.8")
+      // flagged volume tracks the true positive volume (within 50%)
+      assert(math.abs(nFlag - nPos) <= math.max(3L, nPos / 2),
+        s"$l flags $nFlag vs $nPos positives — model not calibrated")
+    }
+    // retraining on the same corpus reproduces the report bit-for-bit
+    // (hash split + fixed partitioning + deterministic L-BFGS)
+    val again = TrainingOps.pipelineQualityClassifier.fn(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "classifier retrain is not deterministic")
+  }
+
   test("text_bpe_train: distributed merge table equals an independent local BPE") {
     // Replays the textbook single-node algorithm (Sennrich et al. 2016)
     // over the same corpus — word-freq table, weighted adjacent-pair

@@ -2235,4 +2235,45 @@ class StreamingSpec extends SparkSpec {
       s"streamed segments diverge from monolithic frozen-model encode: " +
       s"${segmented.diff(monolithic).take(3)} vs ${monolithic.diff(segmented).take(3)}")
   }
+
+  test("StreamPplRouter: stateless routing matches the batch LM scores and threshold buckets exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = graft.streaming.StreamPplRouter.model(spark, sfDir)
+    val docRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val routed = graft.streaming.StreamPplRouter.routed(
+      mem.toDF().toDF("doc_id", "text", "lang"), m)
+    val q = routed.toDF().writeStream.format("memory").queryName("pplroute")
+      .outputMode("append").start()
+    try {
+      mem.addData(docRows.take(docRows.length / 3): _*)
+      q.processAllAvailable()
+      mem.addData(docRows.drop(docRows.length / 3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pplroute").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("avg_pm"), r.getAs[Int]("bucket"))).toSet
+    // batch reference: text_lm_score's exact integers + the same
+    // threshold rule over the model's frozen cutoffs
+    val want = graft.operators.TextAnalysis.textLmScore.fn(spark, sfDir)
+      .select(col("doc_id"), col("avg_pm"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), "doc_id")
+      .collect().map { r =>
+        val (id, avg, lang) = (r.getAs[Long]("doc_id"), r.getAs[Long]("avg_pm"),
+          r.getAs[String]("lang"))
+        val (c1, c2) = m.cuts(lang)
+        val b = if (avg >= c1) 1 else if (avg >= c2) 2 else 3
+        (id, lang, avg, b)
+      }.toSet
+    assert(got == want, s"router diverges: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    // trained on its own corpus, nothing routes unscored, all tiers live
+    assert(!got.exists(_._4 == 0), "unexpected unscored docs on the training corpus")
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.map(_._4) == Set(1, 2, 3) || rs.size < 3, s"$lang missing a tier")
+    }
+  }
 }
