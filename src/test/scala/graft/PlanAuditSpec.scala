@@ -407,11 +407,14 @@ class PlanAuditSpec extends SparkSpec {
     // exception is the dedup_clusters/dedup_keep_best family, whose
     // QueryDef construction executes the shared LSH edge discovery +
     // star contraction (partition sizing and the contraction fixpoint
-    // need edge counts before a plan exists), and dedup_embedding, whose
+    // need edge counts before a plan exists), dedup_embedding, whose
     // construction runs a one-row max-label-size aggregate (adaptive
-    // lane-bit sizing) — those run real work here, which still serves
-    // the alarm: a schema break inside their chains reds this spec with
-    // the query named.
+    // lane-bit sizing), the ann_index_* lifecycle ops (artifact
+    // bootstrap writes), text_bpe_train (the 12-round merge loop needs
+    // each round's argmax before the output frame exists) and
+    // pipeline_quality_classifier (L-BFGS fit) — those run real work
+    // here, which still serves the alarm: a schema break inside their
+    // chains reds this spec with the query named.
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sfDir).queryExecution.analyzed; None }
       catch { case e: Throwable =>
