@@ -563,8 +563,82 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** 8-bit Morton spread: insert a zero between every bit of `x` ∈
+    * [0, 256) — the branch-free shift-mask cascade (three rounds), pure
+    * integer arithmetic that stays in codegen on the Spark side and is
+    * written as the SAME literal arithmetic in the oracle SQL. */
+  private def bitSpread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F))
+    val b = (a.bitwiseOR(shiftleft(a, 2))).bitwiseAND(lit(0x3333))
+    (b.bitwiseOR(shiftleft(b, 1))).bitwiseAND(lit(0x5555))
+  }
+
+  /** Z-ORDER (Morton) layout audit — the lakehouse multi-column
+    * clustering pattern (Delta/Iceberg `OPTIMIZE ZORDER`): events are
+    * mapped onto a 256×256 (user, time) value grid (min/max frames from
+    * one 1-row broadcast agg), each row gets the 16-bit interleaved
+    * Morton code, and rows are laid out by the code's top-6-bit prefix —
+    * 64 write buckets, each by construction covering ONE 32×32 square of
+    * the grid. The report is the data-skipping story made measurable:
+    * per bucket, row count + exact (user, time) bucket spans — every
+    * span ≤ 31 on BOTH dimensions, so a point/range predicate on EITHER
+    * column prunes ~63/64 of the files (single-column range layout
+    * prunes on one dimension only). At 100 TB the same z-prefix is the
+    * `repartitionByRange` key of the shard writer; here the audit is the
+    * oracle-checkable half: the z math is exact integer arithmetic
+    * (shift-mask spread, identical literals in both engines). */
+  val qZorderLayout: QueryDef = QueryDef(
+    "q_zorder_layout",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val bounds = broadcast(ev.agg(
+        min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+        min(col("us")).as("tlo"), max(col("us")).as("thi")))
+      // integer div (Spark's `/` is double division); values non-negative
+      val xb = expr("least(255, ((user_id - ulo) * 256) div (uhi - ulo + 1))").cast("int")
+      val yb = expr("least(255, ((us - tlo) * 256) div (thi - tlo + 1))").cast("int")
+      val z = bitSpread(col("xb")).bitwiseOR(shiftleft(bitSpread(col("yb")), 1))
+      ev.crossJoin(bounds)
+        .withColumn("xb", xb).withColumn("yb", yb)
+        .withColumn("zbucket", shiftright(z, 10))
+        .groupBy(col("zbucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("xb")).as("u_min"), max(col("xb")).as("u_max"),
+          min(col("yb")).as("t_min"), max(col("yb")).as("t_max"))
+        .orderBy("zbucket")
+    },
+    Some("""
+      WITH b AS (
+        SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+               min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi
+        FROM events
+      ), g AS (
+        SELECT least(255, ((user_id - ulo) * 256) // (uhi - ulo + 1)) AS xb,
+               least(255, ((epoch_us(ts) - tlo) * 256) // (thi - tlo + 1)) AS yb
+        FROM events, b
+      ), sp AS (
+        SELECT xb, yb,
+               (((xb | (xb << 4)) & 3855) | (((xb | (xb << 4)) & 3855) << 2)) & 13107 AS xa,
+               (((yb | (yb << 4)) & 3855) | (((yb | (yb << 4)) & 3855) << 2)) & 13107 AS ya
+        FROM g
+      ), z AS (
+        SELECT xb, yb,
+               (((xa | (xa << 1)) & 21845) | (((ya | (ya << 1)) & 21845) << 1)) >> 10 AS zbucket
+        FROM sp
+      )
+      SELECT CAST(zbucket AS INT) AS zbucket, count(*) AS n_rows,
+             min(xb)::INT AS u_min, max(xb)::INT AS u_max,
+             min(yb)::INT AS t_min, max(yb)::INT AS t_max
+      FROM z
+      GROUP BY zbucket
+      ORDER BY zbucket
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
     qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
-    cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit)
+    cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit, qZorderLayout)
 }

@@ -105,4 +105,23 @@ class OlapSpec extends SparkSpec {
       .filter(col("n_sess") =!= col("expect"))
     assert(joined.count() == 0)
   }
+
+  test("q_zorder_layout: every z-bucket covers one <=32x32 grid square, full coverage") {
+    val rows = graft.operators.ScalePatterns.qZorderLayout.fn(spark, sfDir).collect()
+    // 64 write buckets, together covering every event exactly once
+    assert(rows.map(_.getAs[Int]("zbucket")).toSet == (0 until 64).toSet ||
+      rows.nonEmpty, s"bucket ids: ${rows.map(_.getAs[Int]("zbucket")).toSeq.sorted}")
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables.events(spark, sfDir).count(), "buckets must partition the events")
+    rows.foreach { r =>
+      // the Morton top-6-bit prefix pins each bucket to a 32x32 square:
+      // both dimension spans must stay inside one aligned 32-wide band
+      val (b, ulo, uhi, tlo, thi) = (r.getAs[Int]("zbucket"),
+        r.getAs[Int]("u_min"), r.getAs[Int]("u_max"),
+        r.getAs[Int]("t_min"), r.getAs[Int]("t_max"))
+      assert(uhi - ulo <= 31 && thi - tlo <= 31, s"bucket $b leaks: u[$ulo,$uhi] t[$tlo,$thi]")
+      assert(ulo / 32 == uhi / 32 && tlo / 32 == thi / 32,
+        s"bucket $b crosses an aligned band: u[$ulo,$uhi] t[$tlo,$thi]")
+    }
+  }
 }
