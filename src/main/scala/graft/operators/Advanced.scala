@@ -33,8 +33,14 @@ object Advanced {
           col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          // exact DECIMAL accumulation (2 dp source values), ONE double
+          // conversion at the end: the grand-total double sum crossed a
+          // 2 dp rounding boundary at sf1 group sizes (6M rows) — the
+          // q_market_share exact-decimal treatment, applied here
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_price"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -44,8 +50,8 @@ object Advanced {
       SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
              coalesce(l_linestatus, 'ALL') AS linestatus,
              count(*) AS n_rows,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price
+             round(CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE), 2) AS sum_price
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY returnflag, linestatus
