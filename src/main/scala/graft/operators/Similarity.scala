@@ -287,11 +287,36 @@ object Similarity {
       .withColumn("pn", row_number().over(popW))
       .filter(col("pn") <= popCap)
       .drop("pn")
-    val bigPairs = buckets.as("x")
+    // SQ8 SHORTLIST before the float confirm (the lshTopK recipe, applied
+    // here after the sf10 bench showed the confirm joining 256-byte float
+    // embeddings per candidate side — a candidate-sized multi-GB shuffle):
+    // candidates stay id-only through the collision join, score with the
+    // 64-byte int8 dot (±0.003 of cosine), keep 16 per label via
+    // dense_rank (duplicate lane collisions share a rank, so the raw
+    // stream needs no up-front dedup shuffle; WindowGroupLimit prunes
+    // map-side), and only the ≤16 survivors/label touch float vectors.
+    // Output risk is an int8 rank inversion between true rank 3 and
+    // approx rank 16 — needs two pairs within ~0.006 cosine of each
+    // other across a 13-rank gap; the over-cap leg's declared contract
+    // (top-3 of LSH candidates) already absorbs this class, and the
+    // oracle-gated scales (labels ≤ cap) never take this leg.
+    val q8big = big.select(col("vec_id"),
+      graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
+    val approxW = Window.partitionBy(col("label"))
+      .orderBy(col("adot").desc, col("id1"), col("id2"))
+    val shortPairs = buckets.as("x")
       .join(buckets.as("y"), Seq("label", "t", "bucket"))
       .select(col("label"), col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
       .filter(col("id1") < col("id2"))
+      .join(q8big.select(col("vec_id").as("id1"), col("q8").as("q1")), "id1")
+      .join(q8big.select(col("vec_id").as("id2"), col("q8").as("q2")), "id2")
+      .select(col("label"), col("id1"), col("id2"),
+        graft.plans.VectorExpressions.int8Dot(col("q1"), col("q2")).as("adot"))
+      .withColumn("arn", dense_rank().over(approxW))
+      .filter(col("arn") <= 16)
       .dropDuplicates("label", "id1", "id2")
+      .select(col("label"), col("id1"), col("id2"))
+    val bigPairs = shortPairs
       .join(big.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1")), "id1")
       .join(big.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2")), "id2")
       .withColumn("cos", cosPre(col("v1"), col("v2"), col("n1"), col("n2")))
