@@ -973,15 +973,7 @@ object TextAnalysis {
         val (bl, br) = (best._1, best._2)
         val prev = vocab
         vocab = vocab.map { case (syms, f) =>
-          val arr = syms.toArray
-          val out = scala.collection.mutable.ListBuffer.empty[String]
-          var i = 0
-          while (i < arr.length) {
-            if (i < arr.length - 1 && arr(i) == bl && arr(i + 1) == br) {
-              out += (bl + br); i += 2
-            } else { out += arr(i); i += 1 }
-          }
-          (out.toList, f)
+          (bpeMergeOnce(syms.toArray, bl, br).toList, f)
         }.localCheckpoint()
         prev.unpersist()
       }
@@ -992,10 +984,75 @@ object TextAnalysis {
     //      independent local implementation and asserts identity
   )
 
+  /** The greedy left-to-right non-overlapping single-merge rewrite both
+    * the trainer and the encoder share — one (left, right) pair folded
+    * into a symbol array. */
+  private[graft] def bpeMergeOnce(syms: Array[String], bl: String, br: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == bl && syms(i + 1) == br) {
+        out += (bl + br); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** BPE ENCODE — the apply half of the tokenizer pair ([[textBpeTrain]]
+    * is the train half): every document is segmented with the LEARNED
+    * merge table by replaying the merges in rank order through the same
+    * greedy left-to-right kernel the trainer used (so corpus-wide token
+    * counts equal the trainer's own final vocabulary arithmetic — the
+    * property the spec asserts against the independent local BPE). The
+    * merge table is deterministic, so it recomputes identically here and
+    * rides into the encode map as a broadcast constant (12 rows; a real
+    * deployment reads the persisted table — the ann_index pattern).
+    * Report per language: chars in, tokens out, and the compression in
+    * per-mille — the number a tokenizer-budget planner consumes. ONE
+    * narrow typed map over the corpus after the vocabulary-sized
+    * training jobs. Rows-only (iterative; no SQL oracle). */
+  val textBpeApply: QueryDef = QueryDef(
+    "text_bpe_apply",
+    (s, d) => {
+      import s.implicits._
+      val merges: Seq[(String, String)] = textBpeTrain.fn(s, d).collect()
+        .sortBy(_.getAs[Int]("merge_rank"))
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      val mergesB = s.sparkContext.broadcast(merges)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (_, lang, text) =>
+          var nChars = 0L
+          var nToks = 0L
+          text.split(" ", -1).foreach { w =>
+            if (w.nonEmpty) {
+              var syms = w.map(_.toString).toArray
+              mergesB.value.foreach { case (bl, br) =>
+                syms = bpeMergeOnce(syms, bl, br)
+              }
+              nChars += w.length
+              nToks += syms.length
+            }
+          }
+          (lang, nChars, nToks)
+        }
+        .toDF("lang", "n_chars", "n_toks")
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("n_chars")).as("chars_in"),
+          sum(col("n_toks")).as("tokens_out"),
+          expr("(1000 * sum(n_toks)) div sum(n_chars)").as("compression_pm"))
+        .orderBy("lang")
+    },
+    None // iterative encode: rows-only; spec ties totals to the
+    //      independent local BPE's final vocabulary arithmetic
+  )
+
   val all: Seq[QueryDef] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, textRollingHash,
     textBigramFreq, textBigramLm, textLmScore, textVocab, textTfidf,
     textRepetition, qZipfSlope, textLangidEval, textNgramNovelty, textEntropy,
-    textBpePairs, textBm25, textBpeTrain
+    textBpePairs, textBm25, textBpeTrain, textBpeApply
   )
 }

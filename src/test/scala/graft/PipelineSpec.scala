@@ -1068,6 +1068,39 @@ class PipelineSpec extends SparkSpec {
       "classifier retrain is not deterministic")
   }
 
+  test("text_bpe_apply: distributed encode totals match a local replay; compression is real") {
+    val merges = TextAnalysis.textBpeTrain.fn(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("merge_rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val docs = Tables.documents(spark, sfDir).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // driver-local replay of the same learned merges over the same corpus
+    // (the independent-ALGORITHM check lives in the train spec; this one
+    // proves the distributed encode map distributes the replay exactly)
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      var ch = 0L; var tk = 0L
+      ds.foreach { case (_, text) =>
+        text.split(" ", -1).foreach { w =>
+          if (w.nonEmpty) {
+            var syms = w.map(_.toString).toArray
+            merges.foreach { case (l, r) => syms = TextAnalysis.bpeMergeOnce(syms, l, r) }
+            ch += w.length; tk += syms.length
+          }
+        }
+      }
+      lang -> ((ch, tk, 1000L * tk / ch))
+    }
+    val got = TextAnalysis.textBpeApply.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("chars_in"), r.getAs[Long]("tokens_out"),
+          r.getAs[Long]("compression_pm")))).toMap
+    assert(got == expect, s"encode totals diverge: $got vs $expect")
+    // the learned merges must actually compress every language's stream
+    got.foreach { case (lang, (_, _, pm)) =>
+      assert(pm < 1000, s"$lang: no compression ($pm pm)")
+    }
+  }
+
   test("text_bpe_train: distributed merge table equals an independent local BPE") {
     // Replays the textbook single-node algorithm (Sennrich et al. 2016)
     // over the same corpus — word-freq table, weighted adjacent-pair
