@@ -949,9 +949,19 @@ object TextAnalysis {
     * Rows-only by design (SQL cannot express the iteration); the spec
     * replays an INDEPENDENT single-node scala implementation of the
     * textbook algorithm and asserts the merge tables identical. */
-  val textBpeTrain: QueryDef = QueryDef(
-    "text_bpe_train",
-    (s, d) => {
+  /** Session-scoped memo of the learned merge table per (session, corpus)
+    * — the shared-LSH-memo precedent (Dedup.scala): training is
+    * deterministic, so the first caller (train or apply) pays the 12
+    * rounds and later callers read 12 cached rows. A real deployment
+    * persists the table instead (the ann_index pattern). */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
+      Seq[(Int, String, String, Long)]]()
+
+  private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    bpeMemo.computeIfAbsent((s, d), _ => trainBpe(s, d))
+
+  private def trainBpe(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
       import s.implicits._
       val words = docs(s, d).select(col("text")).as[String]
         .flatMap(_.split(" ", -1).iterator.filter(_.nonEmpty))
@@ -977,7 +987,15 @@ object TextAnalysis {
         }.localCheckpoint()
         prev.unpersist()
       }
-      merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+      vocab.unpersist()
+      merges.toSeq
+  }
+
+  val textBpeTrain: QueryDef = QueryDef(
+    "text_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      bpeMerges(s, d).toDF("merge_rank", "left", "right", "pair_count")
         .orderBy("merge_rank")
     },
     None // iterative training loop: rows-only; spec replays an
@@ -1015,9 +1033,8 @@ object TextAnalysis {
     "text_bpe_apply",
     (s, d) => {
       import s.implicits._
-      val merges: Seq[(String, String)] = textBpeTrain.fn(s, d).collect()
-        .sortBy(_.getAs[Int]("merge_rank"))
-        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      val merges: Seq[(String, String)] =
+        bpeMerges(s, d).sortBy(_._1).map(t => (t._2, t._3))
       val mergesB = s.sparkContext.broadcast(merges)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"))

@@ -283,7 +283,9 @@ class PlanAuditSpec extends SparkSpec {
       // sketch_overlap_users: the two 1-row KMV states meet in the fold
       // ann_range_search: the 8-query broadcast × corpus scan
       // (the ann_bruteforce pattern with a τ-filter instead of top-k)
-      "q_key_skew_report", "sketch_overlap_users", "ann_range_search")
+      // q_zorder_layout: the 1-row grid-bounds frame broadcast over events
+      "q_key_skew_report", "sketch_overlap_users", "ann_range_search",
+      "q_zorder_layout")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
