@@ -1404,6 +1404,117 @@ object Similarity {
     """.stripMargin.trim)
   )
 
+  /** MATRYOSHKA-style DIMENSION-TRUNCATION evaluation (Kusupati et al.
+    * 2022) — the embedding-compression decision table: serve vectors
+    * truncated to a dim prefix (16 / 32 / full 64), measure top-3 recall
+    * against full-dimension truth plus the exact mean cosine shift over
+    * the truth pairs — the numbers that decide whether an index can run
+    * at 4× less memory/bandwidth. Same broadcast-query/one-corpus-scan
+    * shape as [[annBruteforce]] per dim (3 narrow passes; `slice` keeps
+    * codegen); shift arithmetic is integer micro-cosine (sum of |Δ| over
+    * 6-dp-rounded cosines, integer div), so the whole report is
+    * hash-exact cross-engine. The dim=64 row is the built-in sanity
+    * anchor (recall 1000, shift 0). */
+  val embDimTruncEval: QueryDef = QueryDef(
+    "emb_dim_trunc_eval",
+    (s, d) => {
+      val dims = Seq(16, 32, 64)
+      def scored(k: Int): DataFrame = {
+        val base = emb(s, d).select(col("vec_id"),
+          slice(col("embedding"), 1, k).as("v"))
+        val q = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            sqrt(dot(col("v"), col("v"))).as("qn"))
+        val c = base.filter(col("vec_id") >= 8)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+            sqrt(dot(col("v"), col("v"))).as("cn"))
+        c.crossJoin(broadcast(q))
+          .select(lit(k).as("dim"), col("query_id"), col("neighbor_id"),
+            round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos"))
+      }
+      val all = dims.map(scored).reduce(_ unionByName _)
+        .withColumn("cos_ppm", round(col("cos") * 1000000).cast("long"))
+      val w = Window.partitionBy(col("dim"), col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val top3 = all
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("dim"), col("query_id"), col("neighbor_id"))
+      val truth = top3.filter(col("dim") === 64)
+        .select(col("query_id"), col("neighbor_id"))
+      // truth pairs rescored under each dim → exact integer shift
+      val fullCos = all.filter(col("dim") === 64)
+        .select(col("query_id"), col("neighbor_id"), col("cos_ppm").as("full_ppm"))
+      val shifts = all
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .join(fullCos, Seq("query_id", "neighbor_id"))
+        .groupBy(col("dim"))
+        .agg(expr("sum(abs(cos_ppm - full_ppm)) div count(1)").as("mean_shift_ppm"))
+      val hits = top3
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n_hits"))
+      // anchor on shifts (always one row per dim) — a dim with ZERO
+      // recall must still report, not vanish from the table
+      shifts.join(hits, Seq("dim"), "left")
+        .select(col("dim"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(1000 * coalesce(n_hits, 0)) div 24").as("recall_pm"),
+          col("mean_shift_ppm"))
+        .orderBy("dim")
+    },
+    Some(s"""
+      WITH dims AS (SELECT unnest([16, 32, 64]) AS dim),
+      n AS (
+        SELECT d.dim, e.vec_id, e.embedding,
+               sqrt(list_sum(list_transform(generate_series(1, d.dim),
+                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings e, dims d
+      ),
+      scored AS (
+        SELECT a.dim, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(
+                 list_sum(list_transform(generate_series(1, a.dim),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                 / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.dim = b.dim AND a.vec_id < 8 AND b.vec_id >= 8
+      ),
+      ppm AS (
+        SELECT dim, query_id, neighbor_id, cos,
+               CAST(round(cos * 1000000) AS BIGINT) AS cos_ppm
+        FROM scored
+      ),
+      top3 AS (
+        SELECT dim, query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM ppm)
+        WHERE rn <= 3
+      ),
+      truth AS (SELECT query_id, neighbor_id FROM top3 WHERE dim = 64),
+      full_cos AS (
+        SELECT query_id, neighbor_id, cos_ppm AS full_ppm FROM ppm WHERE dim = 64
+      ),
+      shifts AS (
+        SELECT p.dim, sum(abs(p.cos_ppm - f.full_ppm)) // count(*) AS mean_shift_ppm
+        FROM ppm p
+        JOIN truth t ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        JOIN full_cos f ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+        GROUP BY p.dim
+      ),
+      hits AS (
+        SELECT g.dim, count(*) AS n_hits
+        FROM top3 g JOIN truth t
+          ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+        GROUP BY g.dim
+      )
+      SELECT s.dim, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+             ((1000 * coalesce(h.n_hits, 0)) // 24)::BIGINT AS recall_pm,
+             s.mean_shift_ppm::BIGINT AS mean_shift_ppm
+      FROM shifts s LEFT JOIN hits h ON s.dim = h.dim
+      ORDER BY s.dim
+    """.stripMargin.trim)
+  )
+
   // ------------------------------------------- persisted index artifacts ----
 
   /** Root for saved ANN index artifacts: one subdirectory per corpus
@@ -1654,5 +1765,6 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(annBruteforce, annRangeSearch, dedupEmbedding,
     dedupSemantic, annLsh, annIvf, annIvfK, embOutliers, embCosineHist,
     embPqCodes, annPq, annIvfPq, embRecallReport, embClusterQuality,
-    annIndexBuild, annIndexSearch, annIndexUpsert, annIndexCompact, embKnnGraph)
+    annIndexBuild, annIndexSearch, annIndexUpsert, annIndexCompact, embKnnGraph,
+    embDimTruncEval)
 }

@@ -284,8 +284,9 @@ class PlanAuditSpec extends SparkSpec {
       // ann_range_search: the 8-query broadcast × corpus scan
       // (the ann_bruteforce pattern with a τ-filter instead of top-k)
       // q_zorder_layout: the 1-row grid-bounds frame broadcast over events
+      // emb_dim_trunc_eval: the 8-query broadcast × corpus scan, per dim
       "q_key_skew_report", "sketch_overlap_users", "ann_range_search",
-      "q_zorder_layout")
+      "q_zorder_layout", "emb_dim_trunc_eval")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
