@@ -1075,8 +1075,84 @@ object Dedup {
     """.stripMargin.trim)
   )
 
+  /** THRESHOLD OPERATING CURVE — the tuning table read before choosing a
+    * dedup τ: exact near-dup pair and affected-doc counts at every
+    * candidate threshold (50–90 % shingle Jaccard) over the ≤cap-block
+    * exact universe (the [[dedupNgramJaccard]] small-leg population — at
+    * 100 TB each τ row of the curve would come from an LSH pass banded
+    * for that τ; the exact sweep is the calibration the bands are tuned
+    * against). One pairwise pass computes each pair's Jaccard ONCE; the
+    * 5-row τ table broadcasts over it (range join), and both aggregates
+    * read the cached hit frame. Thresholds at k/100 with int/int-ratio
+    * scores compare bit-identically across engines. */
+  val dedupThresholdSweep: QueryDef = QueryDef(
+    "dedup_threshold_sweep",
+    (s, d) => {
+      import s.implicits._
+      val taus = Seq(50, 60, 70, 80, 90)
+      val sizes = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("block_n"))
+      val docs = docHashedShingles(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("hsh"))
+        .join(sizes, Seq("lang", "source"))
+        .filter(col("block_n") <= blockCap)
+      val a = docs.select(col("lang"), col("source"), col("doc_id").as("id1"), col("hsh").as("h1"))
+      val b = docs.select(col("lang"), col("source"), col("doc_id").as("id2"), col("hsh").as("h2"))
+      val pairs = a.join(b, Seq("lang", "source"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), jaccard(col("h1"), col("h2")).as("jac"))
+      val tf = taus.toDF("tau_pct")
+      val hits = pairs
+        .join(broadcast(tf), col("jac") >= col("tau_pct") / lit(100.0))
+        .cache() // consumed by both aggregates; the pair leg holds
+      //           typed-flatMap subtrees that never canonicalize equal
+      val pAgg = hits.groupBy(col("tau_pct")).agg(count(lit(1)).as("n_pairs"))
+      val dAgg = hits
+        .select(col("tau_pct"), explode(array(col("id1"), col("id2"))).as("id"))
+        .groupBy(col("tau_pct")).agg(countDistinct(col("id")).as("n_docs"))
+      tf.join(pAgg, Seq("tau_pct"), "left").join(dAgg, Seq("tau_pct"), "left")
+        .select(col("tau_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("tau_pct")
+    },
+    Some(s"""
+      WITH sizes AS (
+        SELECT lang, source, count(*) AS block_n FROM documents GROUP BY 1, 2
+      ), small AS (
+        SELECT d.doc_id, d.lang, d.source, d.text
+        FROM documents d JOIN sizes USING (lang, source)
+        WHERE block_n <= $blockCap
+      ), sh AS (
+        SELECT doc_id, lang, source, $duckShingleHashes AS s
+        FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM small)
+      ), pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jac
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      ), taus AS (SELECT unnest([50, 60, 70, 80, 90]) AS tau_pct),
+      hits AS (
+        SELECT t.tau_pct, p.id1, p.id2
+        FROM pairs p JOIN taus t ON p.jac >= t.tau_pct / 100.0
+      ), p_agg AS (
+        SELECT tau_pct, count(*) AS n_pairs FROM hits GROUP BY tau_pct
+      ), d_agg AS (
+        SELECT tau_pct, count(DISTINCT id) AS n_docs
+        FROM (SELECT tau_pct, unnest([id1, id2]) AS id FROM hits)
+        GROUP BY tau_pct
+      )
+      SELECT t.tau_pct::INT AS tau_pct,
+             coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+             coalesce(d.n_docs, 0)::BIGINT AS n_docs
+      FROM taus t
+      LEFT JOIN p_agg p ON t.tau_pct = p.tau_pct
+      LEFT JOIN d_agg d ON t.tau_pct = d.tau_pct
+      ORDER BY t.tau_pct
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupClusters,
     dedupLines, dedupIncremental, dedupContainment, dedupSubstring, dedupKeepBest,
-    dedupPrefix, dedupReorder)
+    dedupPrefix, dedupReorder, dedupThresholdSweep)
 }

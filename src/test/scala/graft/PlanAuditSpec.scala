@@ -285,8 +285,9 @@ class PlanAuditSpec extends SparkSpec {
       // (the ann_bruteforce pattern with a τ-filter instead of top-k)
       // q_zorder_layout: the 1-row grid-bounds frame broadcast over events
       // emb_dim_trunc_eval: the 8-query broadcast × corpus scan, per dim
+      // dedup_threshold_sweep: the 5-row τ table broadcast (range join)
       "q_key_skew_report", "sketch_overlap_users", "ann_range_search",
-      "q_zorder_layout", "emb_dim_trunc_eval")
+      "q_zorder_layout", "emb_dim_trunc_eval", "dedup_threshold_sweep")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
