@@ -567,10 +567,30 @@ object ScalePatterns {
     * [0, 256) — the branch-free shift-mask cascade (three rounds), pure
     * integer arithmetic that stays in codegen on the Spark side and is
     * written as the SAME literal arithmetic in the oracle SQL. */
-  private def bitSpread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def bitSpread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val a = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F))
     val b = (a.bitwiseOR(shiftleft(a, 2))).bitwiseAND(lit(0x3333))
     (b.bitwiseOR(shiftleft(b, 1))).bitwiseAND(lit(0x5555))
+  }
+
+  /** Grid cell + Morton bucket columns for a FROZEN (user, time) grid:
+    * the same [[bitSpread]] interleave as [[qZorderLayout]], with the
+    * bounds as plan literals (the streaming sink's shape — the audit op
+    * derives its bounds from the data instead). Out-of-range values
+    * clamp to the edge cells (a frozen grid meeting new extremes — the
+    * production rule). Expects `user_id` and `us` columns; appends
+    * (xb, yb, zbucket). */
+  private[graft] def withZBucket(df: org.apache.spark.sql.DataFrame,
+      ulo: Long, uhi: Long, tlo: Long, thi: Long): org.apache.spark.sql.DataFrame = {
+    val xb = greatest(lit(0), least(lit(255),
+      ((col("user_id") - lit(ulo)) * 256L).cast("long")
+        .divide(lit(uhi - ulo + 1L)).cast("long"))).cast("int")
+    val yb = greatest(lit(0), least(lit(255),
+      ((col("us") - lit(tlo)) * 256L).cast("long")
+        .divide(lit(thi - tlo + 1L)).cast("long"))).cast("int")
+    df.withColumn("xb", xb).withColumn("yb", yb)
+      .withColumn("zbucket",
+        shiftright(bitSpread(col("xb")).bitwiseOR(shiftleft(bitSpread(col("yb")), 1)), 10))
   }
 
   /** Z-ORDER (Morton) layout audit — the lakehouse multi-column

@@ -2276,4 +2276,57 @@ class StreamingSpec extends SparkSpec {
       assert(rs.map(_._4) == Set(1, 2, 3) || rs.size < 3, s"$lang missing a tier")
     }
   }
+
+  test("StreamZorderSink: streamed segments land z-clustered — disjoint file ranges, aligned squares") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b = graft.streaming.StreamZorderSink.trainBounds(spark, sfDir)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val out = java.nio.file.Files.createTempDirectory("graft-zsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-zsink-ckpt").toString
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamZorderSink.sink(
+      mem.toDF().toDF("event_id", "user_id", "us"), b, out, ckpt, parts = 4)
+    try {
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val segs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-"))
+    assert(segs.length == 2, s"one segment per micro-batch expected: ${segs.toSeq}")
+    val written = spark.read.parquet(s"$out/batch-*.parquet")
+      .select(input_file_name().as("f"), col("event_id"), col("xb"), col("yb"), col("zbucket"))
+      .collect()
+    // complete and exactly-once across segments
+    assert(written.length == rows.length, "segments must cover every event exactly once")
+    // every row's bucket is the aligned 32x32 square its cells imply
+    written.foreach { r =>
+      val (xb, yb, zb) = (r.getAs[Int]("xb"), r.getAs[Int]("yb"), r.getAs[Int]("zbucket"))
+      // independent recompute: zbucket = the top-3 bits of each 8-bit
+      // cell, interleaved (x in even positions, y in odd)
+      def spread3(v: Int) = {
+        val t = v / 32
+        (t & 1) | ((t & 2) << 1) | ((t & 4) << 2)
+      }
+      val expect = spread3(xb) | (spread3(yb) << 1)
+      assert(zb == expect, s"zbucket $zb != derived $expect for cells ($xb, $yb)")
+    }
+    // within each micro-batch segment, file z-ranges are DISJOINT —
+    // the clustering property a reader's min/max pruning relies on
+    written.groupBy(_.getAs[String]("f")).toSeq
+      .map { case (f, rs) =>
+        (f, rs.map(_.getAs[Int]("zbucket")).min, rs.map(_.getAs[Int]("zbucket")).max)
+      }
+      .groupBy { case (f, _, _) => f.split("/").dropRight(1).last } // segment dir
+      .foreach { case (_, files) =>
+        files.sortBy(_._2).sliding(2).foreach {
+          case Seq((f1, _, hi), (f2, lo, _)) =>
+            assert(hi <= lo, s"overlapping z-ranges: $f1 [..,$hi] vs $f2 [$lo,..]")
+          case _ =>
+        }
+      }
+  }
 }
