@@ -1404,6 +1404,59 @@ object Similarity {
     """.stripMargin.trim)
   )
 
+  /** Per-cell drift table for any (cell, embedding)-assignable frame
+    * against a saved centroid matrix — factored so the spec can drive a
+    * deliberately shifted corpus through the same arithmetic. */
+  private[graft] def centroidDriftFor(s: SparkSession, vecs: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val rows = vecs.select(cellOf(cents).as("cell"), col("embedding"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        array((1 to Dim).map(i => avg(element_at(col("embedding"), i))): _*).as("mean"))
+      .collect()
+      .map { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1)
+        val m = r.getSeq[Double](2).toArray
+        val nm = math.sqrt(m.foldLeft(0.0)((a, x) => a + x * x))
+        val c = cents(cell)
+        val cos = if (nm == 0.0) 0.0
+          else m.zip(c).map { case (a, b) => a * b }.sum / nm // c is unit-norm
+        (cell, n, math.round((1.0 - cos) * 1e6))
+      }
+      .sortBy(_._1).toSeq
+    rows.toDF("cell", "n_members", "drift_ppm")
+  }
+
+  /** INDEX-STALENESS MONITOR — the fifth leg of the index lifecycle
+    * (build / serve / add / compact / MONITOR), answering "is it time to
+    * retrain": per cell, the cosine drift (in ppm) between the SAVED
+    * coarse centroid and the normalized mean of the vectors that
+    * centroid currently attracts, plus the live member count. On the
+    * training corpus drift is tiny (the saved model is one Lloyd round
+    * from its own means — spec-bounded); after a distribution shift the
+    * drifted cells light up and their recall decays exactly as
+    * [[embClusterQuality]] predicts — this table is the trigger a
+    * retraining scheduler reads. ONE narrow assignment pass (centroids
+    * as plan constants) + a K-row aggregate/collect — O(corpus) scan,
+    * O(K) state, same cost envelope as serving. Rows-only (reads the
+    * engine-specific trained artifact); spec bounds training-corpus
+    * drift, asserts coverage, and proves a deliberately scrambled
+    * corpus sends median drift up by orders of magnitude. */
+  val embCentroidDrift: QueryDef = QueryDef(
+    "emb_centroid_drift",
+    (s, d) => {
+      val dir = annIndexDir(d)
+      if (!new java.io.File(s"$dir/corpus_codes.parquet").exists())
+        writeAnnIndex(s, d, dir)
+      val (cents, _) = loadAnnModel(s, dir)
+      centroidDriftFor(s, withNorm(s, d), cents).orderBy("cell")
+    },
+    None // engine-specific trained model: rows-only; drift-bound +
+    //      shifted-corpus specs carry the correctness claim
+  )
+
   /** MATRYOSHKA-style DIMENSION-TRUNCATION evaluation (Kusupati et al.
     * 2022) — the embedding-compression decision table: serve vectors
     * truncated to a dim prefix (16 / 32 / full 64), measure top-3 recall
@@ -1766,5 +1819,5 @@ object Similarity {
     dedupSemantic, annLsh, annIvf, annIvfK, embOutliers, embCosineHist,
     embPqCodes, annPq, annIvfPq, embRecallReport, embClusterQuality,
     annIndexBuild, annIndexSearch, annIndexUpsert, annIndexCompact, embKnnGraph,
-    embDimTruncEval)
+    embDimTruncEval, embCentroidDrift)
 }

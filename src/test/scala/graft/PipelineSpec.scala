@@ -344,6 +344,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("emb_centroid_drift: tiny on the training corpus, loud on a shifted one, full coverage") {
+    import spark.implicits._
+    val rows = Similarity.embCentroidDrift.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_members"), r.getAs[Long]("drift_ppm")))
+    // every vector attributed to exactly one cell
+    assert(rows.map(_._2).sum == Tables.embeddings(spark, sfDir).count(),
+      "drift table must cover the corpus")
+    // the saved model is one Lloyd round from its own means: drift stays
+    // small (measured 13k-55k ppm ⇒ cosine >= 0.945) on the training corpus
+    val maxTrain = rows.map(_._3).max
+    assert(maxTrain <= 100000, s"training-corpus drift too high: $rows")
+    // a deliberately shifted corpus (GenScale's orthogonal scramble) must
+    // light the monitor up — the retrain trigger this table exists for
+    val (cents, _) = Similarity.loadAnnModel(spark, Similarity.annIndexDir(sfDir))
+    val shifted = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, GenScale.scramble(v.toArray, 3).toSeq) }
+      .toDF("vec_id", "embedding")
+    val drifted = Similarity.centroidDriftFor(spark, shifted, cents).collect()
+      .map(_.getAs[Long]("drift_ppm")).sorted
+    val medianShift = drifted(drifted.length / 2)
+    val trainSorted = rows.map(_._3).sorted
+    val medianTrain = trainSorted(trainSorted.length / 2)
+    // nearest-cell assignment re-adapts, so even a fully scrambled corpus
+    // caps the gap — but the median still jumps >3x (measured 5.2x)
+    assert(medianShift > 3 * medianTrain,
+      s"shifted corpus median drift $medianShift not >> training median $medianTrain")
+  }
+
   test("emb_pq_codes: valid geometry, bounded distortion, deterministic training") {
     val codes = Similarity.embPqCodes.fn(spark, sfDir).collect()
     assert(codes.length == 500)
