@@ -330,4 +330,41 @@ class PropertySpec extends SparkSpec {
       } && whole(0) == vecs.length.toDouble
     })
   }
+
+  test("bpeMergeOnce: no pair left behind, content preserved, no-op without the pair") {
+    import graft.operators.TextAnalysis.bpeMergeOnce
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val word = Gen.listOf(sym).map(_.toArray)
+    val pair = for { l <- sym; r <- sym } yield (l, r)
+    assertProp(Prop.forAll(word, pair) { case (syms, (l, r)) =>
+      val out = bpeMergeOnce(syms, l, r)
+      // concatenated content is invariant under any merge
+      val contentKept = out.mkString == syms.mkString
+      // greedy left-to-right non-overlap: no adjacent (l, r) SURVIVES
+      // unless its left symbol was itself produced by this merge (the
+      // overlap case "l l r" → "l (lr)" keeps content but eats the pair)
+      val noPairLeft = !out.iterator.zip(out.iterator.drop(1))
+        .exists { case (x, y) => x == l && y == r && x != l + r && y != l + r }
+      // absent pair => identity
+      val hadPair = syms.iterator.zip(syms.iterator.drop(1)).exists { case (x, y) => x == l && y == r }
+      val noopOk = hadPair || (out.toSeq == syms.toSeq)
+      contentKept && noPairLeft && noopOk
+    })
+  }
+
+  test("Morton spread: zbucket is the interleaved top-3 bits for every grid cell") {
+    import spark.implicits._
+    val cells = Gen.choose(0, 255)
+    assertProp(Prop.forAll(cells, cells) { (xb, yb) =>
+      // drive the shared codegen arithmetic through a 1-row frame with a
+      // degenerate grid that maps user_id -> xb, us -> yb directly
+      val row = Seq((xb.toLong, yb.toLong)).toDF("user_id", "us")
+      val got = graft.operators.ScalePatterns
+        .withZBucket(row, 0L, 255L, 0L, 255L)
+        .select("xb", "yb", "zbucket").head
+      def spread3(v: Int) = { val t = v / 32; (t & 1) | ((t & 2) << 1) | ((t & 4) << 2) }
+      got.getInt(0) == xb && got.getInt(1) == yb &&
+        got.getInt(2) == (spread3(xb) | (spread3(yb) << 1))
+    }, n = 30)
+  }
 }
