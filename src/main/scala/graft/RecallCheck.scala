@@ -38,11 +38,18 @@ object RecallCheck {
       .withColumn("jac", size(array_intersect(col("h1"), col("h2"))).cast("double") /
         size(array_union(col("h1"), col("h2"))))
       .filter(col("jac") >= 0.8)
-      .select("id1", "id2")
+      .select("id1", "id2", "jac")
       .localCheckpoint(true)
     val lsh = operators.Dedup.dedupMinhashLsh.fn(spark, d).select("id1", "id2")
-    val missed = brute.exceptAll(lsh).count()
-    val extra = lsh.exceptAll(brute).count()
+    val missedRows = brute.join(lsh, Seq("id1", "id2"), "left_anti")
+      .orderBy("id1", "id2").limit(20).collect()
+    // a missed pair's exact jaccard tells whether it sits at the τ=0.8
+    // band-recall boundary (expected O(1) misses per ~25k boundary pairs:
+    // capture = 1-(1-j⁴)¹⁶ ≈ 0.9998 at j=0.8) or signals a real defect
+    missedRows.foreach(r => System.err.println(
+      s"[recall] MISSED pair (${r.getLong(0)}, ${r.getLong(1)}) jac=${r.getDouble(2)}"))
+    val missed = brute.select("id1", "id2").exceptAll(lsh).count()
+    val extra = lsh.exceptAll(brute.select("id1", "id2")).count()
     println(s"""{"metric":"recall_check","sf":"$d","true_pairs":${brute.count()},"missed":$missed,"extra":$extra}""")
     spark.stop()
   }
