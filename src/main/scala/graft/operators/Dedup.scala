@@ -382,22 +382,50 @@ object Dedup {
     * survive `spark.catalog.clearCache()`, which only drops SQL-cached
     * relations), later consumers pay one tiny scan. Both frames are
     * edges/labels-sized — orders of magnitude below the corpus — so
-    * pinning is safe at any SF. Keyed by (session, dir): a refreshed
-    * session or a different corpus recomputes. */
+    * pinning is safe at any SF.
+    *
+    * Lifetime contract: keyed by `appId@identity + dir` (a STRING — never
+    * the SparkSession object, which would pin a stopped session for the
+    * JVM lifetime), bounded at [[DedupMemoCap]] distinct (session, dir)
+    * pairs with clear-on-overflow (correctness never depends on a hit —
+    * a miss just recomputes), and the discovery job runs OUTSIDE any map
+    * lock so an unrelated key hashing to the same bin is never blocked
+    * behind a full LSH pass. Sized for the bench process (a handful of
+    * corpora per session); an embedded long-lived server cycling through
+    * many data dirs rolls over at the cap instead of accumulating pinned
+    * checkpoint blocks forever. */
+  /** Session-stable string key (applicationId + identity) — never the
+    * session OBJECT, so the memo can't pin a stopped session. */
+  private def sessionKey(s: SparkSession): String =
+    s.sparkContext.applicationId + "@" + Integer.toHexString(System.identityHashCode(s))
+
+  private val DedupMemoCap = 64
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val labelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Int)]()
+
+  private def memoGet[V <: AnyRef](memo: java.util.concurrent.ConcurrentHashMap[String, V],
+      key: String)(compute: => V): V = {
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      val v = compute // outside the map: no bin lock held across the job
+      if (memo.size >= DedupMemoCap) memo.clear()
+      val prev = memo.putIfAbsent(key, v)
+      if (prev != null) prev else v
+    }
+  }
 
   /** [[confirmedPairs]], computed once per (session, dir) and pinned. */
   private[graft] def confirmedPairsShared(s: SparkSession, d: String): DataFrame =
-    pairsMemo.computeIfAbsent((s, d), _ => confirmedPairs(s, d).localCheckpoint(true))
+    memoGet(pairsMemo, sessionKey(s) + "|" + d)(confirmedPairs(s, d).localCheckpoint(true))
 
   /** Star-contraction labels over the shared pair set, computed once per
     * (session, dir) and pinned; returns (labels, parts) where `parts` is
     * the edge-graph-sized partition count the contraction ran with. */
   private[graft] def clusterLabelsShared(s: SparkSession, d: String): (DataFrame, Int) =
-    labelsMemo.computeIfAbsent((s, d), { _ =>
+    memoGet(labelsMemo, sessionKey(s) + "|" + d) {
       val edges = confirmedPairsShared(s, d).select(col("id1"), col("id2"))
       // Size the contraction loop's parallelism to the DUP GRAPH, not the
       // corpus: the edge set is orders of magnitude smaller than its
@@ -409,7 +437,7 @@ object Dedup {
       val nEdges = edges.count()
       val parts = math.max(2L, math.min(3200L, nEdges / 25000L)).toInt
       (starComponents(s, edges, parts)._1.localCheckpoint(true), parts)
-    })
+    }
 
   private[graft] def confirmedPairs(s: SparkSession, d: String): DataFrame = {
       // ONE tokenize pass feeds everything: the hashed shingle sets (also
@@ -1104,8 +1132,13 @@ object Dedup {
       val tf = taus.toDF("tau_pct")
       val hits = pairs
         .join(broadcast(tf), col("jac") >= col("tau_pct") / lit(100.0))
-        .cache() // consumed by both aggregates; the pair leg holds
-      //           typed-flatMap subtrees that never canonicalize equal
+        // consumed by both aggregates (the pair leg holds typed-flatMap
+        // subtrees that never canonicalize equal). localCheckpoint, NOT
+        // .cache(): a cache with no unpersist leaks storage-memory
+        // partitions into the session for the rest of the run — the
+        // pipeline_ppl_buckets pattern; checkpoint blocks are dropped
+        // with the frame's lineage when the query's references go away.
+        .localCheckpoint(true)
       val pAgg = hits.groupBy(col("tau_pct")).agg(count(lit(1)).as("n_pairs"))
       val dAgg = hits
         .select(col("tau_pct"), explode(array(col("id1"), col("id2"))).as("id"))

@@ -582,12 +582,15 @@ object ScalePatterns {
     * (xb, yb, zbucket). */
   private[graft] def withZBucket(df: org.apache.spark.sql.DataFrame,
       ulo: Long, uhi: Long, tlo: Long, thi: Long): org.apache.spark.sql.DataFrame = {
+    // integer `div`, NOT Column.divide: Spark `/` is double division, and
+    // for grids whose (us - tlo) * 256 exceeds 2^53 (> ~13 months of epoch
+    // micros) the double product loses ulps and a streamed row could land
+    // in a different cell than the batch audit's exact arithmetic. This
+    // keeps the sink bit-identical to q_zorder_layout at any grid span.
     val xb = greatest(lit(0), least(lit(255),
-      ((col("user_id") - lit(ulo)) * 256L).cast("long")
-        .divide(lit(uhi - ulo + 1L)).cast("long"))).cast("int")
+      expr(s"((user_id - ${ulo}L) * 256) div ${uhi - ulo + 1L}L"))).cast("int")
     val yb = greatest(lit(0), least(lit(255),
-      ((col("us") - lit(tlo)) * 256L).cast("long")
-        .divide(lit(thi - tlo + 1L)).cast("long"))).cast("int")
+      expr(s"((us - ${tlo}L) * 256) div ${thi - tlo + 1L}L"))).cast("int")
     df.withColumn("xb", xb).withColumn("yb", yb)
       .withColumn("zbucket",
         shiftright(bitSpread(col("xb")).bitwiseOR(shiftleft(bitSpread(col("yb")), 1)), 10))

@@ -204,6 +204,50 @@ object Similarity {
     * which dropped EVERY pair touching a vector beyond the cap. Work per
     * over-cap label is O(n × lanes) band rows + bucket-collision confirms,
     * never O(n²). */
+  /** Bits per LSH lane for the biggest over-cap block — the annLsh
+    * round-2 rule: B = ⌈log₂(n/8)⌉ keeps ~8 vectors per bucket so
+    * candidate volume stays O(n × lanes) as blocks grow. */
+  private def lanePlanesFor(maxBig: Long): Int = math.max(8,
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (maxBig + 7) / 8 - 1)))
+
+  /** (label, vec_id, t, bucket) lane rows for the over-cap LSH legs: one
+    * codegen'd [[graft.plans.HyperplaneSig]] signature pass, then the
+    * nTables B-bit lanes unpacked from the packed sig words
+    * (straddle-safe: a lane crossing a 64-bit word boundary ORs the tail
+    * of word i with the head of word i+1). The lane array is pure bit
+    * arithmetic on a few longs — cheap enough for Generate's
+    * per-output-row re-evaluation (the explode pitfall is about
+    * re-running EXPENSIVE generators, e.g. tokenizers). Hyperplane
+    * weights are the deterministic [-0.5, 0.5) integer mix of lshTopK,
+    * stable across runs and executors. */
+  private def laneBuckets(big: DataFrame, nTables: Int, nPlanes: Int): DataFrame = {
+    def wgt(t: Int, p: Int, i: Int): Double =
+      ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
+        .toDouble / 1000003.0 - 0.5
+    val planes: Array[Array[Double]] =
+      (for { t <- 0 until nTables; p <- 0 until nPlanes } yield
+        Array.tabulate(Dim)(i => wgt(t, p, i))).toArray
+    val nWords = (nTables * nPlanes + 63) / 64
+    val sigWords = (0 until nWords).map(i => element_at(col("sig"), i + 1).as(s"w$i"))
+    val sig = big.select(col("label"), col("vec_id"),
+      graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"))
+      .select(col("label") +: col("vec_id") +: sigWords: _*)
+    val laneMask = (1L << nPlanes) - 1
+    val laneCols = (0 until nTables).map { t =>
+      val start = t * nPlanes
+      val i0 = start >>> 6
+      val sh = start & 63
+      val low = shiftrightunsigned(col(s"w$i0"), sh)
+      val bucket =
+        if (sh + nPlanes > 64 && i0 + 1 < nWords)
+          low.bitwiseOR(shiftleft(col(s"w${i0 + 1}"), 64 - sh)).bitwiseAND(lit(laneMask))
+        else low.bitwiseAND(lit(laneMask))
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }
+    sig.select(col("label"), col("vec_id"), explode(array(laneCols: _*)).as("lane"))
+      .select(col("label"), col("vec_id"), col("lane.t").as("t"), col("lane.bucket").as("bucket"))
+  }
+
   private[graft] def embeddingTop3(s: SparkSession, d: String, cap: Int): DataFrame = {
     val nTables = 16
 
@@ -224,16 +268,7 @@ object Similarity {
     // partition-sizing precedent).
     val maxBig: Long = sizes.filter(col("label_n") > cap)
       .agg(coalesce(max(col("label_n")), lit(0L))).head.getLong(0)
-    val nPlanes = math.max(8,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (maxBig + 7) / 8 - 1)))
-    // Deterministic hyperplane weights in [-0.5, 0.5) — same integer mix
-    // as lshTopK, so signatures are stable across runs and executors.
-    def wgt(t: Int, p: Int, i: Int): Double =
-      ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
-        .toDouble / 1000003.0 - 0.5
-    val planes: Array[Array[Double]] =
-      (for { t <- 0 until nTables; p <- 0 until nPlanes } yield
-        Array.tabulate(Dim)(i => wgt(t, p, i))).toArray
+    val nPlanes = lanePlanesFor(maxBig)
 
     val base = withNorm(s, d).join(sizes, Seq("label")).cache()
     val small = base.filter(col("label_n") <= cap)
@@ -246,32 +281,7 @@ object Similarity {
       .withColumn("cos", cosPre(col("v1"), col("v2"), col("n1"), col("n2")))
       .select(col("label"), col("id1"), col("id2"), col("cos"))
 
-    // (label, vec_id, t, bucket): one codegen'd signature pass, then the
-    // 16 B-bit lanes unpacked from the packed sig words (straddle-safe:
-    // a lane crossing a 64-bit word boundary ORs the tail of word i with
-    // the head of word i+1). The lane array is pure bit arithmetic on a
-    // few longs — cheap enough for Generate's per-output-row
-    // re-evaluation (the explode pitfall is about re-running EXPENSIVE
-    // generators, e.g. tokenizers).
-    val nWords = (nTables * nPlanes + 63) / 64
-    val sigWords = (0 until nWords).map(i => element_at(col("sig"), i + 1).as(s"w$i"))
-    val sig = big.select(col("label"), col("vec_id"),
-      graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"))
-      .select(col("label") +: col("vec_id") +: sigWords: _*)
-    val laneMask = (1L << nPlanes) - 1
-    val laneCols = (0 until nTables).map { t =>
-      val start = t * nPlanes
-      val i0 = start >>> 6
-      val sh = start & 63
-      val low = shiftrightunsigned(col(s"w$i0"), sh)
-      val bucket =
-        if (sh + nPlanes > 64 && i0 + 1 < nWords)
-          low.bitwiseOR(shiftleft(col(s"w${i0 + 1}"), 64 - sh)).bitwiseAND(lit(laneMask))
-        else low.bitwiseAND(lit(laneMask))
-      struct(lit(t).as("t"), bucket.as("bucket"))
-    }
-    val rawBuckets = sig.select(col("label"), col("vec_id"), explode(array(laneCols: _*)).as("lane"))
-      .select(col("label"), col("vec_id"), col("lane.t").as("t"), col("lane.bucket").as("bucket"))
+    val rawBuckets = laneBuckets(big, nTables, nPlanes)
     // POSTING TRUNCATION (the FAISS oversized-list rule): hyperplane cells
     // are skewed on correlated data — the sf10 census measured buckets of
     // 576 members and 2×10⁸ pre-dedup pairs from C(pop,2) blowup, which
@@ -1057,8 +1067,11 @@ object Similarity {
 
   /** ADC shortlist width before the exact rerank — 128 candidates of the
     * corpus per query (FAISS's IVFPQ re-rank pattern: codes pick the
-    * shortlist, original vectors rank the final k). */
-  private val PqShortlist = 128
+    * shortlist, original vectors rank the final k). `private[graft]` so
+    * the streaming serve lane ([[graft.streaming.StreamAnnServe]]) uses
+    * the identical width — hit parity with [[annIndexSearch]] depends on
+    * shortlisting exactly the same 128 candidates. */
+  private[graft] val PqShortlist = 128
 
   /** Deterministic PQ codebooks: per subspace, a driver-local L2 Lloyd over
     * a BOUNDED training sample (the 256 lowest vec_ids, L2-normalized).
@@ -1335,58 +1348,112 @@ object Similarity {
     None // approximate serving path: rows-only; spec bounds mean recall
   )
 
-  /** Per-label membership cap for the exact kNN-graph block join: labels
-    * at or under it build the full exact graph; the cap is a row_number
-    * window over vec_id (deterministic, oracle-expressible), mirroring
-    * [[graft.operators.Dedup.cappedBlockIds]]'s policy. Both test SFs sit
-    * far under it (≤200 vectors/label); at 100 TB an over-cap label's
-    * graph routes through the persisted-index serving path
-    * ([[annIndexSearch]]) instead of an O(block²) join. */
-  private val KnnBlockCap = 512
+  /** Per-label membership bound for the exact kNN-graph block join:
+    * labels at or under it build the full exact graph; labels ABOVE it
+    * route EVERY member through the hyperplane-LSH candidate path (the
+    * [[embeddingTop3]] over-cap machinery, directed) — nobody is
+    * silently dropped. Both test SFs sit far under it (≤220
+    * vectors/label), so bench outputs are the exact ones and the oracle
+    * (which is the UNCAPPED exact graph) hash-matches; an over-cap
+    * corpus diverges VISIBLY from the exact oracle instead of both
+    * sides agreeing on dropped vectors. */
+  private[graft] val KnnBlockCap = 512
 
-  /** Exact k-nearest-neighbor GRAPH within label blocks — the
+  /** Cap-parameterized kNN-graph engine shared by [[embKnnGraph]] and
+    * the over-cap routing spec. `base`: (label, vec_id, embedding, nrm,
+    * label_n) rows.
+    *
+    * Under-cap labels: exact block self-join (one shuffle on `label`,
+    * codegen'd FloatVecDot, per-src top-3 window). Over-cap labels —
+    * directed LSH kNN, O(n × lanes) never O(n²): one HyperplaneSig pass
+    * buckets members into 16 B-bit lanes (B grows with the block), the
+    * candidate join keeps the SRC side untruncated and truncates only
+    * the DST posting side (64 lowest ids per bucket — the FAISS
+    * oversized-list rule; a src in a hot bucket still gets candidates,
+    * it just meets a bounded posting), SQ8 int8 dots shortlist the top-8
+    * per src map-side (WindowGroupLimit), and only shortlist survivors
+    * touch float vectors for the exact 6-dp rerank. Both legs union
+    * into one per-src top-3 window. */
+  private[graft] def knnGraphFor(s: SparkSession, base: DataFrame, cap: Int): DataFrame = {
+    val small = base.filter(col("label_n") <= cap)
+    val a = small.select(col("label"), col("vec_id").as("src"),
+      col("embedding").as("av"), col("nrm").as("an"))
+    val b = small.select(col("label"), col("vec_id").as("dst"),
+      col("embedding").as("bv"), col("nrm").as("bn"))
+    val smallEdges = a.join(b, Seq("label"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("label"), col("src"), col("dst"),
+        cosPre(col("av"), col("bv"), col("an"), col("bn")).as("cos"))
+    // one-row construction-time action (the dedup_clusters sizing
+    // precedent): absent over-cap labels the big leg never enters the plan
+    val maxBig: Long = base.filter(col("label_n") > cap)
+      .agg(coalesce(max(col("label_n")), lit(0L))).head.getLong(0)
+    val edges = if (maxBig == 0L) smallEdges else {
+      val nTables = 16
+      val big = base.filter(col("label_n") > cap)
+      val buckets = laneBuckets(big, nTables, lanePlanesFor(maxBig))
+      val popW = Window.partitionBy(col("label"), col("t"), col("bucket")).orderBy(col("vec_id"))
+      val postings = buckets
+        .withColumn("pn", row_number().over(popW)).filter(col("pn") <= 64).drop("pn")
+      val q8 = big.select(col("vec_id"),
+        graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
+      val srcW = Window.partitionBy(col("src")).orderBy(col("adot").desc, col("dst"))
+      val shortlist = buckets.as("x").join(postings.as("y"), Seq("label", "t", "bucket"))
+        .select(col("label"), col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(q8.select(col("vec_id").as("src"), col("q8").as("qs")), "src")
+        .join(q8.select(col("vec_id").as("dst"), col("q8").as("qd")), "dst")
+        .select(col("label"), col("src"), col("dst"),
+          graft.plans.VectorExpressions.int8Dot(col("qs"), col("qd")).as("adot"))
+        .withColumn("arn", dense_rank().over(srcW))
+        .filter(col("arn") <= 8)
+        .dropDuplicates("label", "src", "dst")
+        .select(col("label"), col("src"), col("dst"))
+      val bigEdges = shortlist
+        .join(big.select(col("vec_id").as("src"), col("embedding").as("sv"), col("nrm").as("sn")), "src")
+        .join(big.select(col("vec_id").as("dst"), col("embedding").as("dv"), col("nrm").as("dn")), "dst")
+        .select(col("label"), col("src"), col("dst"),
+          cosPre(col("sv"), col("dv"), col("sn"), col("dn")).as("cos"))
+      smallEdges.unionByName(bigEdges)
+    }
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    edges
+      .withColumn("cos", round(col("cos"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("src"), col("rank"), col("dst"), col("cos"))
+      .orderBy("src", "rank")
+  }
+
+  /** k-nearest-neighbor GRAPH within label blocks — the
     * neighborhood-graph primitive under graph clustering, kNN-LM
-    * retrieval eval and NN-descent seeding: every (capped) vector gets
-    * its k=3 most-cosine-similar neighbors among its label's members.
-    * The block self-join shuffles both sides once on `label` (narrow
-    * rows: id + embedding), the dot product is the codegen'd
-    * [[graft.plans.FloatVecDot]] kernel via [[cosPre]], and ranking is a
-    * per-src window on the joined frame — O(Σ block²·Dim) work bounded
-    * by [[KnnBlockCap]], never corpus². Exact, so fully oracle-checked
-    * (DuckDB recomputes every pair). */
+    * retrieval eval and NN-descent seeding: EVERY vector gets its k=3
+    * most-cosine-similar neighbors among its label's members. Labels
+    * within [[KnnBlockCap]] answer exactly (block self-join, one
+    * shuffle on `label`, codegen'd [[graft.plans.FloatVecDot]], per-src
+    * window); labels beyond it route all members through the directed
+    * hyperplane-LSH candidate path — see [[knnGraphFor]] — so over-cap
+    * work is O(n × lanes), never block², and no member is dropped. At
+    * every oracle-gated SF all labels are under the cap, so the output
+    * is the exact graph and DuckDB recomputes every pair. */
   val embKnnGraph: QueryDef = QueryDef(
     "emb_knn_graph",
     (s, d) => {
-      val capW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-      val base = withNorm(s, d)
-        .withColumn("crn", row_number().over(capW))
-        .filter(col("crn") <= KnnBlockCap)
-      val a = base.select(col("label"), col("vec_id").as("src"),
-        col("embedding").as("av"), col("nrm").as("an"))
-      val b = base.select(col("label"), col("vec_id").as("dst"),
-        col("embedding").as("bv"), col("nrm").as("bn"))
-      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-      a.join(b, Seq("label"))
-        .filter(col("src") =!= col("dst"))
-        .withColumn("cos", round(cosPre(col("av"), col("bv"), col("an"), col("bn")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("label"), col("src"), col("rank"), col("dst"), col("cos"))
-        .orderBy("src", "rank")
+      val sizes = emb(s, d).groupBy(col("label")).agg(count(lit(1)).as("label_n"))
+      knnGraphFor(s, withNorm(s, d).join(sizes, Seq("label")), KnnBlockCap)
     },
+    // The oracle is the UNCAPPED exact graph: at every oracle-gated SF all
+    // labels sit under KnnBlockCap so the exact leg answers and hashes
+    // match; if a corpus ever grows an over-cap label, the approximate
+    // routed leg diverges VISIBLY here (and is then covered by the
+    // over-cap routing spec) instead of an oracle-side cap silently
+    // agreeing with dropped vectors.
     Some(s"""
-      WITH capped AS (
-        SELECT * FROM (
-          SELECT vec_id, label, embedding,
-                 row_number() OVER (PARTITION BY label ORDER BY vec_id) AS crn
-          FROM embeddings)
-        WHERE crn <= $KnnBlockCap
-      ),
-      n AS (
+      WITH n AS (
         SELECT vec_id, label, embedding,
                sqrt(list_sum(list_transform(generate_series(1, $Dim),
                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-        FROM capped
+        FROM embeddings
       ),
       scored AS (
         SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
@@ -1507,12 +1574,19 @@ object Similarity {
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("dim"))
         .agg(count(lit(1)).as("n_hits"))
+      // recall denominator DERIVED from the truth frame (1-row broadcast
+      // agg), never hardcoded 8×k: a corpus with fewer than 8 query
+      // vectors (or < 3 corpus vectors) must shrink the denominator so
+      // the dim=64 anchor row stays exactly 1000 — a hardcoded 24 would
+      // silently under-report instead of self-validating.
+      val truthN = broadcast(truth.agg(count(lit(1)).as("n_truth")))
       // anchor on shifts (always one row per dim) — a dim with ZERO
       // recall must still report, not vanish from the table
       shifts.join(hits, Seq("dim"), "left")
+        .crossJoin(truthN)
         .select(col("dim"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          expr("(1000 * coalesce(n_hits, 0)) div 24").as("recall_pm"),
+          expr("(1000 * coalesce(n_hits, 0)) div n_truth").as("recall_pm"),
           col("mean_shift_ppm"))
         .orderBy("dim")
     },
@@ -1561,7 +1635,7 @@ object Similarity {
         GROUP BY g.dim
       )
       SELECT s.dim, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-             ((1000 * coalesce(h.n_hits, 0)) // 24)::BIGINT AS recall_pm,
+             ((1000 * coalesce(h.n_hits, 0)) // (SELECT count(*) FROM truth))::BIGINT AS recall_pm,
              s.mean_shift_ppm::BIGINT AS mean_shift_ppm
       FROM shifts s LEFT JOIN hits h ON s.dim = h.dim
       ORDER BY s.dim

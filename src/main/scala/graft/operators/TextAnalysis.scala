@@ -953,13 +953,35 @@ object TextAnalysis {
     * — the shared-LSH-memo precedent (Dedup.scala): training is
     * deterministic, so the first caller (train or apply) pays the 12
     * rounds and later callers read 12 cached rows. A real deployment
-    * persists the table instead (the ann_index pattern). */
-  private val bpeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
-      Seq[(Int, String, String, Long)]]()
+    * persists the table instead (the ann_index pattern).
+    *
+    * Keyed by `sessionUUID + dir` — a STRING, never the SparkSession
+    * itself, so the memo cannot pin a stopped session (and its merge
+    * tables) for the JVM lifetime. Bounded at [[BpeMemoCap]] entries
+    * (clear-on-overflow: correctness never depends on a hit), and the
+    * training job runs OUTSIDE any map lock — `computeIfAbsent` would
+    * hold its bin lock across the whole 12-round Spark job, blocking any
+    * unrelated key that hashes to the same bin. */
+  /** Session-stable string key (applicationId + identity) — never the
+    * session OBJECT, so the memo can't pin a stopped session. */
+  private def sessionKey(s: SparkSession): String =
+    s.sparkContext.applicationId + "@" + Integer.toHexString(System.identityHashCode(s))
 
-  private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
-    bpeMemo.computeIfAbsent((s, d), _ => trainBpe(s, d))
+  private val BpeMemoCap = 64
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+
+  private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
+    val key = sessionKey(s) + "|" + d
+    val hit = bpeMemo.get(key)
+    if (hit != null) hit
+    else {
+      val trained = trainBpe(s, d) // outside the map: no bin lock held
+      if (bpeMemo.size >= BpeMemoCap) bpeMemo.clear()
+      val prev = bpeMemo.putIfAbsent(key, trained)
+      if (prev != null) prev else trained
+    }
+  }
 
   private def trainBpe(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
       import s.implicits._

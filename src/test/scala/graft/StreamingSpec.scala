@@ -2195,6 +2195,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamAnnServe.topKIndexed: persisted-artifact serve matches ann_index_search hit-for-hit; corpus side is kernel-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    // batch answers (this also bootstraps the index artifact on disk)
+    def key(qid: Long, rank: Int, nid: Long, cos: Double) =
+      (qid, rank, nid, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    val want = Similarity.annIndexSearch.fn(spark, sfDir).collect().map(r =>
+      key(r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    val dir = Similarity.annIndexDir(sfDir)
+    val vectors = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val qRows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val hits = graft.streaming.StreamAnnServe.topKIndexed(
+      mem.toDF().toDF("query_id", "embedding"), dir, vectors)
+    val q = hits.toDF().writeStream.format("memory").queryName("annserveidx")
+      .outputMode("append").start()
+    try {
+      mem.addData(qRows.take(3): _*) // queries split across two micro-batches
+      q.processAllAvailable()
+      mem.addData(qRows.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("annserveidx").collect().map(r =>
+        key(r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+      assert(got.nonEmpty && got == want,
+        s"indexed streaming serve diverges from ann_index_search: " +
+          s"${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    } finally q.stop()
+    // Plan audit on the SAME dataflow built in batch mode (identical
+    // static-side planning; fmgws runs batch-mode): the corpus may only
+    // contribute the persisted codes scan — no PqEncode anywhere, and no
+    // NearestCells in any operator whose subtree reads corpus_codes (the
+    // kernel runs over the handful of query rows only).
+    val batchQ = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val plan = graft.streaming.StreamAnnServe.topKIndexed(batchQ, dir, vectors)
+      .queryExecution.executedPlan
+    val planStr = plan.toString.toLowerCase
+    assert(!planStr.contains("pqencode"), s"serve plan re-encodes the corpus:\n$plan")
+    def readsCorpusCodes(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.collectLeaves().exists(_.toString.contains("corpus_codes"))
+    assert(readsCorpusCodes(plan), s"static side must scan the persisted codes table:\n$plan")
+    val offenders = plan.collect {
+      case n if n.expressions.mkString(",").toLowerCase.contains("nearestcells")
+        && readsCorpusCodes(n) => n.nodeName
+    }
+    assert(offenders.isEmpty, s"NearestCells runs over the corpus side in: $offenders\n$plan")
+  }
+
   test("StreamIndexUpsert: streamed segments ∪ base equal a monolithic frozen-model encode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
