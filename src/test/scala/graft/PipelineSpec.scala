@@ -994,6 +994,44 @@ class PipelineSpec extends SparkSpec {
       r.getAs[Long]("n_pixels") == 32L * r.getAs[Int]("height")))
   }
 
+  test("mm_video_decode: the AVI parser is real — walks the LIST tree, verifies idx1, flips DIB rows, rejects junk") {
+    import graft.operators.Multimodal
+    // round trip across a frame boundary: > 64 chars forces a second
+    // frame, exercising multi-chunk movi + multi-entry idx1 + motion
+    val text = ("x" * 60) + "ABCDEFGH" // 68 bytes -> 2 frames
+    val v = Multimodal.parseAvi(Multimodal.synthAvi(text))
+    assert(v.width == 8 && v.height == 8 && v.fps == 25 && v.frames.length == 2)
+    val want = text.getBytes("US-ASCII").map(_ & 0xff).padTo(128, 0).toSeq
+    assert(v.frames.flatten.toSeq == want,
+      "decoded pixels diverge from the layout rule (row flip or walk broken)")
+    // junk is rejected loudly, never decoded into stats
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAvi("not an avi at all".getBytes("US-ASCII"))
+    }
+    val base = Multimodal.synthAvi("hi")
+    intercept[IllegalArgumentException] { Multimodal.parseAvi(base.take(base.length - 3)) }
+    // a lying index is refused: corrupt the first idx1 entry's size field
+    def find(hay: Array[Byte], needle: String): Int = {
+      val n = needle.getBytes("US-ASCII")
+      hay.indices.find(i => i + n.length <= hay.length &&
+        n.indices.forall(j => hay(i + j) == n(j))).get
+    }
+    val badIdx = base.clone()
+    val ix = find(badIdx, "idx1")
+    badIdx(ix + 8 + 12) = 7 // entry 0 size low byte
+    intercept[IllegalArgumentException] { Multimodal.parseAvi(badIdx) }
+    // a compressed stream (biCompression != 0) is refused, not half-read
+    val mjpg = base.clone()
+    val strf = find(mjpg, "strf")
+    mjpg(strf + 8 + 16) = 1 // biCompression = BI_RLE8
+    intercept[IllegalArgumentException] { Multimodal.parseAvi(mjpg) }
+    // and the operator output matches the geometry rule on the corpus
+    val out = Multimodal.mmVideoDecode.fn(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(r =>
+      r.getAs[Int]("width") == 8 && r.getAs[Int]("fps") == 25 &&
+      r.getAs[Long]("n_pixels") == 64L * r.getAs[Int]("n_frames")))
+  }
+
   test("dedup_semantic matches an independent crossJoin+window recomputation") {
     import graft.operators.Similarity
     val out = Similarity.dedupSemantic.fn(spark, sfDir)

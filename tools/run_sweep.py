@@ -22,9 +22,13 @@ import subprocess
 import sys
 
 QUADRATIC = ("dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best")
-# valid only below the operators' routing caps / exact regimes
+# valid only below the operators' routing caps / exact regimes.
+# emb_knn_graph (round 11): the oracle is the UNCAPPED exact per-label
+# graph — at sf1 labels exceed the 512 routing cap, so the Spark side
+# takes its LSH leg (the documented over-cap contract) and the exact
+# SQL is also label²-quadratic.
 CAP_MIRROR = ("dedup_ngram_jaccard", "dedup_containment", "dedup_embedding",
-              "sketch_distinct_users")
+              "sketch_distinct_users", "emb_knn_graph")
 
 
 def main() -> int:
