@@ -12,20 +12,17 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // measured recall of the routed (over-cap) kNN-graph leg on the
-    // 600-member synthetic label the spec uses
-    val raw = Tables.embeddings(spark, "/root/testdata/sf0.1")
-      .filter(col("vec_id") < 600)
-      .select(lit(0).as("label"), col("vec_id"), col("embedding"))
-    val base = raw
-      .withColumn("nrm", sqrt(graft.plans.VectorExpressions.floatDot(col("embedding"), col("embedding"))))
-      .withColumn("label_n", lit(600L))
-    val got = graft.operators.Similarity.knnGraphFor(spark, base, 512).collect()
-      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
-    val exact = graft.operators.Similarity.knnGraphFor(spark, base, 1024).collect()
-      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
-    System.err.println(s"[probe] routed=${got.size} exact=${exact.size} " +
-      s"recall=${got.intersect(exact).size.toDouble / exact.size}")
+    // does the shared-evidence floor (minShared 1 -> 2) change the sf1
+    // containment ANSWER, or only trim confirm volume?
+    val d = "/root/repo/data/sf1"
+    def rows(ms: Int) = graft.operators.Dedup.containmentTop3(spark, d, 256, 16, ms)
+      .collect().map(_.toString).toSeq
+    val base = rows(1)
+    val capped = rows(2)
+    System.err.println(s"[probe] minShared=1 rows=${base.size} minShared=2 rows=${capped.size} " +
+      s"identical=${base == capped}")
+    if (base != capped)
+      System.err.println(s"[probe] diff: ${base.diff(capped).take(3)} vs ${capped.diff(base).take(3)}")
     spark.stop()
   }
 }

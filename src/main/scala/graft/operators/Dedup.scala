@@ -812,7 +812,7 @@ object Dedup {
 
   /** [[dedupContainment]]'s engine, cap-parameterized for the spec. */
   private[graft] def containmentTop3(s: SparkSession, d: String, cap: Int,
-      maxDf: Int = 16): DataFrame = {
+      maxDf: Int = 16, minShared: Int = 2): DataFrame = {
     val sizes = Tables.documents(s, d)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("block_n"))
     val docs = docHashedShingles(s, d)
@@ -839,11 +839,24 @@ object Dedup {
       .filter(col("df").between(2, maxDf))
       .select("lang", "source", "h")
     val rarePosts = posts.join(rare, Seq("lang", "source", "h"))
+    // SHARED-EVIDENCE floor before the fat confirm (round 11; PLANS.md
+    // "bounded per-posting" lever, resolved as a count threshold): the
+    // candidate dedup ALREADY pays one id-only exchange (24 B rows), so
+    // counting shared rare shingles per pair costs the same as the old
+    // dropDuplicates — but pairs with a single shared rare shingle (the
+    // long tail of coincidental collisions) never reach the confirm join
+    // that ships ~3.5 KB shingle arrays per side. A genuine containment
+    // pair shares MANY rare shingles (the quote-inclusion spec pair
+    // shares ~18), so the ≥2 floor trims volume, not recall — unlike the
+    // REVERTED global per-block rank, this adds no window sort.
     val bigPairs = rarePosts.as("x")
       .join(rarePosts.as("y"), Seq("lang", "source", "h"))
       .select(col("lang"), col("source"), col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .filter(col("id1") < col("id2"))
-      .dropDuplicates("lang", "source", "id1", "id2")
+      .groupBy(col("lang"), col("source"), col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .drop("shared")
       .join(big.select(col("doc_id").as("id1"), col("hsh").as("h1")), "id1")
       .join(big.select(col("doc_id").as("id2"), col("hsh").as("h2")), "id2")
       .withColumn("cont", cont)
