@@ -83,6 +83,60 @@ object StreamDemo {
     archiveQ.awaitTermination()
     rejectQ.awaitTermination()
 
+    // 3. INGEST DEDUP GATES over MATERIALIZED archive columns — the
+    //    production shape the streaming dedup lanes document: the archive
+    //    writes its shingle sets (hsh) and vector norms (nrm) ONCE at
+    //    archive-write time, so every micro-batch's confirm side is a
+    //    parquet COLUMN SCAN, never a per-batch re-shingle/re-norm of the
+    //    whole corpus. Docs stream from a file source (the queue stand-in)
+    //    through the LSH gate; confirmed pairs must equal the batch
+    //    dedup_minhash_lsh answer.
+    val docsTbl = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docsTbl.as[(Long, String)]
+      .map { case (id, t) => (id, graft.operators.Dedup.hashedShingleSet(t).toSeq) }
+      .toDF("doc_id", "hsh")
+      .write.mode("overwrite").parquet(s"$work/shingled_archive")
+    docsTbl.repartition(4).write.mode("overwrite").parquet(s"$work/docs_feed")
+    val shingled = spark.read.parquet(s"$work/shingled_archive")
+    val dedupQ = graft.streaming.StreamDedup.distinctPairs(
+        spark.readStream.schema(docsTbl.schema).parquet(s"$work/docs_feed"), shingled)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/dup_pairs")
+      .option("checkpointLocation", s"$work/ckpt_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // embedding gate over a pre-normed store; the sf corpora carry no
+    // cos >= 0.9 pairs, so three near-identical vectors are planted —
+    // the gate must confirm exactly those through the stored norms
+    val dot = graft.plans.VectorExpressions.floatDot _
+    val planted = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).limit(3)
+      .as[(Long, Seq[Float])].collect()
+      .zipWithIndex.map { case ((id, v), k) =>
+        val w = v.toArray.clone(); w(0) += 0.01f
+        (1000000L + k, w.toSeq, id)
+      }
+    val vecsAll = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .unionByName(spark.createDataset(planted.toSeq.map(p => (p._1, p._2)))
+        .toDF("vec_id", "embedding"))
+    vecsAll.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .write.mode("overwrite").parquet(s"$work/normed_store")
+    vecsAll.repartition(4).write.mode("overwrite").parquet(s"$work/vecs_feed")
+    val embQ = graft.streaming.StreamEmbDedup.distinctPairs(
+        spark.readStream.schema(vecsAll.schema).parquet(s"$work/vecs_feed"),
+        spark.read.parquet(s"$work/normed_store"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/emb_pairs")
+      .option("checkpointLocation", s"$work/ckpt_embdedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    dedupQ.awaitTermination()
+    embQ.awaitTermination()
+
     val nArchive = spark.read.parquet(s"$work/archive").count()
     val replica = spark.read.parquet(s"$work/replica")
     val nReplica = replica.count()
@@ -90,8 +144,16 @@ object StreamDemo {
       try spark.read.parquet(s"$work/rejects").count() catch { case _: Exception => 0L }
     val months = spark.read.parquet(s"$work/archive")
       .select(countDistinct(col("event_month"))).head().getLong(0)
+    val streamedPairs = spark.read.parquet(s"$work/dup_pairs")
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = graft.operators.Dedup.dedupMinhashLsh.fn(spark, sfDir)
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dedupParity = streamedPairs == batchPairs
+    val embPairs = spark.read.parquet(s"$work/emb_pairs")
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedFound = planted.forall(p => embPairs.contains((p._3, p._1)))
     println(
-      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dir":"$work"}""")
+      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"dir":"$work"}""")
     spark.stop()
   }
 }

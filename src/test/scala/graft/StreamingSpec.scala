@@ -1450,6 +1450,94 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamDedup: a MATERIALIZED shingled archive (hsh column) serves the confirm — same hits, no corpus re-shingle in the plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production shape: shingle ONCE at archive-write time; the
+    // per-batch confirm side is then a parquet column scan
+    val dir = java.nio.file.Files.createTempDirectory("shingled_archive").toString
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, graft.operators.Dedup.hashedShingleSet(t).toSeq) }
+      .toDF("doc_id", "hsh")
+      .write.mode("overwrite").parquet(dir)
+    val shingled = spark.read.parquet(dir)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamDedup.distinctPairs(
+      mem.toDF().toDF("doc_id", "text"), shingled)
+    val q = out.writeStream.format("memory").queryName("streamdedup_pre")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("streamdedup_pre")
+        .select(col("id1"), col("id2"), round(col("jac"), 6).as("jac")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.operators.Dedup.dedupMinhashLsh.fn(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("jac"))).toSet
+      assert(want.nonEmpty && got == want,
+        s"precomputed-archive confirm diverges: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+    // plan audit (batch-mode construction of the same dataflow): no typed
+    // map — no re-shingle — may sit above the archive scan; the ONLY
+    // object code in the plan belongs to the streamed docs side
+    val plan = graft.streaming.StreamDedup.distinctPairs(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).limit(8), shingled)
+      .queryExecution.executedPlan
+    def readsArchive(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.collectLeaves().exists(_.toString.contains(dir.split("/").last))
+    assert(readsArchive(plan), s"confirm side must scan the materialized archive:\n$plan")
+    val offenders = plan.collect {
+      case n if n.nodeName.toLowerCase.contains("mapelements") && readsArchive(n) => n.nodeName
+    }
+    assert(offenders.isEmpty, s"corpus side re-shingles via $offenders:\n$plan")
+  }
+
+  test("StreamEmbDedup: a pre-normed embedding store (nrm column) serves the confirm as-is") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val base = (0 until 24).map(i => (300L + i, vec()))
+    val dups = Seq(2, 9).zipWithIndex.map { case (b, k) =>
+      val v = base(b)._2.clone(); v(0) += 0.01f
+      (400L + k, v)
+    }
+    val all = base ++ dups
+    val dir = java.nio.file.Files.createTempDirectory("normed_store").toString
+    val dot = graft.plans.VectorExpressions.floatDot _
+    all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.streaming.StreamEmbDedup.distinctPairs(
+      mem.toDF().toDF("vec_id", "embedding"), store)
+    val q = out.writeStream.format("memory").queryName("streamembdedup_pre")
+      .outputMode("append").start()
+    try {
+      mem.addData(base.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      mem.addData(dups.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("streamembdedup_pre").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // both planted dups confirm through the pre-normed store, and the
+      // hits equal the text-path construction on the same data
+      assert(Set((302L, 400L), (309L, 401L)).subsetOf(got), s"planted dups missing: $got")
+      val parity = graft.streaming.StreamEmbDedup.distinctPairs(
+        all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding"),
+        all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == parity, s"pre-normed store diverges from inline-norm path: $got vs $parity")
+    } finally q.stop()
+  }
+
   test("StreamDedup: candidate unresolvable in the corpus surfaces as a jac=-1 sentinel, not a silent drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
