@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic HOT-KEY variant generator for the skew evidence runs
   * (SURVEY §4 claims a pk-salting knob + AQE skew handling for the CDC
-  * core; this makes the claim measurable): rewrites ~10% of events —
-  * `pmod(event_id, 10) = 3`, no RNG — onto ONE hot user (the smallest
+  * core; this makes the claim measurable): rewrites a configurable hot
+  * mass of events — `pmod(event_id, 100) < SPARK_GRAFT_HOT_PCT`
+  * (default 10), no RNG — onto ONE hot user (the smallest
   * user_id in the corpus), leaving event ids, timestamps, types and
   * values untouched. Per-user group sizes elsewhere shrink by the rows
   * they lose, so the corpus is the same volume with one pathological
@@ -24,6 +25,8 @@ object GenSkew {
     val src  = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/repo/data/sf1")
     val out  = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "/root/repo/data/sf1hot")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // hot-key mass in percent (default 10): pmod(event_id, 100) < pct
+    val pct  = sys.env.getOrElse("SPARK_GRAFT_HOT_PCT", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,7 +38,7 @@ object GenSkew {
     val ev = Tables.events(spark, src)
     val hot = ev.agg(min(col("user_id"))).head.getLong(0)
     ev.withColumn("user_id",
-        when(pmod(col("event_id"), lit(10)) === 3, lit(hot)).otherwise(col("user_id")))
+        when(pmod(col("event_id"), lit(100)) < pct, lit(hot)).otherwise(col("user_id")))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     val n = spark.read.parquet(s"$out/events.parquet")

@@ -660,8 +660,90 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** Distributed PREFIX SCAN (running max) — the skew-resilient twin of
+    * [[Cdc.cdcLateArrivals]], born from this round's hot-key evidence: a
+    * per-user ordered window funnels a 10%-mass user's whole event
+    * sequence through ONE task's sort (measured 4.79 → 8.59 s at sf10
+    * under a planted 10% key). The classic two-phase parallel-scan
+    * decomposition fixes that WITHOUT changing the answer:
+    *
+    *   1. rows bucket by an affine integer map of event time into
+    *      [[PrefixBuckets]] per-user time ranges (monotone in ts, so
+    *      (bkt, ts, event_id) order ≡ (ts, event_id) order; equal
+    *      timestamps always share a bucket);
+    *   2. the running max computes WITHIN (user, bucket) — the widest
+    *      sort shrinks to 1/B of the hot key;
+    *   3. per-(user, bucket) maxima prefix-combine on a users×B-row
+    *      frame (window over ≤B rows per user), and
+    *      `greatest(local, carry)` splices the carry into every row —
+    *      Spark's greatest ignores nulls, so the "no prior row
+    *      anywhere" case stays NULL exactly like the single-window
+    *      form.
+    *
+    * Bounds/offsets are users-sized frames: NOT hint-broadcast (a
+    * billion-user corpus must shuffle them; AQE broadcasts small sides
+    * at runtime on its own). Oracle: cdc_late_arrivals' exact SQL — same
+    * answer, skew-safe plan; the spec additionally proves row-identity
+    * on the hot-key corpus shape. */
+  private val PrefixBuckets = 256
+
+  /** Core of [[qLateArrivalsDist]], factored on an arbitrary
+    * (user_id, us, event_id) frame so the spec can drive a synthetic
+    * hot-key frame through it. */
+  private[graft] def prefixMaxBucketed(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PrefixBuckets
+    val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
+    val bucketed = ev.join(bounds, "user_id")
+      .withColumn("bkt", expr(s"((us - tmin) * $B) div (tmax - tmin + 1)").cast("int"))
+    val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBkts = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("user_id"), col("bkt"))
+      .agg(max(col("event_id")).as("bmax"))
+      .withColumn("carry", max(col("bmax")).over(wBkts))
+      .select("user_id", "bkt", "carry")
+    bucketed
+      .withColumn("lmax", max(col("event_id")).over(wLocal))
+      .join(offsets, Seq("user_id", "bkt"))
+      .withColumn("prev_max_id", greatest(col("lmax"), col("carry")))
+  }
+
+  val qLateArrivalsDist: QueryDef = QueryDef(
+    "q_late_arrivals_dist",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      prefixMaxBucketed(ev)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("prev_max_id") > col("event_id"), 1L).otherwise(0L)).as("n_late"),
+          max(when(col("prev_max_id") > col("event_id"), col("prev_max_id") - col("event_id")))
+            .as("worst_inversion"))
+        .orderBy("user_id")
+    },
+    // the oracle is the plain single-window form — same answer
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN prev_max_id > event_id THEN 1 ELSE 0 END)::BIGINT AS n_late,
+             max(CASE WHEN prev_max_id > event_id THEN prev_max_id - event_id END) AS worst_inversion
+      FROM (
+        SELECT user_id, event_id,
+               max(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_id
+        FROM events)
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
     qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
-    cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit, qZorderLayout)
+    cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit, qZorderLayout,
+    qLateArrivalsDist)
 }

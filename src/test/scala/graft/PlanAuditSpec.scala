@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.{Cdc, Olap}
 
 /** Shuffle-discipline audit: keyed operators must introduce exactly ONE
@@ -64,6 +66,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("row_number"), plan)
     assert("partitionBy|windowspecdefinition\\(key#\\d+, bkt#\\d+".r
       .findFirstIn(plan).isDefined, s"ranking window not bucket-partitioned:\n$plan")
+  }
+
+  test("q_late_arrivals_dist equals the single-window form, including on a hot-key frame") {
+    import graft.operators.{Cdc, ScalePatterns}
+    import spark.implicits._
+    // corpus parity: the two plans agree row-for-row at sfDir
+    val dist = ScalePatterns.qLateArrivalsDist.fn(spark, sfDir)
+    val window = Cdc.cdcLateArrivals.fn(spark, sfDir)
+    assert(dist.exceptAll(window).count() == 0)
+    assert(window.exceptAll(dist).count() == 0)
+    // hot-key shape: one user holds 80% of a frame with deliberate
+    // out-of-order event ids (inversions must survive bucket boundaries:
+    // a late event's witness max may live many buckets earlier)
+    val rows = (0 until 4000).map { i =>
+      val user = if (i % 5 != 0) 7L else (100 + i % 17).toLong
+      // ids mostly grow with time, but every 37th event carries an OLD id
+      val id = if (i % 37 == 0 && i > 100) i.toLong - 100 else i.toLong
+      (user, 1000000L + i * 1000L, id)
+    }
+    val ev = rows.toDF("user_id", "us", "event_id")
+    val got = ScalePatterns.prefixMaxBucketed(ev)
+      .select(col("user_id"), col("us"), col("event_id"), col("prev_max_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = ev.withColumn("prev_max_id", max(col("event_id")).over(w))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "bucketed prefix max diverges from the single-window scan")
+    // the heavy window is partitioned by (user, bucket), never user alone
+    val plan = dist.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r.findFirstIn(plan).isDefined,
+      s"running-max window not bucket-partitioned:\n$plan")
   }
 
   test("text_bm25: query and stats broadcast; top-20 is TakeOrdered, never a global sort") {
