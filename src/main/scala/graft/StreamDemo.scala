@@ -137,6 +137,29 @@ object StreamDemo {
     dedupQ.awaitTermination()
     embQ.awaitTermination()
 
+    // 4. STREAMING ANN SERVING from the PERSISTED index artifact: build
+    //    once (idempotent — reuses the saved tables), stream the query
+    //    vectors from a file source, serve via probed posting lists of
+    //    the 8-byte codes + refine-from-storage rerank, and check the
+    //    answers hit-for-hit against the batch ann_index_search plan.
+    graft.operators.Similarity.annIndexBuild.fn(spark, sfDir).collect()
+    val idxDir = graft.operators.Similarity.annIndexDir(sfDir)
+    val queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    queries.write.mode("overwrite").parquet(s"$work/ann_queries_feed")
+    val annQ = graft.streaming.StreamAnnServe.topKIndexed(
+        spark.readStream.schema(queries.schema).parquet(s"$work/ann_queries_feed"),
+        idxDir, Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/ann_hits")
+      .option("checkpointLocation", s"$work/ckpt_ann")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    annQ.awaitTermination()
+
     val nArchive = spark.read.parquet(s"$work/archive").count()
     val replica = spark.read.parquet(s"$work/replica")
     val nReplica = replica.count()
@@ -152,8 +175,14 @@ object StreamDemo {
     val embPairs = spark.read.parquet(s"$work/emb_pairs")
       .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val plantedFound = planted.forall(p => embPairs.contains((p._3, p._1)))
+    def hitKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    val servedHits = spark.read.parquet(s"$work/ann_hits").collect().map(hitKey).toSet
+    val batchHits = graft.operators.Similarity.annIndexSearch.fn(spark, sfDir)
+      .collect().map(hitKey).toSet
+    val annParity = servedHits == batchHits
     println(
-      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"dir":"$work"}""")
+      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"dir":"$work"}""")
     spark.stop()
   }
 }
