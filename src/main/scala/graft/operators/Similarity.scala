@@ -210,17 +210,21 @@ object Similarity {
   private def lanePlanesFor(maxBig: Long): Int = math.max(8,
     64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (maxBig + 7) / 8 - 1)))
 
-  /** (label, vec_id, t, bucket) lane rows for the over-cap LSH legs: one
-    * codegen'd [[graft.plans.HyperplaneSig]] signature pass, then the
-    * nTables B-bit lanes unpacked from the packed sig words
-    * (straddle-safe: a lane crossing a 64-bit word boundary ORs the tail
-    * of word i with the head of word i+1). The lane array is pure bit
-    * arithmetic on a few longs — cheap enough for Generate's
-    * per-output-row re-evaluation (the explode pitfall is about
-    * re-running EXPENSIVE generators, e.g. tokenizers). Hyperplane
-    * weights are the deterministic [-0.5, 0.5) integer mix of lshTopK,
-    * stable across runs and executors. */
-  private def laneBuckets(big: DataFrame, nTables: Int, nPlanes: Int): DataFrame = {
+  /** Per-vector lane metadata for the over-cap legs: (label, vec_id,
+    * q8, lanes) where `lanes(t)` is the vector's B-bit bucket in table t
+    * and `q8` its SQ8 codes — one codegen'd
+    * [[graft.plans.HyperplaneSig]] signature pass + one
+    * [[graft.plans.QuantizeVec]] pass per vector, lanes unpacked from
+    * the packed sig words (straddle-safe: a lane crossing a 64-bit word
+    * boundary ORs the tail of word i with the head of word i+1; pure bit
+    * arithmetic, cheap enough for Generate's per-output-row
+    * re-evaluation when consumers posexplode it). Hyperplane weights are
+    * the deterministic [-0.5, 0.5) integer mix of lshTopK, stable across
+    * runs and executors. Keeping the whole lane ARRAY on each row is
+    * what lets the candidate join elect the smallest shared posted lane
+    * map-side ([[graft.plans.ElectLane]]) instead of paying a
+    * dropDuplicates shuffle over the ~nTables×-inflated pair stream. */
+  private def laneMeta(big: DataFrame, nTables: Int, nPlanes: Int): DataFrame = {
     def wgt(t: Int, p: Int, i: Int): Double =
       ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
         .toDouble / 1000003.0 - 0.5
@@ -230,22 +234,20 @@ object Similarity {
     val nWords = (nTables * nPlanes + 63) / 64
     val sigWords = (0 until nWords).map(i => element_at(col("sig"), i + 1).as(s"w$i"))
     val sig = big.select(col("label"), col("vec_id"),
-      graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"))
-      .select(col("label") +: col("vec_id") +: sigWords: _*)
+      graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"),
+      graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
+      .select(col("label") +: col("vec_id") +: col("q8") +: sigWords: _*)
     val laneMask = (1L << nPlanes) - 1
     val laneCols = (0 until nTables).map { t =>
       val start = t * nPlanes
       val i0 = start >>> 6
       val sh = start & 63
       val low = shiftrightunsigned(col(s"w$i0"), sh)
-      val bucket =
-        if (sh + nPlanes > 64 && i0 + 1 < nWords)
-          low.bitwiseOR(shiftleft(col(s"w${i0 + 1}"), 64 - sh)).bitwiseAND(lit(laneMask))
-        else low.bitwiseAND(lit(laneMask))
-      struct(lit(t).as("t"), bucket.as("bucket"))
+      if (sh + nPlanes > 64 && i0 + 1 < nWords)
+        low.bitwiseOR(shiftleft(col(s"w${i0 + 1}"), 64 - sh)).bitwiseAND(lit(laneMask))
+      else low.bitwiseAND(lit(laneMask))
     }
-    sig.select(col("label"), col("vec_id"), explode(array(laneCols: _*)).as("lane"))
-      .select(col("label"), col("vec_id"), col("lane.t").as("t"), col("lane.bucket").as("bucket"))
+    sig.select(col("label"), col("vec_id"), col("q8"), array(laneCols: _*).as("lanes"))
   }
 
   private[graft] def embeddingTop3(s: SparkSession, d: String, cap: Int): DataFrame = {
@@ -281,7 +283,9 @@ object Similarity {
       .withColumn("cos", cosPre(col("v1"), col("v2"), col("n1"), col("n2")))
       .select(col("label"), col("id1"), col("id2"), col("cos"))
 
-    val rawBuckets = laneBuckets(big, nTables, nPlanes)
+    val meta = laneMeta(big, nTables, nPlanes).cache()
+    val rawBuckets = meta
+      .select(col("label"), col("vec_id"), posexplode(col("lanes")).as(Seq("t", "bucket")))
     // POSTING TRUNCATION (the FAISS oversized-list rule): hyperplane cells
     // are skewed on correlated data — the sf10 census measured buckets of
     // 576 members and 2×10⁸ pre-dedup pairs from C(pop,2) blowup, which
@@ -302,29 +306,39 @@ object Similarity {
     // embeddings per candidate side — a candidate-sized multi-GB shuffle):
     // candidates stay id-only through the collision join, score with the
     // 64-byte int8 dot (±0.003 of cosine), keep 16 per label via
-    // dense_rank (duplicate lane collisions share a rank, so the raw
-    // stream needs no up-front dedup shuffle; WindowGroupLimit prunes
-    // map-side), and only the ≤16 survivors/label touch float vectors.
+    // dense_rank (WindowGroupLimit prunes map-side), and only the ≤16
+    // survivors/label touch float vectors. A pair colliding in k lanes is
+    // emitted ONCE, from the smallest lane where BOTH sides survived
+    // posting truncation ([[graft.plans.ElectLane]] over the two lane
+    // arrays + AND of the two posted masks — the r12 election that
+    // replaced the dropDuplicates shuffle over the inflated stream; pair
+    // set is identical). Lane arrays and SQ8 codes ride the posting rows
+    // into the bucket join, so the candidate stream joins NOTHING.
     // Output risk is an int8 rank inversion between true rank 3 and
     // approx rank 16 — needs two pairs within ~0.006 cosine of each
     // other across a 13-rank gap; the over-cap leg's declared contract
     // (top-3 of LSH candidates) already absorbs this class, and the
     // oracle-gated scales (labels ≤ cap) never take this leg.
-    val q8big = big.select(col("vec_id"),
-      graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
+    val pmask = buckets.groupBy(col("vec_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), t))").as("pmask"))
+    val posted = buckets
+      .join(meta.select(col("vec_id"), col("lanes"), col("q8")).join(pmask, Seq("vec_id")),
+        Seq("vec_id"))
     val approxW = Window.partitionBy(col("label"))
       .orderBy(col("adot").desc, col("id1"), col("id2"))
-    val shortPairs = buckets.as("x")
-      .join(buckets.as("y"), Seq("label", "t", "bucket"))
-      .select(col("label"), col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+    val shortPairs = posted
+      .select(col("label"), col("t"), col("bucket"), col("vec_id").as("id1"),
+        col("lanes").as("l1"), col("pmask").as("m1"), col("q8").as("q1"))
+      .join(posted.select(col("label"), col("t"), col("bucket"), col("vec_id").as("id2"),
+        col("lanes").as("l2"), col("pmask").as("m2"), col("q8").as("q2")),
+        Seq("label", "t", "bucket"))
       .filter(col("id1") < col("id2"))
-      .join(q8big.select(col("vec_id").as("id1"), col("q8").as("q1")), "id1")
-      .join(q8big.select(col("vec_id").as("id2"), col("q8").as("q2")), "id2")
+      .filter(graft.plans.VectorExpressions.electLane(
+        col("l1"), col("l2"), col("m1").bitwiseAND(col("m2"))) === col("t"))
       .select(col("label"), col("id1"), col("id2"),
         graft.plans.VectorExpressions.int8Dot(col("q1"), col("q2")).as("adot"))
       .withColumn("arn", dense_rank().over(approxW))
       .filter(col("arn") <= 16)
-      .dropDuplicates("label", "id1", "id2")
       .select(col("label"), col("id1"), col("id2"))
     val bigPairs = shortPairs
       .join(big.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1")), "id1")
@@ -1391,23 +1405,47 @@ object Similarity {
     val edges = if (maxBig == 0L) smallEdges else {
       val nTables = 16
       val big = base.filter(col("label_n") > cap)
-      val buckets = laneBuckets(big, nTables, lanePlanesFor(maxBig))
+      // ONE signature + ONE quantize pass per vector, cached: consumed by
+      // the probe explode, the posting leg and the posted-mask aggregate.
+      val meta = laneMeta(big, nTables, lanePlanesFor(maxBig)).cache()
       val popW = Window.partitionBy(col("label"), col("t"), col("bucket")).orderBy(col("vec_id"))
-      val postings = buckets
+      // postings stay NARROW (label, t, bucket, vec_id) through the
+      // per-bucket truncation window; lane arrays / SQ8 codes re-attach
+      // afterwards via one per-vector join, not through the window shuffle
+      val postings = meta
+        .select(col("label"), col("vec_id"), posexplode(col("lanes")).as(Seq("t", "bucket")))
         .withColumn("pn", row_number().over(popW)).filter(col("pn") <= 64).drop("pn")
-      val q8 = big.select(col("vec_id"),
-        graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
+      // bit t of pmask = "this vector survived posting truncation in
+      // table t" — election may only pick lanes where the pair is
+      // actually generated, so the elected pair set is IDENTICAL to the
+      // old dropDuplicates formulation's (truncated lanes are ineligible)
+      val pmask = postings.groupBy(col("vec_id"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), t))").as("pmask"))
+      val posted = postings
+        .join(meta.select(col("vec_id"), col("lanes").as("dlanes"), col("q8").as("qd"))
+          .join(pmask, Seq("vec_id")), Seq("vec_id"))
+        .select(col("label"), col("t"), col("bucket"), col("vec_id").as("dst"),
+          col("dlanes"), col("pmask"), col("qd"))
+      // probe side carries its OWN lane array + SQ8 codes into the bucket
+      // join, so the candidate stream never joins anything downstream:
+      // the smallest-shared-posted-lane election (codegen'd, map-side)
+      // keeps exactly ONE copy of each colliding pair — the ~16× candidate
+      // inflation dies in a filter, not in a dedup shuffle — and the int8
+      // dot scores it in the same stage (r11 verdict: this lane was 238.6 s
+      // at sf10, 43× its sf1 time, from per-shared-table pair copies ×
+      // two corpus-sized q8 joins × a 16×-inflated dense_rank exchange).
+      val probes = meta.select(col("label"), col("vec_id").as("src"),
+        col("lanes").as("slanes"), col("q8").as("qs"),
+        posexplode(col("lanes")).as(Seq("t", "bucket")))
       val srcW = Window.partitionBy(col("src")).orderBy(col("adot").desc, col("dst"))
-      val shortlist = buckets.as("x").join(postings.as("y"), Seq("label", "t", "bucket"))
-        .select(col("label"), col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+      val shortlist = probes.join(posted, Seq("label", "t", "bucket"))
         .filter(col("src") =!= col("dst"))
-        .join(q8.select(col("vec_id").as("src"), col("q8").as("qs")), "src")
-        .join(q8.select(col("vec_id").as("dst"), col("q8").as("qd")), "dst")
+        .filter(graft.plans.VectorExpressions.electLane(
+          col("slanes"), col("dlanes"), col("pmask")) === col("t"))
         .select(col("label"), col("src"), col("dst"),
           graft.plans.VectorExpressions.int8Dot(col("qs"), col("qd")).as("adot"))
         .withColumn("arn", dense_rank().over(srcW))
         .filter(col("arn") <= 8)
-        .dropDuplicates("label", "src", "dst")
         .select(col("label"), col("src"), col("dst"))
       val bigEdges = shortlist
         .join(big.select(col("vec_id").as("src"), col("embedding").as("sv"), col("nrm").as("sn")), "src")

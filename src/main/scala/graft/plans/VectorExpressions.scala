@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -916,6 +916,80 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = newLeft, right = newRight)
 }
 
+/** Smallest-shared-POSTED-lane election for multi-table LSH candidate
+  * generation: given the probing vector's per-table bucket array `first`,
+  * the posted vector's bucket array `second`, and a bitmask `third` whose
+  * bit t says "the posted vector survived posting truncation in table t",
+  * returns the smallest table index where both buckets agree AND the
+  * posting bit is set (−1 if none — unreachable for rows produced by the
+  * bucket equi-join, which guarantees at least the joining table
+  * qualifies).
+  *
+  * This is the batch form of the StreamDedup/StreamEmbDedup band-election
+  * rule: a pair colliding in k of 16 tables is generated k times by the
+  * bucket join; filtering on `elect == t` keeps exactly the one copy from
+  * the elected table, deterministically, with NO dedup shuffle — a
+  * map-side filter replaces `dropDuplicates` over the ~16×-inflated
+  * candidate stream. The posted-mask argument keeps the election honest
+  * under posting truncation: electing a lane where the posted side was
+  * truncated would drop the pair entirely, so only posted lanes are
+  * eligible — the surviving pair set is IDENTICAL to the dedup-based
+  * formulation's. Sixteen long compares per candidate row, codegen'd. */
+case class ElectLane(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  private def isLongVec(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongVec(first.dataType) && isLongVec(second.dataType) &&
+        third.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_elect_lane expects (array<bigint>, array<bigint>, bigint), got " +
+        s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val m = c.asInstanceOf[Long]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var res = -1
+    while (i < n && res < 0) {
+      if (((m >>> i) & 1L) == 1L && x.getLong(i) == y.getLong(i)) res = i
+      i += 1
+    }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ((($c >>> $i) & 1L) == 1L && $a.getLong($i) == $b.getLong($i)) {
+         |    $res = $i;
+         |    break;
+         |  }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object PqAdc {
   /** Descriptive errors shared by the interpreted and generated paths —
     * geometry problems must name the expected M×K shape, not surface as an
@@ -959,6 +1033,12 @@ object VectorExpressions {
   /** Column-API entry point: Jaccard of two sorted array<long> sets. */
   def sortedJaccard(a: Column, b: Column): Column =
     Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-API entry point: smallest shared POSTED lane of two per-table
+    * bucket arrays — the multi-table LSH pair-election kernel. */
+  def electLane(slanes: Column, dlanes: Column, postedMask: Column): Column =
+    Bridge.column(ElectLane(Bridge.expression(slanes), Bridge.expression(dlanes),
+      Bridge.expression(postedMask)))
 
   /** Column-API entry point: containment |∩|/min(|a|,|b|) of two sorted
     * array<long> sets. */
