@@ -912,12 +912,48 @@ class PipelineSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
-  test("multimodal feature stub matches a direct expression computation") {
-    val out = Multimodal.mmFeatureStub.fn(spark, sfDir)
-    val direct = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), length(col("text")).cast("long").as("expect_bytes"))
-    val joined = out.join(direct, "doc_id").filter(col("n_bytes") =!= col("expect_bytes"))
-    assert(joined.count() == 0)
+  test("mm_feature_extract / mm_resize: outputs come from the genuinely decoded grid") {
+    import spark.implicits._
+    // independent recomputation from the LAYOUT RULE (text bytes on a
+    // 32-wide zero-padded grid), bypassing the PNG container entirely:
+    // operator output equal row-for-row proves the synth→parse roundtrip
+    // is faithful AND the feature/resize arithmetic is exact
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def grid(text: String): (Int, Array[Int]) = {
+      val tb = text.getBytes("US-ASCII")
+      val h = (tb.length + 31) / 32
+      (h, Array.tabulate(h * 32)(i => if (i < tb.length) tb(i) & 0xff else 0))
+    }
+    val expFeat = docs.filter(_._2.nonEmpty).map { case (id, text) =>
+      val (h, px) = grid(text)
+      var gx = 0L; var gy = 0L; var peak = 0L
+      for (r <- 0 until h; c <- 0 until 32) {
+        if (c > 0) { val g = math.abs(px(r * 32 + c) - px(r * 32 + c - 1)).toLong; gx += g; peak = peak max g }
+        if (r > 0) { val g = math.abs(px(r * 32 + c) - px((r - 1) * 32 + c)).toLong; gy += g; peak = peak max g }
+      }
+      (id, 32, h, h.toLong * 32, (10000L * gx) / (h * 31L),
+        if (h == 1) 0L else (10000L * gy) / ((h - 1) * 32L), peak)
+    }.sortBy(_._1).toSeq
+    val gotFeat = Multimodal.mmFeatureExtract.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(gotFeat == expFeat, s"feature mismatch: ${gotFeat.diff(expFeat).take(2)}")
+    val expRes = docs.filter(_._2.length > 32).map { case (id, text) =>
+      val (h, px) = grid(text)
+      val h2 = h / 2
+      var sum = 0L; var peak = 0L
+      for (rr <- 0 until h2; cc <- 0 until 16) {
+        val i00 = 2 * rr * 32 + 2 * cc
+        val v = Math.floorDiv(px(i00) + px(i00 + 1) + px(i00 + 32) + px(i00 + 33), 4).toLong
+        sum += v; peak = peak max v
+      }
+      (id, 16, h2, h2 * 16L, peak, (10000L * sum) / (h2 * 16L), sum)
+    }.sortBy(_._1).toSeq
+    val gotRes = Multimodal.mmResize.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(gotRes == expRes, s"resize mismatch: ${gotRes.diff(expRes).take(2)}")
   }
 
   test("mm_wav_decode: the WAV parser is real — round-trips, walks chunks, rejects junk") {
