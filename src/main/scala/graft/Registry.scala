@@ -42,4 +42,25 @@ object Registry {
     import org.apache.spark.sql.functions._
     coalesce(pmod(anchor.cast("bigint"), lit(1)), lit(0))
   }
+
+  /** Guaranteed-unique, session-stable STRING token for memo keys — never
+    * the SparkSession object itself (which would pin a stopped session for
+    * the JVM lifetime). `applicationId + identityHashCode` is NOT
+    * collision-free: `newSession()` siblings share the applicationId,
+    * identity hashes can collide between live objects and are reusable
+    * after GC — a memo hit could then hand back a frame resolved under a
+    * different (possibly stopped) session. Each session gets one random
+    * UUID via a WeakHashMap, so the mapping dies with the session and two
+    * sessions can never share a token. */
+  private val sessionTokens = new java.util.WeakHashMap[SparkSession, String]()
+
+  def sessionToken(s: SparkSession): String = sessionTokens.synchronized {
+    val hit = sessionTokens.get(s)
+    if (hit != null) hit
+    else {
+      val t = java.util.UUID.randomUUID().toString
+      sessionTokens.put(s, t)
+      t
+    }
+  }
 }

@@ -12,25 +12,25 @@ import graft.{QueryDef, Tables}
   */
 object AnalyticsExt {
 
-  /** Per-group row bound above which the plain windowed-ntile lane
-    * DELEGATES to its scale-safe twin [[ScalePatterns.qNtileDist]]
-    * (identical output, shared oracle): a window partitioned by 5
-    * priorities funnels each group through ONE task's sort, which at
-    * sf10 means ~3M-row single-reducer sorts (measured 19.6 s vs the
-    * twin's 9.3 s) and at 100 TB is a dead plan. Under the bound the
-    * single-sort window IS the right plan (no two-phase overhead), so
-    * bench-SF runs keep the baseline shape; the guard costs one
-    * hash-agg count job. */
-  private val NtileSingleSortCap = 2000000L
-
-  /** Quartile bucketing within groups (ntile window). */
+  /** Quartile bucketing within groups (ntile window). Above
+    * [[Guards.SingleSortCap]] rows in one priority group the plain
+    * windowed lane DELEGATES to its scale-safe twin
+    * [[ScalePatterns.qNtileDist]] (identical output, shared oracle): a
+    * window partitioned by 5 priorities funnels each group through ONE
+    * task's sort, which at sf10 means ~3M-row single-reducer sorts
+    * (measured 19.6 s vs the twin's 9.3 s) and at 100 TB is a dead
+    * plan. Under the bound the single-sort window IS the right plan (no
+    * two-phase overhead), so bench-SF runs keep the baseline shape; the
+    * guard count job is memoized per (session, dir) in [[Guards]]. */
   val qNtile: QueryDef = QueryDef(
     "q_ntile",
     (s, d) => {
-      val maxGroup = Tables.orders(s, d)
-        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).first().getLong(0)
-      if (maxGroup > NtileSingleSortCap) ScalePatterns.qNtileDist.fn(s, d)
+      val maxGroup = Guards.maxGroupRows(s, d, "orders_priority") {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (maxGroup > Guards.SingleSortCap) ScalePatterns.qNtileDist.fn(s, d)
       else {
         val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
         Tables.orders(s, d)

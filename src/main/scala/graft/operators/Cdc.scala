@@ -572,20 +572,40 @@ object Cdc {
     * the streaming path re-sorts each micro-batch by (ts, seq). A row is
     * late iff some earlier-replayed row of the same key carries a LARGER
     * event_id (running max over the preceding frame). One user_id
-    * exchange shared by the window and the aggregate. */
+    * exchange shared by the window and the aggregate.
+    *
+    * HOT-KEY GUARD (round 12; the q_ntile pattern): a per-user ordered
+    * window is irreducibly sequential per key, so one user holding
+    * more than [[graft.operators.Guards.SingleSortCap]] rows becomes a
+    * straggler task (GenSkew measurements: 1M-row hot user → plain
+    * 10.9 s still beats the twin's 12.2; 5M-row → 32.3 vs 24.1 and a
+    * 6.7× degradation from unskewed). Above the cap this lane DELEGATES
+    * to [[graft.operators.ScalePatterns.qLateArrivalsDist]]'s two-phase
+    * prefix scan — IDENTICAL output, same oracle SQL (spec-proven
+    * row-identity on an 80%-hot frame) — so the user no longer has to
+    * know to pick the `_dist` twin by hand. The guard's max-rows-per-key
+    * count job is memoized per (session, dir) in [[graft.operators.Guards]]. */
   val cdcLateArrivals: QueryDef = QueryDef(
     "cdc_late_arrivals",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev(s, d)
-        .withColumn("prev_max_id", max(col("event_id")).over(w))
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(when(col("prev_max_id") > col("event_id"), 1L).otherwise(0L)).as("n_late"),
-          max(when(col("prev_max_id") > col("event_id"), col("prev_max_id") - col("event_id"))).as("worst_inversion"))
-        .orderBy("user_id")
+      val hottest = graft.operators.Guards.maxGroupRows(s, d, "events_user") {
+        ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > graft.operators.Guards.SingleSortCap)
+        graft.operators.ScalePatterns.qLateArrivalsDist.fn(s, d)
+      else {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d)
+          .withColumn("prev_max_id", max(col("event_id")).over(w))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("prev_max_id") > col("event_id"), 1L).otherwise(0L)).as("n_late"),
+            max(when(col("prev_max_id") > col("event_id"), col("prev_max_id") - col("event_id"))).as("worst_inversion"))
+          .orderBy("user_id")
+      }
     },
     Some("""
       SELECT user_id, count(*) AS n_events,

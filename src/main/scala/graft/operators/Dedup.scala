@@ -110,7 +110,7 @@ object Dedup {
     * interpreted (~1us/element), which costs seconds per corpus pass,
     * while the token stream + hash + set-aggregate path is codegen'd
     * end-to-end (one shuffle of 8-byte hashes). */
-  private def docHashedShingles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docHashedShingles(s: SparkSession, d: String): DataFrame = {
     val sets = shingleTokens(s, d)
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))
@@ -394,10 +394,11 @@ object Dedup {
     * corpora per session); an embedded long-lived server cycling through
     * many data dirs rolls over at the cap instead of accumulating pinned
     * checkpoint blocks forever. */
-  /** Session-stable string key (applicationId + identity) — never the
-    * session OBJECT, so the memo can't pin a stopped session. */
-  private def sessionKey(s: SparkSession): String =
-    s.sparkContext.applicationId + "@" + Integer.toHexString(System.identityHashCode(s))
+  /** Guaranteed-unique session-stable string key ([[graft.Registry
+    * .sessionToken]]'s per-session UUID) — never the session OBJECT, so
+    * the memo can't pin a stopped session, and never appId+identityHash,
+    * which collides across newSession() siblings / GC'd sessions. */
+  private def sessionKey(s: SparkSession): String = graft.Registry.sessionToken(s)
 
   private val DedupMemoCap = 64
   private val pairsMemo =
@@ -781,10 +782,17 @@ object Dedup {
     * with block document-frequency in [2, maxDf] — then confirm exactly.
     * MinHash banding would be the WRONG router here (a contained short
     * doc's Jaccard is low, so its bands never collide); rare-shingle
-    * blocking recalls any pair sharing at least one non-boilerplate
-    * shingle, and bounds work at O(postings × df) pairs, never
-    * O(block²). Scored by the codegen'd [[graft.plans.SortedContainment]]
-    * merge kernel (zero allocation per pair). */
+    * blocking recalls any pair sharing at least TWO shingles with block
+    * document-frequency in [2, maxDf] (the round-11 shared-evidence
+    * floor — a single shared rare shingle is the long tail of
+    * coincidental collisions and never reaches the fat confirm join;
+    * pairs whose overlap is entirely boilerplate with df > maxDf, or
+    * rests on one rare shingle only, are out of recall BY CONSTRUCTION —
+    * the df-window/floor recall is measured in RecallCheck's containment
+    * mode, see PLANS.md "Round 12"), and bounds work at
+    * O(postings × df) pairs, never O(block²). Scored by the codegen'd
+    * [[graft.plans.SortedContainment]] merge kernel (zero allocation per
+    * pair). */
   val dedupContainment: QueryDef = QueryDef(
     "dedup_containment",
     (s, d) => containmentTop3(s, d, blockCap),
@@ -830,33 +838,7 @@ object Dedup {
       .withColumn("cont", cont)
       .select(col("lang"), col("source"), col("id1"), col("id2"), col("cont"))
 
-    // Rare-shingle posting candidates for over-cap blocks. Exploding a
-    // MATERIALIZED (cached) array column is safe — the Generate pitfall is
-    // re-evaluating an expensive generator EXPRESSION per output row.
-    val posts = big.select(col("lang"), col("source"), col("doc_id"), explode(col("hsh")).as("h"))
-    val rare = posts.groupBy(col("lang"), col("source"), col("h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select("lang", "source", "h")
-    val rarePosts = posts.join(rare, Seq("lang", "source", "h"))
-    // SHARED-EVIDENCE floor before the fat confirm (round 11; PLANS.md
-    // "bounded per-posting" lever, resolved as a count threshold): the
-    // candidate dedup ALREADY pays one id-only exchange (24 B rows), so
-    // counting shared rare shingles per pair costs the same as the old
-    // dropDuplicates — but pairs with a single shared rare shingle (the
-    // long tail of coincidental collisions) never reach the confirm join
-    // that ships ~3.5 KB shingle arrays per side. A genuine containment
-    // pair shares MANY rare shingles (the quote-inclusion spec pair
-    // shares ~18), so the ≥2 floor trims volume, not recall — unlike the
-    // REVERTED global per-block rank, this adds no window sort.
-    val bigPairs = rarePosts.as("x")
-      .join(rarePosts.as("y"), Seq("lang", "source", "h"))
-      .select(col("lang"), col("source"), col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("lang"), col("source"), col("id1"), col("id2"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-      .drop("shared")
+    val bigPairs = containmentCandidates(big, maxDf, minShared)
       .join(big.select(col("doc_id").as("id1"), col("hsh").as("h1")), "id1")
       .join(big.select(col("doc_id").as("id2"), col("hsh").as("h2")), "id2")
       .withColumn("cont", cont)
@@ -868,6 +850,40 @@ object Dedup {
       .filter(col("rn") <= 3)
       .select(col("lang"), col("source"), col("id1"), col("id2"), round(col("cont"), 6).as("cont"), col("rn"))
       .orderBy("lang", "source", "rn")
+  }
+
+  /** The over-cap CANDIDATE stage of [[containmentTop3]], factored so
+    * RecallCheck's containment mode measures the df-window + floor recall
+    * through the exact production code path. Rare-shingle postings (block
+    * document-frequency in [2, maxDf]) self-joined per shingle, then the
+    * SHARED-EVIDENCE floor (round 11; PLANS.md "bounded per-posting"
+    * lever, resolved as a count threshold): the candidate dedup ALREADY
+    * pays one id-only exchange (24 B rows), so counting shared rare
+    * shingles per pair costs the same as the old dropDuplicates — but
+    * pairs with a single shared rare shingle (the long tail of
+    * coincidental collisions) never reach the confirm join that ships
+    * ~3.5 KB shingle arrays per side. A genuine containment pair shares
+    * MANY rare shingles (the quote-inclusion spec pair shares ~18).
+    * Exploding a MATERIALIZED (cached) array column is safe — the
+    * Generate pitfall is re-evaluating an expensive generator EXPRESSION
+    * per output row. Recall bounds of the window are MEASURED, not
+    * assumed: see PLANS.md "Round 12" (RecallCheck containment mode). */
+  private[graft] def containmentCandidates(big: DataFrame, maxDf: Int,
+      minShared: Int): DataFrame = {
+    val posts = big.select(col("lang"), col("source"), col("doc_id"), explode(col("hsh")).as("h"))
+    val rare = posts.groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("lang", "source", "h")
+    val rarePosts = posts.join(rare, Seq("lang", "source", "h"))
+    rarePosts.as("x")
+      .join(rarePosts.as("y"), Seq("lang", "source", "h"))
+      .select(col("lang"), col("source"), col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("lang"), col("source"), col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .drop("shared")
   }
 
   /** EXACT-SUBSTRING repeat detection — the Lee et al. 2022

@@ -962,10 +962,11 @@ object TextAnalysis {
     * training job runs OUTSIDE any map lock — `computeIfAbsent` would
     * hold its bin lock across the whole 12-round Spark job, blocking any
     * unrelated key that hashes to the same bin. */
-  /** Session-stable string key (applicationId + identity) — never the
-    * session OBJECT, so the memo can't pin a stopped session. */
-  private def sessionKey(s: SparkSession): String =
-    s.sparkContext.applicationId + "@" + Integer.toHexString(System.identityHashCode(s))
+  /** Guaranteed-unique session-stable string key ([[graft.Registry
+    * .sessionToken]]'s per-session UUID) — never the session OBJECT, so
+    * the memo can't pin a stopped session, and never appId+identityHash,
+    * which collides across newSession() siblings / GC'd sessions. */
+  private def sessionKey(s: SparkSession): String = graft.Registry.sessionToken(s)
 
   private val BpeMemoCap = 64
   private val bpeMemo =

@@ -326,12 +326,20 @@ object TpchMore {
   val qRfmSegments: QueryDef = QueryDef(
     "q_rfm_segments",
     (s, d) => {
+      // Pinned eagerly: FOUR consumers read this keys-sized frame (the
+      // three independent quintile chains — whose bucketedRank bounds/
+      // offsets passes each re-scan their input — plus the final join);
+      // without it the plan re-runs the orders scan + aggregate 13×
+      // (probe census: 13 parquet scans, 42 exchanges, ZERO
+      // ReusedExchange across the AQE-compiled subtrees). ~30 B/customer,
+      // orders of magnitude below the fact at any SF.
       val per = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(
           max(col("o_orderdate")).as("last_order"),
           count(lit(1)).as("freq"),
           sum(cents("o_totalprice")).as("monetary_c"))
+        .localCheckpoint(true)
       // bucketedRank wants (key, v, id): key is the non-foldable constant
       // (single logical frame — parallelism comes from the B value buckets,
       // not the key), v the ORDER BY value, id the custkey tiebreak. Each

@@ -106,10 +106,15 @@ object StreamAnnServe {
       query_id: Long, neighbor_id: Long, qv: Seq[Float], qn: Double)
 
   /** Pre-shortlist candidate row: either a probed (cell-joined) corpus
-    * code with its ADC, or the query's own marker row (neighbor_id = -1)
-    * carrying the float vector + norm for the downstream rerank. */
+    * code with its ADC, or the query's own marker row carrying the float
+    * vector + norm for the downstream rerank. The marker is an EXPLICIT
+    * boolean, not an in-band sentinel id — a corpus whose vec_id space
+    * includes any reserved value can never be swallowed as a marker (the
+    * old `neighbor_id == -1` convention would silently overwrite the
+    * query payload with that row's and drop it from ranking). */
   case class Cand(
-      query_id: Long, neighbor_id: Long, adc: Double, qv: Seq[Float], qn: Double)
+      query_id: Long, neighbor_id: Long, adc: Double, qv: Seq[Float], qn: Double,
+      is_marker: Boolean)
 
   /** INDEXED streaming ANN serving — [[graft.operators.Similarity.annIndexSearch]]'s
     * exact plan under Structured Streaming, hit-for-hit (spec-asserted):
@@ -162,11 +167,13 @@ object StreamAnnServe {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut")).as("adc"),
-        lit(null).cast("array<float>").as("qv"), lit(0.0).as("qn"))
+        lit(null).cast("array<float>").as("qv"), lit(0.0).as("qn"),
+        lit(false).as("is_marker"))
     val markers = queries.select( // one row per query: the rerank payload
       col("query_id"), lit(-1L).as("neighbor_id"), lit(0.0).as("adc"),
       col("embedding").as("qv"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+      sqrt(dot(col("embedding"), col("embedding"))).as("qn"),
+      lit(true).as("is_marker"))
     val shortlist = cand.unionByName(markers).as[Cand]
       .groupByKey(_.query_id)
       .flatMapGroupsWithState[Long, Shortlisted](OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -182,7 +189,7 @@ object StreamAnnServe {
           def beats(a: Double, id: Long, i: Int): Boolean =
             ds(i) > a || (ds(i) == a && ids(i) > id)
           it.foreach { c =>
-            if (c.neighbor_id == -1L) { qv = c.qv; qn = c.qn }
+            if (c.is_marker) { qv = c.qv; qn = c.qn }
             else if (n < shortN || beats(c.adc, c.neighbor_id, shortN - 1)) {
               var pos = if (n < shortN) { n += 1; n - 1 } else shortN - 1
               ids(pos) = c.neighbor_id; ds(pos) = c.adc

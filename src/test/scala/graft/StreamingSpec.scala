@@ -1652,6 +1652,11 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("streamembbounded").select("id1", "id2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == Set((1L, 2L), (3L, 4L)), s"expected {(1,2),(3,4)}: $got")
+      // telemetry gate: ≤ 5 vectors × 16 band rows ever, lean members
+      // (id + 16 packed sigs + ts) — a footprint regression fails with
+      // the per-row byte figure, not a downstream 2× heuristic
+      assertStateBounds(q, maxRows = 5L * 16, maxBytesPerRow = 1024,
+        tag = "streamembbounded")
     } finally q.stop()
   }
 
@@ -1746,6 +1751,9 @@ class StreamingSpec extends SparkSpec {
             new java.sql.Timestamp(1000000L + i))
         }
         mem.addData(docs: _*); q.processAllAvailable()
+        // absolute telemetry gate: 16 lean band rows per doc, bounded
+        // per-member footprint — a leak fails here with the numbers
+        assertStateBounds(q, maxRows = 40L * 16, maxBytesPerRow = 1024, tag = name)
         val prog = q.recentProgress.flatMap(_.stateOperators.headOption)
         (prog.map(_.numRowsTotal).max, prog.map(_.memoryUsedBytes).max)
       } finally q.stop()
@@ -1829,9 +1837,9 @@ class StreamingSpec extends SparkSpec {
         mem.addData((100L + i, 10L + i, "click", ts(1000L * i)))
         q.processAllAvailable()
       }
-      val lastRows = q.recentProgress.flatMap(_.stateOperators.headOption)
-        .map(_.numRowsTotal).last
-      assert(lastRows <= 2, s"idle state not swept: $lastRows rows remain")
+      // telemetry gate: only the two newest carrier scalars may remain
+      // after the idle sweep, each a bounded per-user record
+      assertStateBounds(q, maxRows = 2, maxBytesPerRow = 2048, tag = "wfunnel_guard")
       val emitted = spark.table("wfunnel_guard").collect()
         .map(r => (r.getLong(0), r.getInt(1))).toSet
       assert(emitted == Set((1L, 1), (1L, 2)), s"carriers must not emit: $emitted")
