@@ -12,19 +12,19 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // q_rfm_segments watch adjudication: same-session repeats + plan census
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val n = df.count()
-      System.err.println(f"[probe] $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    val q = graft.operators.TpchMore.qRfmSegments.fn(spark, d)
-    val plan = q.queryExecution.executedPlan.toString
-    System.err.println(s"[probe] scans=${plan.split("Scan parquet").length - 1} " +
-      s"exchanges=${plan.split("Exchange").length - 1} " +
-      s"reused=${plan.split("ReusedExchange").length - 1}")
-    for (r <- 1 to 4)
-      time(s"q_rfm_segments#$r")(graft.operators.TpchMore.qRfmSegments.fn(spark, d))
+    import graft.plans.VectorExpressions
+    // routed-recall measurement on the spec's 600-member over-cap label
+    val raw = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .filter(col("vec_id") < 600)
+      .select(lit(0).as("label"), col("vec_id"), col("embedding"))
+    val base = raw
+      .withColumn("nrm", sqrt(VectorExpressions.floatDot(col("embedding"), col("embedding"))))
+      .withColumn("label_n", lit(600L))
+    val got = operators.Similarity.knnGraphFor(spark, base, 512).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    val exact = operators.Similarity.knnGraphFor(spark, base, 1024).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    System.err.println(f"[probe] routed recall ${got.intersect(exact).size.toDouble / exact.size}%.4f" +
+      s" (${got.intersect(exact).size}/${exact.size})")
   }
 }

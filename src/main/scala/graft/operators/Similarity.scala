@@ -224,7 +224,8 @@ object Similarity {
     * what lets the candidate join elect the smallest shared posted lane
     * map-side ([[graft.plans.ElectLane]]) instead of paying a
     * dropDuplicates shuffle over the ~nTables×-inflated pair stream. */
-  private def laneMeta(big: DataFrame, nTables: Int, nPlanes: Int): DataFrame = {
+  private def laneMeta(big: DataFrame, nTables: Int, nPlanes: Int,
+      withFlips: Boolean = false): DataFrame = {
     def wgt(t: Int, p: Int, i: Int): Double =
       ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
         .toDouble / 1000003.0 - 0.5
@@ -233,10 +234,21 @@ object Similarity {
         Array.tabulate(Dim)(i => wgt(t, p, i))).toArray
     val nWords = (nTables * nPlanes + 63) / 64
     val sigWords = (0 until nWords).map(i => element_at(col("sig"), i + 1).as(s"w$i"))
-    val sig = big.select(col("label"), col("vec_id"),
+    // `withFlips` adds the best-flip probe buckets (`flips(t)` = the
+    // table-t bucket with its least-confident bit flipped — the
+    // [[graft.plans.HyperplaneFlips]] 1-probe multi-probe kernel, same
+    // deterministic plane matrix) in the SAME projection; legs that
+    // don't multi-probe never pay the second plane pass.
+    val flipCol =
+      if (withFlips)
+        Seq(graft.plans.VectorExpressions.hyperplaneFlips(col("embedding"), planes, nPlanes)
+          .as("flips"))
+      else Seq.empty
+    val sig = big.select(Seq(col("label"), col("vec_id"),
       graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"),
-      graft.plans.VectorExpressions.quantize(col("embedding")).as("q8"))
-      .select(col("label") +: col("vec_id") +: col("q8") +: sigWords: _*)
+      graft.plans.VectorExpressions.quantize(col("embedding")).as("q8")) ++ flipCol: _*)
+      .select(Seq(col("label"), col("vec_id"), col("q8")) ++
+        (if (withFlips) Seq(col("flips")) else Seq.empty) ++ sigWords: _*)
     val laneMask = (1L << nPlanes) - 1
     val laneCols = (0 until nTables).map { t =>
       val start = t * nPlanes
@@ -247,7 +259,8 @@ object Similarity {
         low.bitwiseOR(shiftleft(col(s"w${i0 + 1}"), 64 - sh)).bitwiseAND(lit(laneMask))
       else low.bitwiseAND(lit(laneMask))
     }
-    sig.select(col("label"), col("vec_id"), col("q8"), array(laneCols: _*).as("lanes"))
+    sig.select(Seq(col("label"), col("vec_id"), col("q8"), array(laneCols: _*).as("lanes")) ++
+      (if (withFlips) Seq(col("flips")) else Seq.empty): _*)
   }
 
   private[graft] def embeddingTop3(s: SparkSession, d: String, cap: Int): DataFrame = {
@@ -1379,15 +1392,21 @@ object Similarity {
     *
     * Under-cap labels: exact block self-join (one shuffle on `label`,
     * codegen'd FloatVecDot, per-src top-3 window). Over-cap labels —
-    * directed LSH kNN, O(n × lanes) never O(n²): one HyperplaneSig pass
-    * buckets members into 16 B-bit lanes (B grows with the block), the
-    * candidate join keeps the SRC side untruncated and truncates only
-    * the DST posting side (64 lowest ids per bucket — the FAISS
-    * oversized-list rule; a src in a hot bucket still gets candidates,
-    * it just meets a bounded posting), SQ8 int8 dots shortlist the top-8
-    * per src map-side (WindowGroupLimit), and only shortlist survivors
-    * touch float vectors for the exact 6-dp rerank. Both legs union
-    * into one per-src top-3 window. */
+    * directed LSH kNN, O(n × lanes) never O(n²): one [[laneMeta]] pass
+    * buckets members into 16 B-bit lanes (B grows with the block) and
+    * computes SQ8 codes + best-flip probe buckets; each member probes
+    * its exact AND its best-flip bucket per table (round-12 1-probe
+    * multi-probe — routed recall 0.394 → 0.533 on the spec's
+    * worst-case corpus for ~2× probe rows); the candidate join keeps
+    * the SRC side untruncated and truncates only the DST posting side
+    * (64 lowest ids per bucket — the FAISS oversized-list rule; a src
+    * in a hot bucket still gets candidates, it just meets a bounded
+    * posting); the [[graft.plans.ElectLaneMp]] smallest-shared-posted-
+    * lane election keeps each colliding pair exactly ONCE map-side (no
+    * dedup shuffle); SQ8 int8 dots shortlist the top-8 per src
+    * (WindowGroupLimit), and only shortlist survivors touch float
+    * vectors for the exact 6-dp rerank. Both legs union into one
+    * per-src top-3 window. */
   private[graft] def knnGraphFor(s: SparkSession, base: DataFrame, cap: Int): DataFrame = {
     val small = base.filter(col("label_n") <= cap)
     val a = small.select(col("label"), col("vec_id").as("src"),
@@ -1405,9 +1424,10 @@ object Similarity {
     val edges = if (maxBig == 0L) smallEdges else {
       val nTables = 16
       val big = base.filter(col("label_n") > cap)
-      // ONE signature + ONE quantize pass per vector, cached: consumed by
-      // the probe explode, the posting leg and the posted-mask aggregate.
-      val meta = laneMeta(big, nTables, lanePlanesFor(maxBig)).cache()
+      // ONE signature + ONE quantize + ONE best-flip pass per vector,
+      // cached: consumed by the probe explodes, the posting leg and the
+      // posted-mask aggregate.
+      val meta = laneMeta(big, nTables, lanePlanesFor(maxBig), withFlips = true).cache()
       val popW = Window.partitionBy(col("label"), col("t"), col("bucket")).orderBy(col("vec_id"))
       // postings stay NARROW (label, t, bucket, vec_id) through the
       // per-bucket truncation window; lane arrays / SQ8 codes re-attach
@@ -1426,22 +1446,28 @@ object Similarity {
           .join(pmask, Seq("vec_id")), Seq("vec_id"))
         .select(col("label"), col("t"), col("bucket"), col("vec_id").as("dst"),
           col("dlanes"), col("pmask"), col("qd"))
-      // probe side carries its OWN lane array + SQ8 codes into the bucket
-      // join, so the candidate stream never joins anything downstream:
-      // the smallest-shared-posted-lane election (codegen'd, map-side)
-      // keeps exactly ONE copy of each colliding pair — the ~16× candidate
-      // inflation dies in a filter, not in a dedup shuffle — and the int8
-      // dot scores it in the same stage (r11 verdict: this lane was 238.6 s
-      // at sf10, 43× its sf1 time, from per-shared-table pair copies ×
-      // two corpus-sized q8 joins × a 16×-inflated dense_rank exchange).
-      val probes = meta.select(col("label"), col("vec_id").as("src"),
-        col("lanes").as("slanes"), col("q8").as("qs"),
-        posexplode(col("lanes")).as(Seq("t", "bucket")))
+      // probe side carries its OWN lane + flip arrays + SQ8 codes into
+      // the bucket join, so the candidate stream never joins anything
+      // downstream: the smallest-shared-posted-lane election (codegen'd,
+      // map-side) keeps exactly ONE copy of each colliding pair — the
+      // ~16× candidate inflation dies in a filter, not in a dedup
+      // shuffle — and the int8 dot scores it in the same stage (r11
+      // verdict: this lane was 238.6 s at sf10, 43× its sf1 time, from
+      // per-shared-table pair copies × two corpus-sized q8 joins × a
+      // 16×-inflated dense_rank exchange). MULTI-PROBE (round 12): each
+      // vector also probes its best-flip bucket per table (the ann_lsh
+      // 1-bit trick, query-directed: the least-confident plane) — ~2×
+      // probe rows for the measured routed-recall lift; the election
+      // accepts either the exact or the flip match, still exactly once.
+      def probeRows(buckets: Column) = meta.select(col("label"), col("vec_id").as("src"),
+        col("lanes").as("slanes"), col("flips").as("sflips"), col("q8").as("qs"),
+        posexplode(buckets).as(Seq("t", "bucket")))
+      val probes = probeRows(col("lanes")).unionByName(probeRows(col("flips")))
       val srcW = Window.partitionBy(col("src")).orderBy(col("adot").desc, col("dst"))
       val shortlist = probes.join(posted, Seq("label", "t", "bucket"))
         .filter(col("src") =!= col("dst"))
-        .filter(graft.plans.VectorExpressions.electLane(
-          col("slanes"), col("dlanes"), col("pmask")) === col("t"))
+        .filter(graft.plans.VectorExpressions.electLaneMp(
+          col("slanes"), col("sflips"), col("dlanes"), col("pmask")) === col("t"))
         .select(col("label"), col("src"), col("dst"),
           graft.plans.VectorExpressions.int8Dot(col("qs"), col("qd")).as("adot"))
         .withColumn("arn", dense_rank().over(srcW))

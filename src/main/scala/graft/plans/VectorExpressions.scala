@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -164,6 +164,184 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** BEST-FLIP multi-probe companion of [[HyperplaneSig]]: for each of the
+  * `planes.length / nPlanes` tables, the table's B-bit bucket with its
+  * LEAST-CONFIDENT bit flipped — bucket XOR (1 << argmin_b |dot(vec,
+  * plane_b)|), ties toward the lower bit (deterministic). This is
+  * classic query-directed multi-probe (Lv et al., VLDB'07, the 1-probe
+  * case): the plane with the smallest |margin| is the one most likely to
+  * disagree between two near vectors, so probing that single flipped
+  * bucket roughly doubles per-table capture for ~2× candidate volume —
+  * against B extra buckets for full 1-bit probing. Same deterministic
+  * plane matrix as the signature pass (one constant reference object,
+  * two primitive loops, whole-stage codegen). Output: `array<long>` of
+  * nTables flip buckets, index-aligned with the unpacked lane array. */
+case class HyperplaneFlips(child: Expression, planes: Array[Array[Double]],
+    nPlanes: Int) extends UnaryExpression {
+
+  require(nPlanes >= 1 && planes.length % nPlanes == 0,
+    s"planes length ${planes.length} must be a multiple of nPlanes=$nPlanes")
+  private def nTables: Int = planes.length / nPlanes
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_flips expects array<float|double> input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var weakBit = 0
+      var weakAbs = Double.MaxValue
+      var b = 0
+      while (b < nPlanes) {
+        val p = planes(t * nPlanes + b)
+        val n = math.min(x.numElements(), p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) * p(i)
+          i += 1
+        }
+        if (acc >= 0) bucket |= 1L << b
+        val a = math.abs(acc)
+        if (a < weakAbs) { weakAbs = a; weakBit = b }
+        b += 1
+      }
+      out(t) = bucket ^ (1L << weakBit)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      val weakBit = ctx.freshName("weakBit")
+      val weakAbs = ctx.freshName("weakAbs")
+      val a = ctx.freshName("a")
+      val get = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      s"""
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  int $weakBit = 0;
+         |  double $weakAbs = Double.MAX_VALUE;
+         |  for (int $b = 0; $b < $nPlanes; $b++) {
+         |    double[] $p = $planesRef[$t * $nPlanes + $b];
+         |    int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $get * $p[$i];
+         |    }
+         |    if ($acc >= 0) $bucket |= 1L << $b;
+         |    double $a = java.lang.Math.abs($acc);
+         |    if ($a < $weakAbs) { $weakAbs = $a; $weakBit = $b; }
+         |  }
+         |  $out[$t] = $bucket ^ (1L << $weakBit);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Multi-probe variant of [[ElectLane]]: the probe side reaches a posted
+  * bucket either exactly (`slanes(t) == dlanes(t)`) or through its
+  * best-flip probe (`sflips(t) == dlanes(t)`, see [[HyperplaneFlips]]).
+  * Returns the smallest table index where either probe matches AND the
+  * posted-side survival bit is set (−1 if none). A pair generated by k
+  * probe rows across tables survives the `elect == t` filter exactly
+  * once: per table at most ONE of the two probes can equal the posted
+  * bucket (the flip differs from the exact bucket by construction), and
+  * election is deterministic across tables. */
+case class ElectLaneMp(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  private def isLongVec(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongVec(first.dataType) && isLongVec(second.dataType) &&
+        isLongVec(third.dataType) && fourth.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_elect_lane_mp expects (array<bigint>, array<bigint>, array<bigint>, bigint), " +
+        s"got ${first.dataType} / ${second.dataType} / ${third.dataType} / ${fourth.dataType}")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val sl = a.asInstanceOf[ArrayData]
+    val sf = b.asInstanceOf[ArrayData]
+    val dl = c.asInstanceOf[ArrayData]
+    val m = d.asInstanceOf[Long]
+    val n = math.min(math.min(sl.numElements(), sf.numElements()), dl.numElements())
+    var i = 0
+    var res = -1
+    while (i < n && res < 0) {
+      if (((m >>> i) & 1L) == 1L &&
+          (sl.getLong(i) == dl.getLong(i) || sf.getLong(i) == dl.getLong(i))) res = i
+      i += 1
+    }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val res = ctx.freshName("res")
+      val dv = ctx.freshName("dv")
+      s"""
+         |int $n = java.lang.Math.min(java.lang.Math.min($a.numElements(),
+         |  $b.numElements()), $c.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $dv = $c.getLong($i);
+         |  if ((($d >>> $i) & 1L) == 1L &&
+         |      ($a.getLong($i) == $dv || $b.getLong($i) == $dv)) {
+         |    $res = $i;
+         |    break;
+         |  }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 /** Top-N nearest centroids of a vector by cosine: returns
@@ -1039,6 +1217,18 @@ object VectorExpressions {
   def electLane(slanes: Column, dlanes: Column, postedMask: Column): Column =
     Bridge.column(ElectLane(Bridge.expression(slanes), Bridge.expression(dlanes),
       Bridge.expression(postedMask)))
+
+  /** Column-API entry point: per-table best-flip probe buckets (the
+    * 1-probe multi-probe kernel). Plane matrix is a plan constant. */
+  def hyperplaneFlips(v: Column, planes: Array[Array[Double]], nPlanes: Int): Column =
+    Bridge.column(HyperplaneFlips(Bridge.expression(v), planes, nPlanes))
+
+  /** Column-API entry point: [[electLane]] with the probe side also
+    * reaching through its best-flip bucket. */
+  def electLaneMp(slanes: Column, sflips: Column, dlanes: Column,
+      postedMask: Column): Column =
+    Bridge.column(ElectLaneMp(Bridge.expression(slanes), Bridge.expression(sflips),
+      Bridge.expression(dlanes), Bridge.expression(postedMask)))
 
   /** Column-API entry point: containment |∩|/min(|a|,|b|) of two sorted
     * array<long> sets. */
