@@ -906,6 +906,20 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("Guards.maxGroupRows memoizes the guard count per (session, dir, tag)") {
+    val dir = "/tmp/guards-" + java.util.UUID.randomUUID()
+    var calls = 0
+    def counted: Long = { calls += 1; 42L }
+    assert(graft.operators.Guards.maxGroupRows(spark, dir, "t1")(counted) == 42L)
+    assert(graft.operators.Guards.maxGroupRows(spark, dir, "t1")(counted) == 42L)
+    assert(graft.operators.Guards.maxGroupRows(spark, dir, "t2")(counted) == 42L)
+    assert(calls == 2, s"guard compute ran $calls times (memo miss on repeat?)")
+    // distinct sessions never share a memo entry (the UUID-token contract)
+    val sibling = spark.newSession()
+    assert(graft.operators.Guards.maxGroupRows(sibling, dir, "t1")(counted) == 42L)
+    assert(calls == 3, "newSession sibling must not hit the parent's memo")
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.operators.Similarity // touch
     graft.plans.VectorExpressions.register(spark)

@@ -112,6 +112,52 @@ class PropertySpec extends SparkSpec {
     }, n = 50)
   }
 
+  test("ElectLane / ElectLaneMp equal an independent smallest-lane fold") {
+    import spark.implicits._
+    // small bucket range so lane collisions actually occur
+    val lanesGen = Gen.listOfN(16, Gen.choose(0L, 3L))
+    val gen = for {
+      sl <- lanesGen; sf <- lanesGen; dl <- lanesGen
+      m <- Gen.choose(0L, (1L << 16) - 1)
+    } yield (sl, sf, dl, m)
+    assertProp(Prop.forAll(gen) { case (sl, sf, dl, m) =>
+      def ref(useFlips: Boolean): Int =
+        (0 until 16).find(i => ((m >>> i) & 1L) == 1L &&
+          (sl(i) == dl(i) || (useFlips && sf(i) == dl(i)))).getOrElse(-1)
+      val df = Seq((sl, sf, dl, m)).toDF("sl", "sf", "dl", "m")
+      val got = df.select(
+        graft.plans.VectorExpressions.electLane(col("sl"), col("dl"), col("m")),
+        graft.plans.VectorExpressions.electLaneMp(col("sl"), col("sf"), col("dl"), col("m")))
+        .head
+      got.getInt(0) == ref(useFlips = false) && got.getInt(1) == ref(useFlips = true)
+    }, n = 60)
+  }
+
+  test("HyperplaneFlips flips exactly the weakest bit of the signature bucket") {
+    import spark.implicits._
+    val nTables = 3; val nPlanes = 4; val dim = 6
+    def wgt(t: Int, p: Int, i: Int): Double = // deterministic small mix
+      (((t * 31 + p * 7 + i * 3 + 1) * 2654435761L) % 101).toDouble / 101.0 - 0.5
+    val planes = (for { t <- 0 until nTables; p <- 0 until nPlanes } yield
+      Array.tabulate(dim)(i => wgt(t, p, i))).toArray
+    val vecGen = Gen.listOfN(dim, Gen.choose(-3.0, 3.0).map(_.toFloat))
+    assertProp(Prop.forAll(vecGen) { v =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val flips = df.select(
+        graft.plans.VectorExpressions.hyperplaneFlips(col("v"), planes, nPlanes))
+        .head.getSeq[Long](0)
+      (0 until nTables).forall { t =>
+        val dots = (0 until nPlanes).map { b =>
+          planes(t * nPlanes + b).zip(v).map { case (w, x) => w * x.toDouble }.sum
+        }
+        val bucket = dots.zipWithIndex.filter(_._1 >= 0).map(1L << _._2).sum
+        val weak = dots.map(math.abs).zipWithIndex.minBy { case (a, b) => (a, b) }._2
+        flips(t) == (bucket ^ (1L << weak)) &&
+          java.lang.Long.bitCount(flips(t) ^ bucket) == 1
+      }
+    }, n = 60)
+  }
+
   test("PqEncode/PqLut/PqAdc agree with an independent recomputation") {
     import spark.implicits._
     // M=4 subspaces x 2 dims, K=3 centroids; vectors include the zero edge
