@@ -409,18 +409,30 @@ object Olap {
     """.stripMargin.trim)
   )
 
-  /** Exact interpolated percentiles per group. */
+  /** Exact interpolated percentiles per group. ROUND 12: guarded like
+    * q_ntile — the `percentile` aggregate BUFFERS every group value in
+    * one task's memory, so above [[Guards.SingleSortCap]] rows in any
+    * priority group the lane delegates to
+    * [[ScalePatterns.qPercentileDist]]'s two-phase bucketed-rank
+    * interpolation (identical output, same oracle); the guard stat is
+    * the SAME memoized (session, dir, "orders_priority") count q_ntile
+    * reads — no extra job. */
   val qPercentile: QueryDef = QueryDef(
     "q_percentile",
-    (s, d) =>
-      ord(s, d)
+    (s, d) => {
+      if (Guards.maxGroupRows(s, d, "orders_priority") {
+        Tables.orders(s, d).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.SingleSortCap) ScalePatterns.qPercentileDist.fn(s, d)
+      else ord(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n_orders")
         )
-        .orderBy(col("o_orderpriority")),
+        .orderBy(col("o_orderpriority"))
+    },
     Some("""
       SELECT o_orderpriority,
              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -599,19 +611,32 @@ object Olap {
     """.stripMargin.trim)
   )
 
-  /** Rank-distribution windows: percent_rank and cume_dist. */
+  /** Rank-distribution windows: percent_rank and cume_dist. ROUND 12:
+    * guarded like q_ntile — a #priorities-partitioned window funnels
+    * each group through one task's sort, so above
+    * [[Guards.SingleSortCap]] rows in any priority group (the SAME
+    * memoized "orders_priority" stat; conservative — the lane's own
+    * status filter only shrinks groups) the lane delegates to
+    * [[ScalePatterns.qCumeDistDist]]'s two-phase bucketed rank
+    * (identical output, same oracle). */
   val qCumeDist: QueryDef = QueryDef(
     "q_cume_dist",
     (s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .filter(col("o_orderstatus") === "F")
-        .select(
-          col("o_orderpriority"), col("o_orderkey"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume")
-        )
-        .orderBy("o_orderpriority", "o_orderkey")
+      if (Guards.maxGroupRows(s, d, "orders_priority") {
+        Tables.orders(s, d).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.SingleSortCap) ScalePatterns.qCumeDistDist.fn(s, d)
+      else {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume")
+          )
+          .orderBy("o_orderpriority", "o_orderkey")
+      }
     },
     Some("""
       SELECT o_orderpriority, o_orderkey,
