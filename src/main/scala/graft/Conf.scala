@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Deployment-tunable scale knobs, exposed as `spark.graft.*` runtime confs
+  * (the [[GraftSql.DataDirConf]] pattern — settable per session, no
+  * rebuild). Every default is this repo's MEASURED 32-core constant; the
+  * scaladoc at each consuming operator records the measurement. The knobs
+  * move plan-ROUTING thresholds only: under-threshold plans are unchanged,
+  * and the guarded batch lanes delegate to oracle-proven-identical twins,
+  * so flipping a knob never changes an exact lane's answer — it changes
+  * which physical plan computes it (or, for the approximate ANN caps,
+  * where the declared exact→routed crossover sits).
+  *
+  * Why confs and not constants: PLANS.md's own scale notes say a
+  * 1000-executor deployment must move these (one straggler task idles the
+  * fleet, so the single-sort crossover sits far LEFT of a 32-thread box's;
+  * a memory-rich executor can hold bigger posting lists). Conf-reading
+  * makes that an ops decision instead of a fork. */
+object Conf {
+
+  /** Max rows one window partition may funnel through a single task's sort
+    * before a guarded lane delegates to its two-phase twin
+    * ([[graft.operators.Guards.SingleSortCap]] holds the measured
+    * rationale). */
+  val SingleSortCapConf = "spark.graft.singleSortCap"
+
+  /** Per-label block size above which emb_knn_graph routes members through
+    * the directed-LSH leg instead of the exact block self-join. */
+  val KnnBlockCapConf = "spark.graft.knnBlockCap"
+
+  /** Per-label block size above which dedup_embedding's pair audit takes
+    * the LSH candidate leg. */
+  val EmbBlockCapConf = "spark.graft.embBlockCap"
+
+  /** Posting-list truncation depth per (label, lane, bucket) in the
+    * over-cap ANN legs — the FAISS oversized-list rule's keep-k. */
+  val PostingCapConf = "spark.graft.postingCap"
+
+  /** Multi-probe depth for the over-cap emb_knn_graph leg: 0 = exact
+    * buckets only (worst-case recall 0.394), 1 = + best-flip bucket per
+    * table (0.533), 2 = + second-best flip (default — 0.595 on the
+    * uniform worst-case corpus at cost parity with depth 1; PLANS.md
+    * holds the measured recall/cost curve). */
+  val KnnProbeConf = "spark.graft.knnProbe"
+
+  def long(s: SparkSession, key: String, default: Long): Long =
+    s.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
+
+  def int(s: SparkSession, key: String, default: Int): Int =
+    s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
+}

@@ -54,6 +54,66 @@ object Registry {
     * sessions can never share a token. */
   private val sessionTokens = new java.util.WeakHashMap[SparkSession, String]()
 
+  /** cache() with a ONE-OUTSTANDING-PER-TAG lifetime: operators that cache
+    * a corpus-sized intermediate (laneMeta / the embeddingTop3 base) would
+    * otherwise accumulate cached blocks across repeated invocations in a
+    * long-lived session until LRU eviction — the same "session cache
+    * pressure" term PLANS.md round 12 measured at ~130 s of the r11 bench
+    * regression. Re-invoking with the same tag unpersists the PREVIOUS
+    * frame first (correctness is unaffected: a still-held old DataFrame
+    * just recomputes if consumed again), so steady-state storage is one
+    * frame per (session, tag). Holding the DataFrame strongly adds no pin
+    * beyond Spark's own CacheManager (which holds every cached plan until
+    * unpersist/clearCache anyway); the map is bounded like the Guards
+    * memo — on overflow it clears, which only drops unpersist HANDLES
+    * (stale entries belong to sessions whose stop already dropped their
+    * cache). */
+  private val CacheTagCap = 64
+  private val lastCached =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def boundedCache(s: SparkSession, tag: String, df: DataFrame): DataFrame = {
+    if (lastCached.size > CacheTagCap) lastCached.clear()
+    val prev = lastCached.put(sessionToken(s) + "|" + tag, df)
+    if (prev != null && (prev ne df))
+      try prev.unpersist(blocking = false) catch { case _: Throwable => () }
+    df.cache()
+  }
+
+  /** Cheap STALENESS fingerprint for a local data dir, mixed into the
+    * (session, dir)-keyed memos (Guards stats, Dedup pair/label frames,
+    * BPE merge tables): file count + max mtime over the dir, its table
+    * dirs and their part files. Without it, regenerating data under the
+    * same path in one session (GenScale/GenSkew → re-query, or a
+    * production append) silently reuses stale statistics/models — for
+    * Guards that can keep a single-sort plan under exactly the skew the
+    * guard exists for. Two directory listings per memo probe: microseconds
+    * against the multi-second jobs these memos save. Non-local / missing
+    * paths (an hdfs:// URI) return a constant — those fall back to the
+    * documented immutable-corpus assumption. */
+  def dirFingerprint(d: String): String =
+    try {
+      val root = new java.io.File(d)
+      if (!root.isDirectory) "nf"
+      else {
+        var n = 0L
+        var maxM = root.lastModified()
+        val top = root.listFiles()
+        if (top != null) top.foreach { f =>
+          n += 1
+          if (f.lastModified() > maxM) maxM = f.lastModified()
+          if (f.isDirectory) {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach { k =>
+              n += 1
+              if (k.lastModified() > maxM) maxM = k.lastModified()
+            }
+          }
+        }
+        n.toString + ":" + maxM
+      }
+    } catch { case _: Throwable => "nf" }
+
   def sessionToken(s: SparkSession): String = sessionTokens.synchronized {
     val hit = sessionTokens.get(s)
     if (hit != null) hit

@@ -30,7 +30,7 @@ object AnalyticsExt {
           .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
           .agg(max(col("n"))).first().getLong(0)
       }
-      if (maxGroup > Guards.SingleSortCap) ScalePatterns.qNtileDist.fn(s, d)
+      if (maxGroup > Guards.singleSortCap(s)) ScalePatterns.qNtileDist.fn(s, d)
       else {
         val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
         Tables.orders(s, d)

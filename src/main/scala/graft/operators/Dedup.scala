@@ -420,13 +420,16 @@ object Dedup {
 
   /** [[confirmedPairs]], computed once per (session, dir) and pinned. */
   private[graft] def confirmedPairsShared(s: SparkSession, d: String): DataFrame =
-    memoGet(pairsMemo, sessionKey(s) + "|" + d)(confirmedPairs(s, d).localCheckpoint(true))
+    // dirFingerprint: same-session corpus regeneration recomputes instead
+    // of serving pairs of the dead corpus (Guards memo contract)
+    memoGet(pairsMemo, sessionKey(s) + "|" + d + "|" + graft.Registry.dirFingerprint(d))(
+      confirmedPairs(s, d).localCheckpoint(true))
 
   /** Star-contraction labels over the shared pair set, computed once per
     * (session, dir) and pinned; returns (labels, parts) where `parts` is
     * the edge-graph-sized partition count the contraction ran with. */
   private[graft] def clusterLabelsShared(s: SparkSession, d: String): (DataFrame, Int) =
-    memoGet(labelsMemo, sessionKey(s) + "|" + d) {
+    memoGet(labelsMemo, sessionKey(s) + "|" + d + "|" + graft.Registry.dirFingerprint(d)) {
       val edges = confirmedPairsShared(s, d).select(col("id1"), col("id2"))
       // Size the contraction loop's parallelism to the DUP GRAPH, not the
       // corpus: the edge set is orders of magnitude smaller than its

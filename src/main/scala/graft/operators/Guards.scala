@@ -22,8 +22,17 @@ object Guards {
     * and the plain form degraded 6.7× from its unskewed time). Under the
     * bound the single sort IS the right plan (no two-phase overhead); on
     * a 1000-executor cluster the crossover moves far left because one
-    * straggler task idles the fleet, so a deployment would lower this. */
+    * straggler task idles the fleet, so a deployment would lower this.
+    *
+    * Round 13: overridable per session via `spark.graft.singleSortCap`
+    * ([[graft.Conf.SingleSortCapConf]]) — the crossover is a property of
+    * the DEPLOYMENT (task heap, executor count, straggler tolerance), so
+    * it must move without a rebuild. [[SingleSortCap]] stays as the
+    * measured default. */
   val SingleSortCap = 2000000L
+
+  def singleSortCap(s: SparkSession): Long =
+    graft.Conf.long(s, graft.Conf.SingleSortCapConf, SingleSortCap)
 
   private val MemoCap = 256
   private val memo =
@@ -32,7 +41,12 @@ object Guards {
   /** Memoized guard statistic: computes (once per session/dir/tag) the
     * caller's max-group-size aggregate. */
   def maxGroupRows(s: SparkSession, d: String, tag: String)(compute: => Long): Long = {
-    val key = graft.Registry.sessionToken(s) + "|" + d + "|" + tag
+    // dirFingerprint (round 13): data regenerated/appended under the same
+    // path invalidates the stat, so the guard re-counts and can FLIP the
+    // plan — a stale "under cap" must never keep a single-sort plan under
+    // exactly the skew the guard exists for.
+    val key = graft.Registry.sessionToken(s) + "|" + d + "|" +
+      graft.Registry.dirFingerprint(d) + "|" + tag
     val hit = memo.get(key)
     if (hit != null) hit.longValue
     else {

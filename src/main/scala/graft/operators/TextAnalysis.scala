@@ -973,7 +973,9 @@ object TextAnalysis {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
 
   private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
-    val key = sessionKey(s) + "|" + d
+    // dirFingerprint: a same-session corpus regeneration retrains instead
+    // of silently reusing the stale merge table (Guards memo contract)
+    val key = sessionKey(s) + "|" + d + "|" + graft.Registry.dirFingerprint(d)
     val hit = bpeMemo.get(key)
     if (hit != null) hit
     else {
