@@ -196,21 +196,37 @@ object Cdc {
   )
 
   /** SCD type-2 history: every event becomes a version row with a
-    * [valid_from, valid_to) interval per key. */
+    * [valid_from, valid_to) interval per key.
+    *
+    * HOT-KEY GUARD (round 13; the cdc_late_arrivals pattern): the
+    * per-key lead window funnels a hot key's whole history through one
+    * task's sort, so above [[graft.operators.Guards.singleSortCap]]
+    * rows for any key this delegates to [[graft.operators.ScalePatterns
+    * .cdcScd2Dist]]'s bucketed-lead twin (identical output, same oracle;
+    * spec-proven row-identity on an 80%-hot frame) — reading the SAME
+    * memoized "events_user" count as cdc_late_arrivals/q_sessionize. */
   val cdcScd2: QueryDef = QueryDef(
     "cdc_scd2",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      ev(s, d)
-        .select(
-          col("user_id"),
-          col("event_id"),
-          opOf(col("event_type")).as("op"),
-          unix_micros(col("ts")).as("valid_from_us"),
-          unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"),
-          round(col("value"), 2).as("value")
-        )
-        .orderBy("user_id", "valid_from_us", "event_id")
+      val hottest = graft.operators.Guards.maxGroupRows(s, d, "events_user") {
+        ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > graft.operators.Guards.singleSortCap(s))
+        graft.operators.ScalePatterns.cdcScd2Dist.fn(s, d)
+      else {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            opOf(col("event_type")).as("op"),
+            unix_micros(col("ts")).as("valid_from_us"),
+            unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"),
+            round(col("value"), 2).as("value")
+          )
+          .orderBy("user_id", "valid_from_us", "event_id")
+      }
     },
     Some(s"""
       SELECT user_id, event_id,
@@ -592,7 +608,7 @@ object Cdc {
         ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
           .agg(max(col("n"))).first().getLong(0)
       }
-      if (hottest > graft.operators.Guards.SingleSortCap)
+      if (hottest > graft.operators.Guards.singleSortCap(s))
         graft.operators.ScalePatterns.qLateArrivalsDist.fn(s, d)
       else {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

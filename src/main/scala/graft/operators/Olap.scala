@@ -292,23 +292,40 @@ object Olap {
   )
 
   /** Gap-based sessionization: 30-minute inactivity closes a session.
-    * lag + cumulative flag sum — one shuffle on user_id, reused by both windows. */
+    * lag + cumulative flag sum — one shuffle on user_id, reused by both windows.
+    *
+    * HOT-KEY GUARD (round 13; the cdc_late_arrivals pattern): the
+    * per-user ordered windows funnel a hot user's whole sequence through
+    * one task's sort (GenSkew r11 evidence: ~2× degradation at a
+    * 10%-mass user), so above [[Guards.singleSortCap]] rows for any one
+    * user — the SAME memoized "events_user" stat cdc_late_arrivals
+    * reads, one count job for both lanes — this delegates to
+    * [[ScalePatterns.qSessionizeDist]]'s two-phase prefix-scan twin
+    * (identical output, same oracle; spec-proven row-identity on an
+    * 80%-hot frame). */
   val qSessionize: QueryDef = QueryDef(
     "q_sessionize",
     (s, d) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn(
-          "new_sess",
-          when(col("prev_ts").isNull || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1).otherwise(0)
-        )
-        .withColumn("sess_id", sum(col("new_sess")).over(cum))
-        .groupBy(col("user_id"), col("sess_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sess_value"))
-        .orderBy(col("user_id"), col("sess_id"))
+      val hottest = Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > Guards.singleSortCap(s)) ScalePatterns.qSessionizeDist.fn(s, d)
+      else {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn(
+            "new_sess",
+            when(col("prev_ts").isNull || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1).otherwise(0)
+          )
+          .withColumn("sess_id", sum(col("new_sess")).over(cum))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sess_value"))
+          .orderBy(col("user_id"), col("sess_id"))
+      }
     },
     Some("""
       WITH flagged AS (
@@ -423,7 +440,7 @@ object Olap {
       if (Guards.maxGroupRows(s, d, "orders_priority") {
         Tables.orders(s, d).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
           .agg(max(col("n"))).first().getLong(0)
-      } > Guards.SingleSortCap) ScalePatterns.qPercentileDist.fn(s, d)
+      } > Guards.singleSortCap(s)) ScalePatterns.qPercentileDist.fn(s, d)
       else ord(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -625,7 +642,7 @@ object Olap {
       if (Guards.maxGroupRows(s, d, "orders_priority") {
         Tables.orders(s, d).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
           .agg(max(col("n"))).first().getLong(0)
-      } > Guards.SingleSortCap) ScalePatterns.qCumeDistDist.fn(s, d)
+      } > Guards.singleSortCap(s)) ScalePatterns.qCumeDistDist.fn(s, d)
       else {
         val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
         Tables.orders(s, d)

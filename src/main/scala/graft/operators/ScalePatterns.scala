@@ -288,7 +288,12 @@ object ScalePatterns {
         .select(
           col("key").as("o_orderpriority"),
           col("id").as("o_orderkey"),
-          round((col("r") - 1).cast("double") / (col("c") - 1), 6).as("pct_rank"),
+          // SQL percent_rank() is DEFINED as 0.0 for a 1-row partition;
+          // the raw (r-1)/(c-1) would be 0/0 there. No bench corpus has a
+          // 1-row priority group, but the guarded q_cume_dist delegation
+          // must stay row-identical on ANY corpus shape.
+          round(when(col("c") === 1, lit(0.0))
+            .otherwise((col("r") - 1).cast("double") / (col("c") - 1)), 6).as("pct_rank"),
           round(col("r").cast("double") / col("c"), 6).as("cume"))
         .orderBy("o_orderpriority", "o_orderkey")
     },
@@ -741,9 +746,142 @@ object ScalePatterns {
     """.stripMargin.trim)
   )
 
+  /** Distributed SESSIONIZATION core — the skew-resilient twin of
+    * [[Olap.qSessionize]]'s lag + cumulative-flag windows, built from the
+    * same two-phase prefix-scan decomposition as [[prefixMaxBucketed]]
+    * (round-12 verdict #1: GenSkew measured q_sessionize degrading ~2×
+    * under a 10%-mass hot user with no twin to delegate to). The
+    * session-id computation is two chained monotone prefixes, each of
+    * which splices across buckets with a tiny per-(user, bucket) carry:
+    *
+    *   1. rows bucket by the affine time map (monotone in ts — equal
+    *      timestamps always share a bucket, so within-bucket (us,
+    *      event_id) order ≡ the global per-user order);
+    *   2. the gap FLAG needs each row's predecessor timestamp: a local
+    *      lag within (user, bucket), and for each bucket's FIRST row the
+    *      carry `max(us) over prior buckets` (us is the primary order
+    *      key, so a bucket's last row carries its max us). NULL carry +
+    *      NULL lag = the user's very first row, flagged 1 exactly like
+    *      the single-window lag;
+    *   3. the session ID is the running SUM of flags: a local cumulative
+    *      sum within (user, bucket) plus the carry `sum(bucket flag
+    *      totals) over prior buckets`.
+    *
+    * All carries live on users×≤B-row frames (the per-user window over
+    * bucket summaries); the widest data sort is 1/B of the hottest key.
+    * Bounds/offsets are NOT hint-broadcast (a billion-user corpus must
+    * shuffle them; AQE broadcasts small sides at runtime on its own).
+    * Factored on an arbitrary (user_id, us, event_id, value) frame so the
+    * spec can prove row-identity on a synthetic hot-key frame. */
+  private[graft] def sessionIdsBucketed(ev: org.apache.spark.sql.DataFrame,
+      gapUs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PrefixBuckets
+    val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
+    val bucketed = ev.join(bounds, "user_id")
+      .withColumn("bkt", expr(s"((us - tmin) * $B) div (tmax - tmin + 1)").cast("int"))
+      .drop("tmin", "tmax")
+    val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+    val wPrior = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tsCarry = bucketed.groupBy(col("user_id"), col("bkt"))
+      .agg(max(col("us")).as("bmax"))
+      .withColumn("carry_us", max(col("bmax")).over(wPrior))
+      .select("user_id", "bkt", "carry_us")
+    val flagged = bucketed.join(tsCarry, Seq("user_id", "bkt"))
+      .withColumn("prev_us", coalesce(lag(col("us"), 1).over(wLocal), col("carry_us")))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .drop("carry_us", "prev_us")
+    val flagCarry = flagged.groupBy(col("user_id"), col("bkt"))
+      .agg(sum(col("new_sess")).as("bflags"))
+      .withColumn("fcarry", sum(col("bflags")).over(wPrior))
+      .select("user_id", "bkt", "fcarry")
+    flagged.join(flagCarry, Seq("user_id", "bkt"))
+      .withColumn("sess_id",
+        coalesce(col("fcarry"), lit(0L)) +
+          sum(col("new_sess")).over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("bkt", "new_sess")
+  }
+
+  /** [[Olap.qSessionize]]'s two-phase twin: identical output (same oracle
+    * SQL), widest sort 1/B of the hottest user. The guarded plain lane
+    * auto-delegates here above [[Guards.singleSortCap]] rows/user. */
+  val qSessionizeDist: QueryDef = QueryDef(
+    "q_sessionize_dist",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      sessionIdsBucketed(ev, 1800000000L)
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sess_value"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+    // the oracle is the plain single-window form — same answer
+    Olap.qSessionize.oracle
+  )
+
+  /** Distributed LEAD — the third member of the bucketed prefix family
+    * ([[prefixMaxBucketed]] running max, [[sessionIdsBucketed]] chained
+    * prefix sums, this one next-row lookahead): each row's `next_us` is
+    * the strictly-next (us, event_id)-ordered row's timestamp within its
+    * user, NULL for the user's last row — exactly `lead(us) over (user
+    * order by us, event_id)`. Local lead within (user, bucket); each
+    * bucket's LAST row splices the carry `min(us) over FOLLOWING buckets`
+    * (us is the primary order key, so the next non-empty bucket's first
+    * row holds its min us; min over all following equals it because
+    * bucket minima are monotone). Columns besides (user_id, us,
+    * event_id) pass through untouched. */
+  private[graft] def leadUsBucketed(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PrefixBuckets
+    val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
+    val bucketed = ev.join(bounds, "user_id")
+      .withColumn("bkt", expr(s"((us - tmin) * $B) div (tmax - tmin + 1)").cast("int"))
+      .drop("tmin", "tmax")
+    val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+    val wAfter = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = bucketed.groupBy(col("user_id"), col("bkt"))
+      .agg(min(col("us")).as("bmin"))
+      .withColumn("carry_us", min(col("bmin")).over(wAfter))
+      .select("user_id", "bkt", "carry_us")
+    bucketed
+      .withColumn("llead", lead(col("us"), 1).over(wLocal))
+      .join(carry, Seq("user_id", "bkt"))
+      .withColumn("next_us", coalesce(col("llead"), col("carry_us")))
+      .drop("bkt", "llead", "carry_us")
+  }
+
+  /** [[Cdc.cdcScd2]]'s two-phase twin: identical version intervals (same
+    * oracle SQL) with the per-user lead decomposed through
+    * [[leadUsBucketed]] — the guarded plain lane auto-delegates here
+    * above [[Guards.singleSortCap]] rows/user. */
+  val cdcScd2Dist: QueryDef = QueryDef(
+    "cdc_scd2_dist",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      leadUsBucketed(ev)
+        .select(
+          col("user_id"), col("event_id"),
+          Cdc.opOf(col("event_type")).as("op"),
+          col("us").as("valid_from_us"),
+          col("next_us").as("valid_to_us"),
+          round(col("value"), 2).as("value"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    },
+    // the oracle is the plain single-window form — same answer
+    Cdc.cdcScd2.oracle
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
     qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
     cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit, qZorderLayout,
-    qLateArrivalsDist)
+    qLateArrivalsDist, qSessionizeDist, cdcScd2Dist)
 }

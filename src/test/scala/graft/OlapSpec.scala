@@ -124,4 +124,27 @@ class OlapSpec extends SparkSpec {
         s"bucket $b crosses an aligned band: u[$ulo,$uhi] t[$tlo,$thi]")
     }
   }
+
+  test("q_cume_dist_dist: 1-row priority group yields percent_rank 0.0, row-identical to plain") {
+    import spark.implicits._
+    // SQL percent_rank() is 0.0 for a single-row partition; the dist twin's
+    // raw (r-1)/(c-1) would be 0/0 there. A corpus can hold BOTH a >cap
+    // group (delegating the guarded lane to the twin) and a 1-row group,
+    // so the twin must get this edge right on its own.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cume1").toString
+    Seq(
+      (1L, "F", "1-URGENT", 10.0),
+      (2L, "F", "2-HIGH", 5.0), (3L, "F", "2-HIGH", 7.0), (4L, "F", "2-HIGH", 7.0),
+      (5L, "O", "3-MEDIUM", 9.0) // non-F: filtered by the lane, not the guard count
+    ).toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val dist = graft.operators.ScalePatterns.qCumeDistDist.fn(spark, dir).collect()
+    val solo = dist.filter(_.getAs[String]("o_orderpriority") == "1-URGENT")
+    assert(solo.length == 1)
+    assert(solo.head.getAs[Double]("pct_rank") == 0.0, s"got ${solo.head}")
+    assert(solo.head.getAs[Double]("cume") == 1.0)
+    val plain = Olap.qCumeDist.fn(spark, dir).collect()
+    assert(dist.map(_.toString).toSeq == plain.map(_.toString).toSeq,
+      "dist twin must be row-identical to the plain window lane")
+  }
 }

@@ -100,6 +100,75 @@ class PlanAuditSpec extends SparkSpec {
       s"running-max window not bucket-partitioned:\n$plan")
   }
 
+  test("q_sessionize_dist equals the single-window form, including on a hot-key frame") {
+    import graft.operators.{Olap, ScalePatterns}
+    import spark.implicits._
+    // corpus parity: the two plans agree row-for-row at sfDir
+    val dist = ScalePatterns.qSessionizeDist.fn(spark, sfDir)
+    val window = Olap.qSessionize.fn(spark, sfDir)
+    assert(dist.exceptAll(window).count() == 0)
+    assert(window.exceptAll(dist).count() == 0)
+    // hot-key shape: one user holds 80% of the frame, with session gaps
+    // planted ON bucket boundaries and inside buckets, plus duplicate
+    // timestamps (event_id tiebreak) and single-event stragglers
+    val gap = 1000L
+    val rows = (0 until 4000).map { i =>
+      val user = if (i % 5 != 0) 7L else (100 + i % 17).toLong
+      // every ~250th step jumps past the gap → a new session; every 97th
+      // row repeats the previous timestamp (ties broken by event_id)
+      val us = 1000000L + i.toLong * 10L + (i / 250).toLong * gap * 3 -
+        (if (i % 97 == 0 && i > 0) 10L else 0L)
+      (user, us, i.toLong, (i % 13).toDouble)
+    }
+    val ev = rows.toDF("user_id", "us", "event_id", "value")
+    val got = ScalePatterns.sessionIdsBucketed(ev, gap)
+      .select(col("user_id"), col("us"), col("event_id"), col("sess_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val want = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("f", when(col("prev_us").isNull || col("us") - col("prev_us") > gap, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("f")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("user_id"), col("us"), col("event_id"), col("sess_id"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "bucketed session ids diverge from the single-window scan")
+    // the heavy windows are partitioned by (user, bucket), never user alone
+    val plan = dist.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r.findFirstIn(plan).isDefined,
+      s"session windows not bucket-partitioned:\n$plan")
+  }
+
+  test("cdc_scd2_dist equals the single-window form, including on a hot-key frame") {
+    import graft.operators.{Cdc, ScalePatterns}
+    import spark.implicits._
+    // corpus parity: the two plans agree row-for-row at sfDir
+    val dist = ScalePatterns.cdcScd2Dist.fn(spark, sfDir)
+    val window = Cdc.cdcScd2.fn(spark, sfDir)
+    assert(dist.exceptAll(window).count() == 0)
+    assert(window.exceptAll(dist).count() == 0)
+    // hot-key frame: 80% one user, duplicate timestamps (event_id ties),
+    // including a duplicate us PAIR straddling work so bucket-boundary
+    // carries must return the NEXT row's us, not the local bucket's
+    val rows = (0 until 4000).map { i =>
+      val user = if (i % 5 != 0) 7L else (100 + i % 17).toLong
+      val us = 1000000L + (i / 3).toLong * 7L // every 3 rows share a timestamp
+      (user, us, i.toLong)
+    }
+    val ev = rows.toDF("user_id", "us", "event_id")
+    val got = ScalePatterns.leadUsBucketed(ev)
+      .select(col("user_id"), col("us"), col("event_id"), col("next_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val want = ev.withColumn("next_us", lead(col("us"), 1).over(w))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "bucketed lead diverges from the single-window scan")
+    val plan = dist.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r.findFirstIn(plan).isDefined,
+      s"lead window not bucket-partitioned:\n$plan")
+  }
+
   test("text_bm25: query and stats broadcast; top-20 is TakeOrdered, never a global sort") {
     import graft.operators.TextAnalysis
     val plan = TextAnalysis.textBm25.fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -473,5 +542,41 @@ class PlanAuditSpec extends SparkSpec {
       plan.collect { case w: LWindow if w.partitionSpec.isEmpty => name }.headOption
     }
     assert(offenders.isEmpty, s"empty-partition Window in: $offenders")
+  }
+
+  test("Guards memo re-counts when data under the dir changes (staleness fingerprint)") {
+    import graft.operators.Guards
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "t.parquet"), "x")
+    var counts = 0
+    def stat(): Long = Guards.maxGroupRows(spark, dir, "fp_spec") { counts += 1; 42L }
+    assert(stat() == 42L && counts == 1)
+    assert(stat() == 42L && counts == 1, "second probe must hit the memo")
+    // data changes under the dir (an append / regeneration): the guard
+    // statistic must be RE-COUNTED, not served stale — a stale "under cap"
+    // would keep a single-sort plan under exactly the skew being guarded
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "t2.parquet"), "y")
+    assert(stat() == 42L && counts == 2, "dir change must invalidate the memoized stat")
+    assert(stat() == 42L && counts == 2)
+  }
+
+  test("spark.graft.singleSortCap conf flips a guarded lane to its dist twin without a rebuild") {
+    import graft.operators.Cdc
+    // default cap: sf0.001 groups are tiny, the plain single-window plan runs
+    val plainPlan = Cdc.cdcLateArrivals.fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r.findFirstIn(plainPlan).isEmpty,
+      s"default cap unexpectedly delegated:\n$plainPlan")
+    try {
+      spark.conf.set(graft.Conf.SingleSortCapConf, "1")
+      val flipped = Cdc.cdcLateArrivals.fn(spark, sfDir)
+      val flippedPlan = flipped.queryExecution.executedPlan.toString
+      assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r.findFirstIn(flippedPlan).isDefined,
+        s"cap=1 should route through the bucketed twin:\n$flippedPlan")
+      // and the answer is the same answer (oracle-identical twins)
+      val plain = Cdc.cdcLateArrivals
+      spark.conf.unset(graft.Conf.SingleSortCapConf)
+      val want = plain.fn(spark, sfDir)
+      assert(flipped.exceptAll(want).count() == 0 && want.exceptAll(flipped).count() == 0)
+    } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
   }
 }
