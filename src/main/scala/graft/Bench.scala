@@ -17,6 +17,13 @@ object Bench {
     // ERROR, not WARN: the driver merges stdout+stderr tails, and any WARN
     // chatter after the final JSON line breaks its parse.
     spark.sparkContext.setLogLevel("ERROR")
+    // Optional runtime confs for profiling knob sweeps, e.g.
+    // SPARK_GRAFT_CONF="spark.graft.knnProbe=2,spark.graft.postingCap=128"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // Optional comma-separated filter for profiling individual queries.
     // Sorted by name: Map iteration order would shuffle which queries pay
     // cold-codegen costs between runs, adding run-to-run noise.
@@ -54,12 +61,45 @@ object Bench {
         .groupBy("k").agg(sort_array(collect_set(col("h"))).as("hs"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // SPILL/MEMORY TELEMETRY (round 13): per-query shuffle-spill and peak
+    // execution memory, so super-linear scale ratios can be ADJUDICATED
+    // from numbers ("the box spilled") instead of inferred — the r12
+    // sf100 probe attributed 14.7–33.5× ratios to single-JVM memory
+    // saturation with no spill evidence on file. Stage metrics accumulate
+    // on the listener bus; peak_mb sums per-task peaks (the stage-level
+    // aggregate Spark exposes), an upper bound on concurrently-held
+    // execution memory.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          peakMem.addAndGet(m.peakExecutionMemory)
+        }
+      }
+    })
+    // the listener bus is async: drain it before reading the counters so a
+    // query's last stages don't land in the NEXT query's numbers (private
+    // API, via reflection; a 100 ms grace period if the shape ever moves)
+    def drainListenerBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(100) }
     // Crashed queries must not masquerade as ~0.08 s successes (round 8: 24
     // analysis failures flattered the total). Track them and report a
     // "failed" list in both the stdout line and bench_detail.json.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val metrics = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = selected.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage
+      spillMem.set(0); spillDisk.set(0); peakMem.set(0)
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output row/column. Under a
       // count() Catalyst prunes unreferenced aggregates and eliminates the
@@ -71,6 +111,8 @@ object Bench {
           String.valueOf(e.getMessage).take(300))
       }
       val t = (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
+      metrics(name) = (spillMem.get, spillDisk.get, peakMem.get)
       // Drop THIS query's cached frames before the next query runs (outside
       // its timed window — the blocks are this query's debris, not the
       // next one's work). Without this, .cache()-using queries leave their
@@ -100,12 +142,24 @@ object Bench {
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
+    // per-query [spill_mb, disk_spill_mb, peak_exec_mb(sum of task peaks)]
+    val metricsMap = metrics.map { case (k, (sm, sd, pk)) =>
+      "\"" + k + s"""\":[${sm / 1048576},${sd / 1048576},${pk / 1048576}]"""
+    }.mkString("{", ",", "}")
     // Filtered (SPARK_GRAFT_QUERIES) runs are profiling scratch — never let
     // them overwrite the full-run detail file the round commit picks up.
     if (only.isEmpty) try {
       val detail =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullMap,"failed":$failedArr,"sf":"$sfTag"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullMap,"failed":$failedArr,"spill_mb":$metricsMap,"sf":"$sfTag"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    // filtered profiling runs (incl. the sf100 probes) still need the
+    // numbers somewhere: a sidecar file that full runs never read
+    else try {
+      val detail =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullMap,"failed":$failedArr,"spill_mb":$metricsMap,"sf":"$sfTag"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_filtered_detail.json"),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     // Failed names outrank timing detail on the wire: cap the failed list at

@@ -492,8 +492,28 @@ object Multimodal {
     * WAV parser of its own. The container is BUILT For REAL (RIFF size
     * fields, fmt chunk, LE sample encoding), so the parse on the other
     * side exercises every header path. */
+  /** Text → pixel/sample bytes for the synthetic containers. MUST stay
+    * per-codepoint-parallel with the DuckDB oracles, which index the text
+    * as `ascii()` over `string_split(text, '')` — one code per codepoint.
+    * `getBytes("US-ASCII")` silently maps every unmappable char to
+    * '?' (63) and splits astral codepoints into TWO bytes, so a non-ASCII
+    * document would keep the sweep green on the Spark side while the
+    * oracle computed different integers. These lanes' synthesis contract
+    * is ASCII text, so enforce it LOUDLY: a future non-ASCII corpus fails
+    * with a named document instead of silently hash-diverging. */
+  private def asciiBytes(text: String): Array[Byte] = {
+    var i = 0
+    while (i < text.length) {
+      require(text.charAt(i) < 128,
+        s"synthetic media lanes require ASCII text (cp ${text.charAt(i).toInt} at $i); " +
+          "the DuckDB oracle indexes per-codepoint ascii() and would diverge")
+      i += 1
+    }
+    text.getBytes("US-ASCII")
+  }
+
   private[graft] def synthWav(text: String): Array[Byte] = {
-    val tb = text.getBytes("US-ASCII")
+    val tb = asciiBytes(text)
     val dataSize = tb.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -656,7 +676,7 @@ object Multimodal {
     * layout rule via `ascii()` codes. */
   private[graft] def synthPng(text: String): Array[Byte] = {
     val W = 32
-    val tb = text.getBytes("US-ASCII")
+    val tb = asciiBytes(text)
     val h = (tb.length + W - 1) / W
     val px = Array.tabulate(h * W)(i => if (i < tb.length) tb(i) & 0xff else 0)
     val raw = new Array[Byte](h * (W + 1))
@@ -926,7 +946,7 @@ object Multimodal {
     * understand, and the oracle recomputes the pixel stats from the
     * layout rule via `ascii()` codes. */
   private[graft] def synthAvi(text: String): Array[Byte] = {
-    val tb = text.getBytes("US-ASCII")
+    val tb = asciiBytes(text)
     val nf = (tb.length + 63) / 64
     val w = AviW; val h = AviW; val stride = w * 3
     def px(i: Int): Int = if (i < tb.length) tb(i) & 0xff else 0

@@ -163,7 +163,8 @@ object Similarity {
     * Over-cap labels use hyperplane-LSH candidates — see [[embeddingTop3]]. */
   val dedupEmbedding: QueryDef = QueryDef(
     "dedup_embedding",
-    (s, d) => embeddingTop3(s, d, blockCap),
+    (s, d) => embeddingTop3(s, d,
+      graft.Conf.int(s, graft.Conf.EmbBlockCapConf, blockCap)),
     Some(s"""
       WITH capped AS (
         SELECT label, vec_id, embedding
@@ -225,7 +226,7 @@ object Similarity {
     * map-side ([[graft.plans.ElectLane]]) instead of paying a
     * dropDuplicates shuffle over the ~nTables×-inflated pair stream. */
   private def laneMeta(big: DataFrame, nTables: Int, nPlanes: Int,
-      withFlips: Boolean = false): DataFrame = {
+      nFlips: Int = 0): DataFrame = {
     def wgt(t: Int, p: Int, i: Int): Double =
       ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
         .toDouble / 1000003.0 - 0.5
@@ -234,21 +235,22 @@ object Similarity {
         Array.tabulate(Dim)(i => wgt(t, p, i))).toArray
     val nWords = (nTables * nPlanes + 63) / 64
     val sigWords = (0 until nWords).map(i => element_at(col("sig"), i + 1).as(s"w$i"))
-    // `withFlips` adds the best-flip probe buckets (`flips(t)` = the
-    // table-t bucket with its least-confident bit flipped — the
-    // [[graft.plans.HyperplaneFlips]] 1-probe multi-probe kernel, same
+    // `nFlips >= 1` adds the flip probe buckets (`flips(t)` = the table-t
+    // bucket with its least-confident bit flipped, and at nFlips=2 also
+    // `flips(nTables+t)` with the second-least-confident bit — the
+    // [[graft.plans.HyperplaneFlips]] multi-probe kernel, same
     // deterministic plane matrix) in the SAME projection; legs that
     // don't multi-probe never pay the second plane pass.
     val flipCol =
-      if (withFlips)
-        Seq(graft.plans.VectorExpressions.hyperplaneFlips(col("embedding"), planes, nPlanes)
-          .as("flips"))
+      if (nFlips >= 1)
+        Seq(graft.plans.VectorExpressions.hyperplaneFlips(
+          col("embedding"), planes, nPlanes, nFlips).as("flips"))
       else Seq.empty
     val sig = big.select(Seq(col("label"), col("vec_id"),
       graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"),
       graft.plans.VectorExpressions.quantize(col("embedding")).as("q8")) ++ flipCol: _*)
       .select(Seq(col("label"), col("vec_id"), col("q8")) ++
-        (if (withFlips) Seq(col("flips")) else Seq.empty) ++ sigWords: _*)
+        (if (nFlips >= 1) Seq(col("flips")) else Seq.empty) ++ sigWords: _*)
     val laneMask = (1L << nPlanes) - 1
     val laneCols = (0 until nTables).map { t =>
       val start = t * nPlanes
@@ -260,7 +262,7 @@ object Similarity {
       else low.bitwiseAND(lit(laneMask))
     }
     sig.select(Seq(col("label"), col("vec_id"), col("q8"), array(laneCols: _*).as("lanes")) ++
-      (if (withFlips) Seq(col("flips")) else Seq.empty): _*)
+      (if (nFlips >= 1) Seq(col("flips")) else Seq.empty): _*)
   }
 
   private[graft] def embeddingTop3(s: SparkSession, d: String, cap: Int): DataFrame = {
@@ -285,7 +287,11 @@ object Similarity {
       .agg(coalesce(max(col("label_n")), lit(0L))).head.getLong(0)
     val nPlanes = lanePlanesFor(maxBig)
 
-    val base = withNorm(s, d).join(sizes, Seq("label")).cache()
+    // boundedCache: repeat invocations unpersist the previous run's frame
+    // (one outstanding per tag per session — the r12 ADVICE cache-pressure
+    // item); Bench/Verify additionally clearCache between queries.
+    val base = graft.Registry.boundedCache(s, "embTop3.base",
+      withNorm(s, d).join(sizes, Seq("label")))
     val small = base.filter(col("label_n") <= cap)
     val big = base.filter(col("label_n") > cap)
 
@@ -296,7 +302,8 @@ object Similarity {
       .withColumn("cos", cosPre(col("v1"), col("v2"), col("n1"), col("n2")))
       .select(col("label"), col("id1"), col("id2"), col("cos"))
 
-    val meta = laneMeta(big, nTables, nPlanes).cache()
+    val meta = graft.Registry.boundedCache(s, "embTop3.meta",
+      laneMeta(big, nTables, nPlanes))
     val rawBuckets = meta
       .select(col("label"), col("vec_id"), posexplode(col("lanes")).as(Seq("t", "bucket")))
     // POSTING TRUNCATION (the FAISS oversized-list rule): hyperplane cells
@@ -308,7 +315,7 @@ object Similarity {
     // region), and a genuine near-dup pair still collides in its quieter
     // lanes — while worst-case pair volume becomes buckets × C(64,2),
     // linear in the corpus. WindowGroupLimit prunes the rank map-side.
-    val popCap = 64
+    val popCap = graft.Conf.int(s, graft.Conf.PostingCapConf, 64)
     val popW = Window.partitionBy(col("label"), col("t"), col("bucket")).orderBy(col("vec_id"))
     val buckets = rawBuckets
       .withColumn("pn", row_number().over(popW))
@@ -1423,18 +1430,31 @@ object Similarity {
       .agg(coalesce(max(col("label_n")), lit(0L))).head.getLong(0)
     val edges = if (maxBig == 0L) smallEdges else {
       val nTables = 16
+      // Deployment knobs ([[graft.Conf]]): posting depth (more memory →
+      // deeper lists → fewer truncation misses) and multi-probe depth
+      // (0 = exact buckets, 1 = + best flip [default], 2 = + second flip;
+      // recall/cost curve in PLANS.md). Probe depth only ADDS candidate
+      // rows; the lane election still emits each pair exactly once.
+      val postingCap = graft.Conf.int(s, graft.Conf.PostingCapConf, 64)
+      // default 2 (round 13): the second flip measured FREE at sf10
+      // (isolated ×2: depth1 30.0/22.9 s, depth2 25.4/27.7 s — parity
+      // within the box's noise band) for +0.06 worst-case recall
+      // (0.533 → 0.595 on the uniform 600-member spec corpus; a
+      // correlated 60-cluster corpus sits at 0.99+ at EVERY depth)
+      val nProbe = math.max(0, math.min(2, graft.Conf.int(s, graft.Conf.KnnProbeConf, 2)))
       val big = base.filter(col("label_n") > cap)
       // ONE signature + ONE quantize + ONE best-flip pass per vector,
       // cached: consumed by the probe explodes, the posting leg and the
       // posted-mask aggregate.
-      val meta = laneMeta(big, nTables, lanePlanesFor(maxBig), withFlips = true).cache()
+      val meta = graft.Registry.boundedCache(s, "knnGraph.meta",
+        laneMeta(big, nTables, lanePlanesFor(maxBig), nFlips = nProbe))
       val popW = Window.partitionBy(col("label"), col("t"), col("bucket")).orderBy(col("vec_id"))
       // postings stay NARROW (label, t, bucket, vec_id) through the
       // per-bucket truncation window; lane arrays / SQ8 codes re-attach
       // afterwards via one per-vector join, not through the window shuffle
       val postings = meta
         .select(col("label"), col("vec_id"), posexplode(col("lanes")).as(Seq("t", "bucket")))
-        .withColumn("pn", row_number().over(popW)).filter(col("pn") <= 64).drop("pn")
+        .withColumn("pn", row_number().over(popW)).filter(col("pn") <= postingCap).drop("pn")
       // bit t of pmask = "this vector survived posting truncation in
       // table t" — election may only pick lanes where the pair is
       // actually generated, so the elected pair set is IDENTICAL to the
@@ -1459,15 +1479,29 @@ object Similarity {
       // 1-bit trick, query-directed: the least-confident plane) — ~2×
       // probe rows for the measured routed-recall lift; the election
       // accepts either the exact or the flip match, still exactly once.
-      def probeRows(buckets: Column) = meta.select(col("label"), col("vec_id").as("src"),
-        col("lanes").as("slanes"), col("flips").as("sflips"), col("q8").as("qs"),
-        posexplode(buckets).as(Seq("t", "bucket")))
-      val probes = probeRows(col("lanes")).unionByName(probeRows(col("flips")))
+      val srcMeta = Seq(col("label"), col("vec_id").as("src"),
+        col("lanes").as("slanes"), col("q8").as("qs")) ++
+        (if (nProbe >= 1) Seq(col("flips").as("sflips")) else Seq.empty)
+      def probeRows(buckets: Column) =
+        meta.select(srcMeta :+ posexplode(buckets).as(Seq("t", "bucket")): _*)
+      // flip probes explode a SLICE of the flips array so the posexplode
+      // position is always the table index (at nFlips=2 the second-flip
+      // buckets live at entries nTables..2·nTables−1)
+      val probes = (0 to nProbe).map {
+        case 0 => probeRows(col("lanes"))
+        case f => probeRows(slice(col("flips"), (f - 1) * nTables + 1, nTables))
+      }.reduce(_ unionByName _)
+      // the election form must match the probe set exactly: a lane is only
+      // electable if a probe could have GENERATED the pair there
+      def elected =
+        if (nProbe == 0) graft.plans.VectorExpressions.electLane(
+          col("slanes"), col("dlanes"), col("pmask"))
+        else graft.plans.VectorExpressions.electLaneMp(
+          col("slanes"), col("sflips"), col("dlanes"), col("pmask"))
       val srcW = Window.partitionBy(col("src")).orderBy(col("adot").desc, col("dst"))
       val shortlist = probes.join(posted, Seq("label", "t", "bucket"))
         .filter(col("src") =!= col("dst"))
-        .filter(graft.plans.VectorExpressions.electLaneMp(
-          col("slanes"), col("sflips"), col("dlanes"), col("pmask")) === col("t"))
+        .filter(elected === col("t"))
         .select(col("label"), col("src"), col("dst"),
           graft.plans.VectorExpressions.int8Dot(col("qs"), col("qd")).as("adot"))
         .withColumn("arn", dense_rank().over(srcW))
@@ -1504,7 +1538,8 @@ object Similarity {
     "emb_knn_graph",
     (s, d) => {
       val sizes = emb(s, d).groupBy(col("label")).agg(count(lit(1)).as("label_n"))
-      knnGraphFor(s, withNorm(s, d).join(sizes, Seq("label")), KnnBlockCap)
+      knnGraphFor(s, withNorm(s, d).join(sizes, Seq("label")),
+        graft.Conf.int(s, graft.Conf.KnnBlockCapConf, KnnBlockCap))
     },
     // The oracle is the UNCAPPED exact graph: at every oracle-gated SF all
     // labels sit under KnnBlockCap so the exact leg answers and hashes

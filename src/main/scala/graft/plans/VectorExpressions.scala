@@ -177,12 +177,18 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
   * against B extra buckets for full 1-bit probing. Same deterministic
   * plane matrix as the signature pass (one constant reference object,
   * two primitive loops, whole-stage codegen). Output: `array<long>` of
-  * nTables flip buckets, index-aligned with the unpacked lane array. */
+  * nTables × nFlips flip buckets — the first nTables entries are the
+  * best-flip buckets (index-aligned with the unpacked lane array), and
+  * with `nFlips = 2` (round 13, the recall-over-cost probe depth) the
+  * next nTables entries flip the SECOND-least-confident bit instead —
+  * probing the two most plausible 1-bit neighborhoods per table. */
 case class HyperplaneFlips(child: Expression, planes: Array[Array[Double]],
-    nPlanes: Int) extends UnaryExpression {
+    nPlanes: Int, nFlips: Int = 1) extends UnaryExpression {
 
   require(nPlanes >= 1 && planes.length % nPlanes == 0,
     s"planes length ${planes.length} must be a multiple of nPlanes=$nPlanes")
+  require(nFlips == 1 || (nFlips == 2 && nPlanes >= 2),
+    s"nFlips must be 1 or 2 (with >=2 planes), got $nFlips at nPlanes=$nPlanes")
   private def nTables: Int = planes.length / nPlanes
 
   private def isVec(t: DataType): Boolean = t match {
@@ -204,12 +210,14 @@ case class HyperplaneFlips(child: Expression, planes: Array[Array[Double]],
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val out = new Array[Long](nTables)
+    val out = new Array[Long](nTables * nFlips)
     var t = 0
     while (t < nTables) {
       var bucket = 0L
       var weakBit = 0
       var weakAbs = Double.MaxValue
+      var weak2Bit = 0
+      var weak2Abs = Double.MaxValue
       var b = 0
       while (b < nPlanes) {
         val p = planes(t * nPlanes + b)
@@ -222,10 +230,14 @@ case class HyperplaneFlips(child: Expression, planes: Array[Array[Double]],
         }
         if (acc >= 0) bucket |= 1L << b
         val a = math.abs(acc)
-        if (a < weakAbs) { weakAbs = a; weakBit = b }
+        if (a < weakAbs) {
+          weak2Abs = weakAbs; weak2Bit = weakBit
+          weakAbs = a; weakBit = b
+        } else if (a < weak2Abs) { weak2Abs = a; weak2Bit = b }
         b += 1
       }
       out(t) = bucket ^ (1L << weakBit)
+      if (nFlips == 2) out(nTables + t) = bucket ^ (1L << weak2Bit)
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -245,13 +257,19 @@ case class HyperplaneFlips(child: Expression, planes: Array[Array[Double]],
       val weakBit = ctx.freshName("weakBit")
       val weakAbs = ctx.freshName("weakAbs")
       val a = ctx.freshName("a")
+      val weak2Bit = ctx.freshName("weak2Bit")
+      val weak2Abs = ctx.freshName("weak2Abs")
       val get = if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      val secondOut =
+        if (nFlips == 2) s"$out[$nTables + $t] = $bucket ^ (1L << $weak2Bit);" else ""
       s"""
-         |long[] $out = new long[$nTables];
+         |long[] $out = new long[${nTables * nFlips}];
          |for (int $t = 0; $t < $nTables; $t++) {
          |  long $bucket = 0L;
          |  int $weakBit = 0;
          |  double $weakAbs = Double.MAX_VALUE;
+         |  int $weak2Bit = 0;
+         |  double $weak2Abs = Double.MAX_VALUE;
          |  for (int $b = 0; $b < $nPlanes; $b++) {
          |    double[] $p = $planesRef[$t * $nPlanes + $b];
          |    int $n = java.lang.Math.min($v.numElements(), $p.length);
@@ -261,9 +279,13 @@ case class HyperplaneFlips(child: Expression, planes: Array[Array[Double]],
          |    }
          |    if ($acc >= 0) $bucket |= 1L << $b;
          |    double $a = java.lang.Math.abs($acc);
-         |    if ($a < $weakAbs) { $weakAbs = $a; $weakBit = $b; }
+         |    if ($a < $weakAbs) {
+         |      $weak2Abs = $weakAbs; $weak2Bit = $weakBit;
+         |      $weakAbs = $a; $weakBit = $b;
+         |    } else if ($a < $weak2Abs) { $weak2Abs = $a; $weak2Bit = $b; }
          |  }
          |  $out[$t] = $bucket ^ (1L << $weakBit);
+         |  $secondOut
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -277,12 +299,16 @@ case class HyperplaneFlips(child: Expression, planes: Array[Array[Double]],
 /** Multi-probe variant of [[ElectLane]]: the probe side reaches a posted
   * bucket either exactly (`slanes(t) == dlanes(t)`) or through its
   * best-flip probe (`sflips(t) == dlanes(t)`, see [[HyperplaneFlips]]).
-  * Returns the smallest table index where either probe matches AND the
-  * posted-side survival bit is set (−1 if none). A pair generated by k
-  * probe rows across tables survives the `elect == t` filter exactly
-  * once: per table at most ONE of the two probes can equal the posted
-  * bucket (the flip differs from the exact bucket by construction), and
-  * election is deterministic across tables. */
+  * When `sflips` carries 2×nTables entries (the nFlips=2 probe depth),
+  * the second-flip bucket `sflips(nTables + t)` is a third way to reach
+  * table t — nTables is taken from `dlanes`' length, so the same kernel
+  * serves both depths. Returns the smallest table index where any probe
+  * matches AND the posted-side survival bit is set (−1 if none). A pair
+  * generated by k probe rows across tables survives the `elect == t`
+  * filter exactly once: per table at most ONE of the probes can equal
+  * the posted bucket (the flips differ from the exact bucket and from
+  * each other by construction — distinct flipped bits), and election is
+  * deterministic across tables. */
 case class ElectLaneMp(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
 
@@ -307,11 +333,14 @@ case class ElectLaneMp(first: Expression, second: Expression,
     val dl = c.asInstanceOf[ArrayData]
     val m = d.asInstanceOf[Long]
     val n = math.min(math.min(sl.numElements(), sf.numElements()), dl.numElements())
+    val deep = sf.numElements() >= 2 * n // nFlips=2: second-flip entries present
     var i = 0
     var res = -1
     while (i < n && res < 0) {
+      val dv = dl.getLong(i)
       if (((m >>> i) & 1L) == 1L &&
-          (sl.getLong(i) == dl.getLong(i) || sf.getLong(i) == dl.getLong(i))) res = i
+          (sl.getLong(i) == dv || sf.getLong(i) == dv ||
+            (deep && sf.getLong(n + i) == dv))) res = i
       i += 1
     }
     res
@@ -323,14 +352,17 @@ case class ElectLaneMp(first: Expression, second: Expression,
       val i = ctx.freshName("i")
       val res = ctx.freshName("res")
       val dv = ctx.freshName("dv")
+      val deep = ctx.freshName("deep")
       s"""
          |int $n = java.lang.Math.min(java.lang.Math.min($a.numElements(),
          |  $b.numElements()), $c.numElements());
+         |boolean $deep = $b.numElements() >= 2 * $n;
          |int $res = -1;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $dv = $c.getLong($i);
          |  if ((($d >>> $i) & 1L) == 1L &&
-         |      ($a.getLong($i) == $dv || $b.getLong($i) == $dv)) {
+         |      ($a.getLong($i) == $dv || $b.getLong($i) == $dv ||
+         |       ($deep && $b.getLong($n + $i) == $dv))) {
          |    $res = $i;
          |    break;
          |  }
@@ -1219,9 +1251,12 @@ object VectorExpressions {
       Bridge.expression(postedMask)))
 
   /** Column-API entry point: per-table best-flip probe buckets (the
-    * 1-probe multi-probe kernel). Plane matrix is a plan constant. */
-  def hyperplaneFlips(v: Column, planes: Array[Array[Double]], nPlanes: Int): Column =
-    Bridge.column(HyperplaneFlips(Bridge.expression(v), planes, nPlanes))
+    * 1-probe multi-probe kernel); `nFlips = 2` appends the second-best
+    * flips as entries nTables..2·nTables−1. Plane matrix is a plan
+    * constant. */
+  def hyperplaneFlips(v: Column, planes: Array[Array[Double]], nPlanes: Int,
+      nFlips: Int = 1): Column =
+    Bridge.column(HyperplaneFlips(Bridge.expression(v), planes, nPlanes, nFlips))
 
   /** Column-API entry point: [[electLane]] with the probe side also
     * reaching through its best-flip bucket. */

@@ -305,10 +305,11 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
     val gotSet = got.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
     val recall = gotSet.intersect(exactSet).size.toDouble / exactSet.size
-    // measured 0.533 with r12 best-flip multi-probe (0.394 exact-probe
-    // only) on this uniform-random corpus (no cluster structure — LSH's
-    // worst case; real embedding manifolds collide far better)
-    assert(recall >= 0.45, s"over-cap LSH kNN recall $recall below floor")
+    // measured 0.595 at the round-13 default probe depth 2 (0.533 at
+    // depth 1, 0.394 exact-probe only) on this uniform-random corpus
+    // (no cluster structure — LSH's worst case; a correlated 60-cluster
+    // corpus measures 0.99+ at every depth, see PLANS.md round 13)
+    assert(recall >= 0.55, s"over-cap LSH kNN recall $recall below floor")
   }
 
   test("ann_index_upsert: frozen-model segment equals encode-all under the same model") {
