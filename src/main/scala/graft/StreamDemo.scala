@@ -31,6 +31,21 @@ object StreamDemo {
 
     val work = Files.createTempDirectory("graft_stream_demo").toString
 
+    // Stage timing + state-store telemetry (round 13): the summary line
+    // reports events/sec for the CDC drain and the dedup gates' state
+    // rows / bytes straight from QueryProgress, so a scale run yields
+    // throughput and state-size EVIDENCE, not just row counts.
+    def secsSince(t0: Long): Double =
+      math.round((System.nanoTime() - t0) / 1e7) / 100.0
+    // (rows, bytes) from the LAST progress carrying state operators —
+    // state grows monotonically under AvailableNow, so last = peak.
+    def stateStats(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) =
+      q.recentProgress.reverseIterator
+        .map(p => p.stateOperators.map(s => (s.numRowsTotal, s.memoryUsedBytes)))
+        .collectFirst { case ops if ops.nonEmpty =>
+          (ops.map(_._1).sum, ops.map(_._2).sum) }
+        .getOrElse((0L, 0L))
+
     // 1. Render the event table as Maxwell JSON lines (the queue payload),
     //    plus a few pk-less DML events a real binlog can contain — they
     //    must surface in the dead-letter lane, not vanish.
@@ -38,10 +53,14 @@ object StreamDemo {
       """{"database":"app","table":"nopk_t","type":"update","ts":1700000000,"data":{"name":"x"},"old":{"name":"y"}}""",
       """{"database":"app","table":"nopk_t","type":"delete","ts":1700000001}"""
     ).toDF("value")
+    val tRender = System.nanoTime()
+    val queueParts = math.max(4, cpus.toInt)
     MaxwellStream.maxwellify(Tables.events(spark, sfDir))
       .union(noPk)
-      .repartition(4)
+      .repartition(queueParts)
       .write.mode("overwrite").text(s"$work/queue")
+    val renderSecs = secsSince(tRender)
+    val tDrain = System.nanoTime()
 
     // 2. Stream: parse -> stateful replica changelog -> parquet replica,
     //    plus the month-partitioned archive. AvailableNow drains the
@@ -82,6 +101,18 @@ object StreamDemo {
     replicaQ.awaitTermination()
     archiveQ.awaitTermination()
     rejectQ.awaitTermination()
+    val drainSecs = secsSince(tDrain)
+    val replicaState = stateStats(replicaQ)
+    // The queue text is drained; drop it so a scale run (sf100 renders
+    // ~15 GB of JSON lines) isn't holding dead bytes through the
+    // dedup/ANN stages on the same disk.
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$work/queue"))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Exception => () }
+    val tGates = System.nanoTime()
 
     // 3. INGEST DEDUP GATES over MATERIALIZED archive columns — the
     //    production shape the streaming dedup lanes document: the archive
@@ -136,6 +167,10 @@ object StreamDemo {
       .start()
     dedupQ.awaitTermination()
     embQ.awaitTermination()
+    val gatesSecs = secsSince(tGates)
+    val dedupState = stateStats(dedupQ)
+    val embState = stateStats(embQ)
+    val tAnn = System.nanoTime()
 
     // 4. STREAMING ANN SERVING from the PERSISTED index artifact: build
     //    once (idempotent — reuses the saved tables), stream the query
@@ -159,6 +194,7 @@ object StreamDemo {
       .trigger(Trigger.AvailableNow())
       .start()
     annQ.awaitTermination()
+    val annSecs = secsSince(tAnn)
 
     val nArchive = spark.read.parquet(s"$work/archive").count()
     val replica = spark.read.parquet(s"$work/replica")
@@ -181,8 +217,9 @@ object StreamDemo {
     val batchHits = graft.operators.Similarity.annIndexSearch.fn(spark, sfDir)
       .collect().map(hitKey).toSet
     val annParity = servedHits == batchHits
+    val evPerSec = if (drainSecs > 0) math.round(nArchive / drainSecs) else 0L
     println(
-      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"dir":"$work"}""")
+      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"render_secs":$renderSecs,"drain_secs":$drainSecs,"events_per_sec":$evPerSec,"gates_secs":$gatesSecs,"ann_secs":$annSecs,"replica_state_rows":${replicaState._1},"replica_state_mb":${replicaState._2 / 1048576},"dedup_state_rows":${dedupState._1},"dedup_state_mb":${dedupState._2 / 1048576},"emb_state_rows":${embState._1},"emb_state_mb":${embState._2 / 1048576},"dir":"$work"}""")
     spark.stop()
   }
 }

@@ -685,16 +685,30 @@ object AnalyticsExt {
       .toDF("user_id", "level")
   }
 
+  /** HOT-KEY GUARD (round 13; the cdc_late_arrivals pattern): the
+    * flatMapSortedGroups kernel still funnels a hot user's whole sequence
+    * through one task's external sort, so above [[Guards.singleSortCap]]
+    * rows for any one user — the SAME memoized "events_user" stat the
+    * sessionize/scd2/late-arrivals guards read, one count job for all
+    * four lanes — this delegates to [[ScalePatterns.qWindowFunnelDist]]'s
+    * chained-prefix-max twin (identical output, same oracle; spec-proven
+    * level-identity on an 80%-hot frame). */
   val qWindowFunnel: QueryDef = QueryDef(
     "q_window_funnel",
     (s, d) => {
-      // no event-type prefilter: a user with no funnel events still owns a
-      // group and lands at level 0 (the oracle's all-users frame); the
-      // one-pass kernel skips non-funnel rows for free
-      windowFunnelLevels(Tables.events(s, d), 86400000000L)
-        .groupBy(col("level"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("level")
+      val hottest = Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > Guards.singleSortCap(s)) ScalePatterns.qWindowFunnelDist.fn(s, d)
+      else
+        // no event-type prefilter: a user with no funnel events still owns a
+        // group and lands at level 0 (the oracle's all-users frame); the
+        // one-pass kernel skips non-funnel rows for free
+        windowFunnelLevels(Tables.events(s, d), 86400000000L)
+          .groupBy(col("level"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("level")
     },
     Some("""
       WITH e AS (

@@ -879,9 +879,105 @@ object ScalePatterns {
     Cdc.cdcScd2.oracle
   )
 
+  /** Chained prefix-max pair behind [[qWindowFunnelDist]], factored on an
+    * arbitrary (user_id, event_type, us, event_id) frame so the spec can
+    * drive a synthetic hot-key frame through it. [[AnalyticsExt
+    * .funnelLevelOrdered]]'s sequential fold is algebraically two chained
+    * MONOTONE prefix maxes over the (us, event_id)-ordered stream:
+    *
+    *   - `pv_us`  = `lastViewUs`: max us over view rows STRICTLY before
+    *     this row;
+    *   - `pcv_us` = `maxPairViewUs`: max of `pv_us`-at-a-click over click
+    *     rows strictly before this row (pv_us is non-decreasing in row
+    *     order, so the running max over clicks of their pv_us is exactly
+    *     the fold's maxPairViewUs).
+    *
+    * Each prefix computes within (user, bucket) — widest sort 1/B of the
+    * hottest user — and splices across buckets with a per-(user, bucket)
+    * carry, the [[prefixMaxBucketed]] recipe applied twice (the second
+    * carry aggregates the FIRST prefix's output, so the chain stays two
+    * narrow exchanges, no user-wide sort anywhere). */
+  private[graft] def funnelPrefixesBucketed(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PrefixBuckets
+    val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
+    val bucketed = ev.join(bounds, "user_id")
+      .withColumn("bkt", expr(s"((us - tmin) * $B) div (tmax - tmin + 1)").cast("int"))
+      .drop("tmin", "tmax")
+    val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrior = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vMask = when(col("event_type") === "view", col("us"))
+    val vCarry = bucketed.groupBy(col("user_id"), col("bkt"))
+      .agg(max(vMask).as("bvmax"))
+      .withColumn("vcarry", max(col("bvmax")).over(wPrior))
+      .select("user_id", "bkt", "vcarry")
+    val withPv = bucketed
+      .withColumn("lv", max(vMask).over(wLocal))
+      .join(vCarry, Seq("user_id", "bkt"))
+      .withColumn("pv_us", greatest(col("lv"), col("vcarry")))
+      .drop("lv", "vcarry")
+    val cMask = when(col("event_type") === "click", col("pv_us"))
+    val cCarry = withPv.groupBy(col("user_id"), col("bkt"))
+      .agg(max(cMask).as("bcmax"))
+      .withColumn("ccarry", max(col("bcmax")).over(wPrior))
+      .select("user_id", "bkt", "ccarry")
+    withPv
+      .withColumn("lcv", max(cMask).over(wLocal))
+      .join(cCarry, Seq("user_id", "bkt"))
+      .withColumn("pcv_us", greatest(col("lcv"), col("ccarry")))
+      .drop("lcv", "ccarry", "bkt")
+  }
+
+  /** [[AnalyticsExt.qWindowFunnel]]'s two-phase twin: identical level
+    * histogram (same oracle SQL). The heavy prefix pipeline runs on the
+    * funnel-typed rows only; the plain lane's all-users frame (users with
+    * no funnel events land at level 0) is restored from two 1-row
+    * aggregates. The guarded plain lane auto-delegates here above
+    * [[Guards.singleSortCap]] rows/user. */
+  val qWindowFunnelDist: QueryDef = QueryDef(
+    "q_window_funnel_dist",
+    (s, d) => {
+      val windowUs = 86400000000L
+      val evAll = Tables.events(s, d)
+      val evF = evAll
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val perUser = funnelPrefixesBucketed(evF)
+        .groupBy(col("user_id"))
+        .agg(max(
+          when(col("event_type") === "purchase" &&
+            col("pcv_us").isNotNull && col("us") - col("pcv_us") <= windowUs, 3)
+            .when(col("event_type") === "click" &&
+              col("pv_us").isNotNull && col("us") - col("pv_us") <= windowUs, 2)
+            .when(col("event_type") === "view", 1)
+            .otherwise(0)).as("level"))
+      // ≤4 rows; localCheckpoint so the union + the funnel-user count
+      // below don't re-run the prefix pipeline (typed-free plan, but an
+      // eager cut is cheaper than trusting exchange reuse at scale)
+      val lvls = perUser.groupBy(col("level"))
+        .agg(count(lit(1)).as("n_users")).localCheckpoint()
+      // users with NO funnel-typed events sit at level 0 (the plain
+      // lane's all-users frame): two 1-row aggregates, a 1-row crossJoin
+      val extra = evAll.agg(countDistinct(col("user_id")).as("total"))
+        .crossJoin(lvls.agg(sum(col("n_users")).as("fu")))
+        .select(lit(0).as("level"), (col("total") - col("fu")).as("n_users"))
+      lvls.unionByName(extra)
+        .groupBy(col("level")).agg(sum(col("n_users")).as("n_users"))
+        .filter(col("n_users") > 0)
+        .orderBy("level")
+    },
+    // the oracle is the plain one-pass-kernel form — same answer
+    AnalyticsExt.qWindowFunnel.oracle
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
     qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
     cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit, qZorderLayout,
-    qLateArrivalsDist, qSessionizeDist, cdcScd2Dist)
+    qLateArrivalsDist, qSessionizeDist, cdcScd2Dist, qWindowFunnelDist)
 }

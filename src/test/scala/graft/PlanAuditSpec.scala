@@ -169,6 +169,64 @@ class PlanAuditSpec extends SparkSpec {
       s"lead window not bucket-partitioned:\n$plan")
   }
 
+  test("q_window_funnel_dist equals the one-pass kernel, including on a hot-key frame") {
+    import graft.operators.{AnalyticsExt, ScalePatterns}
+    import spark.implicits._
+    // corpus parity: the two plans agree row-for-row at sfDir
+    val dist = ScalePatterns.qWindowFunnelDist.fn(spark, sfDir)
+    val plain = AnalyticsExt.qWindowFunnel.fn(spark, sfDir)
+    assert(dist.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(dist).count() == 0)
+    // hot-key frame: 80% one user, funnel + non-funnel types, duplicate
+    // timestamps (event_id tiebreak), chains that straddle bucket
+    // boundaries, and a tight window so qualification flips both ways
+    val types = Array("view", "click", "purchase", "error", "click", "view", "other")
+    val rows = (0 until 4000).map { i =>
+      val user = if (i % 5 != 0) 7L else (100 + i % 17).toLong
+      val us = 1000000L + (i / 3).toLong * 40L // every 3 rows share a timestamp
+      (user, types(i % types.length), us, i.toLong)
+    }
+    val ev = rows.toDF("user_id", "event_type", "us", "event_id")
+    // prefix parity: chained bucketed maxes vs the single-window scan
+    val got = ScalePatterns.funnelPrefixesBucketed(ev)
+      .select(col("user_id"), col("us"), col("event_id"), col("pv_us"), col("pcv_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = ev
+      .withColumn("pv_us", max(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("pcv_us",
+        max(when(col("event_type") === "click", col("pv_us"))).over(w))
+      .select(col("user_id"), col("us"), col("event_id"), col("pv_us"), col("pcv_us"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "chained bucketed prefix maxes diverge from the single-window scan")
+    // level parity on the same frame: prefix-derived levels vs the
+    // sequential fold, at a window tight enough that some chains fail
+    val windowUs = 500L
+    val gotLevels = ScalePatterns.funnelPrefixesBucketed(ev)
+      .groupBy(col("user_id"))
+      .agg(max(
+        when(col("event_type") === "purchase" &&
+          col("pcv_us").isNotNull && col("us") - col("pcv_us") <= windowUs, 3)
+          .when(col("event_type") === "click" &&
+            col("pv_us").isNotNull && col("us") - col("pv_us") <= windowUs, 2)
+          .when(col("event_type") === "view", 1)
+          .otherwise(0)).as("level"))
+    val wantLevels = AnalyticsExt.windowFunnelLevels(
+      ev.select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id")), windowUs)
+    assert(gotLevels.exceptAll(wantLevels).count() == 0 &&
+      wantLevels.exceptAll(gotLevels).count() == 0,
+      "prefix-derived funnel levels diverge from the sequential fold")
+    // the heavy windows are partitioned by (user, bucket), never user
+    // alone — asserted on the prefix frame itself: the QueryDef's final
+    // plan is cut at the ≤4-row localCheckpoint, so the window subtree
+    // never appears there
+    val plan = got.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r.findFirstIn(plan).isDefined,
+      s"funnel prefix windows not bucket-partitioned:\n$plan")
+  }
+
   test("text_bm25: query and stats broadcast; top-20 is TakeOrdered, never a global sort") {
     import graft.operators.TextAnalysis
     val plan = TextAnalysis.textBm25.fn(spark, sfDir).queryExecution.executedPlan.toString
