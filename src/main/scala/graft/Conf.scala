@@ -25,6 +25,22 @@ object Conf {
     * rationale). */
   val SingleSortCapConf = "spark.graft.singleSortCap"
 
+  /** q_window_funnel's OWN delegation cap (rows for the hottest user
+    * before the lane re-routes to `q_window_funnel_dist`). Separate from
+    * [[SingleSortCapConf]] because the funnel kernel is an O(1)-state
+    * streaming fold over Spark's spillable group sort — no per-group heap
+    * and no per-row output amplification, unlike the lag/lead/window
+    * lanes — so its measured single-box crossover sits ~25× further
+    * right: hot-user rows (plain vs twin, 32 threads, fresh JVMs) 1M
+    * 6.6/16.4 s, 5M 15.6/23.7 s, 20M 71.7/169.4 s, 50M 163.7/167.5 s
+    * (tie). The twin's cost is CORPUS-bound (flat 167–169 s at 100M
+    * events whether the hot user holds 20M or 50M) while plain grows
+    * only with the hot group, so delegation must be rare; default 32M
+    * keeps margin under the measured 50M tie. A 1000-executor
+    * deployment lowers this (a 50M-row task is a fleet-idling straggler
+    * there; the twin's corpus stages parallelize with the fleet). */
+  val FunnelSortCapConf = "spark.graft.funnelSortCap"
+
   /** Per-label block size above which emb_knn_graph routes members through
     * the directed-LSH leg instead of the exact block self-join. */
   val KnnBlockCapConf = "spark.graft.knnBlockCap"

@@ -686,13 +686,19 @@ object AnalyticsExt {
   }
 
   /** HOT-KEY GUARD (round 13; the cdc_late_arrivals pattern): the
-    * flatMapSortedGroups kernel still funnels a hot user's whole sequence
-    * through one task's external sort, so above [[Guards.singleSortCap]]
+    * flatMapSortedGroups kernel funnels a hot user's whole sequence
+    * through one task's external sort, so above [[Guards.funnelSortCap]]
     * rows for any one user — the SAME memoized "events_user" stat the
     * sessionize/scd2/late-arrivals guards read, one count job for all
     * four lanes — this delegates to [[ScalePatterns.qWindowFunnelDist]]'s
     * chained-prefix-max twin (identical output, same oracle; spec-proven
-    * level-identity on an 80%-hot frame). */
+    * level-identity on an 80%-hot frame). The cap is the funnel's OWN
+    * (default 32M, not the shared 2M): the fold is O(1)-state streaming
+    * over the SPILLABLE group sort — no heap ceiling, one output row per
+    * user — and the measured crossover vs the corpus-bound twin sits at
+    * ~50M hot rows on the 32-core box (1M: 6.6 vs 16.4 s; 5M: 15.6 vs
+    * 23.7; 20M: 71.7 vs 169.4; 50M: 163.7 vs 167.5 — curve in PLANS.md
+    * round 13). */
   val qWindowFunnel: QueryDef = QueryDef(
     "q_window_funnel",
     (s, d) => {
@@ -700,7 +706,7 @@ object AnalyticsExt {
         Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
           .agg(max(col("n"))).first().getLong(0)
       }
-      if (hottest > Guards.singleSortCap(s)) ScalePatterns.qWindowFunnelDist.fn(s, d)
+      if (hottest > Guards.funnelSortCap(s)) ScalePatterns.qWindowFunnelDist.fn(s, d)
       else
         // no event-type prefilter: a user with no funnel events still owns a
         // group and lands at level 0 (the oracle's all-users frame); the

@@ -34,6 +34,17 @@ object Guards {
   def singleSortCap(s: SparkSession): Long =
     graft.Conf.long(s, graft.Conf.SingleSortCapConf, SingleSortCap)
 
+  /** q_window_funnel's own crossover (round 13): the funnel kernel is an
+    * O(1)-state streaming fold over the spillable group sort — no heap
+    * ceiling and one output row per user — so plain beats its twin until
+    * the hottest user nears ~50M rows on the 32-core box (measured curve
+    * at [[graft.Conf.FunnelSortCapConf]]). 32M keeps margin under the
+    * measured tie; clusters lower it via the conf. */
+  val FunnelSortCap = 32000000L
+
+  def funnelSortCap(s: SparkSession): Long =
+    graft.Conf.long(s, graft.Conf.FunnelSortCapConf, FunnelSortCap)
+
   private val MemoCap = 256
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()

@@ -937,7 +937,10 @@ object ScalePatterns {
     * funnel-typed rows only; the plain lane's all-users frame (users with
     * no funnel events land at level 0) is restored from two 1-row
     * aggregates. The guarded plain lane auto-delegates here above
-    * [[Guards.singleSortCap]] rows/user. */
+    * [[Guards.funnelSortCap]] rows/user (the funnel's OWN cap — its
+    * measured crossover sits ~25× right of the shared 2M because the
+    * plain fold is O(1)-state streaming; curve at
+    * [[graft.Conf.FunnelSortCapConf]]). */
   val qWindowFunnelDist: QueryDef = QueryDef(
     "q_window_funnel_dist",
     (s, d) => {

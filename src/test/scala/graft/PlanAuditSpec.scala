@@ -637,4 +637,27 @@ class PlanAuditSpec extends SparkSpec {
       assert(flipped.exceptAll(want).count() == 0 && want.exceptAll(flipped).count() == 0)
     } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
   }
+
+  test("spark.graft.funnelSortCap conf flips q_window_funnel to its dist twin without a rebuild") {
+    import graft.operators.AnalyticsExt
+    // default cap (32M — the funnel's own, NOT the shared 2M): sf0.001
+    // groups are tiny, the one-pass typed fold runs (a MapGroups node);
+    // the twin's plan can't carry that node — its prefix pipeline is
+    // pure window/agg Catalyst and its tail starts from the
+    // localCheckpoint's ExistingRDD scan
+    val plainPlan =
+      AnalyticsExt.qWindowFunnel.fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plainPlan.contains("MapGroups"),
+      s"default cap unexpectedly delegated (no typed fold in plan):\n$plainPlan")
+    try {
+      spark.conf.set(graft.Conf.FunnelSortCapConf, "1")
+      val flipped = AnalyticsExt.qWindowFunnel.fn(spark, sfDir)
+      val flippedPlan = flipped.queryExecution.executedPlan.toString
+      assert(!flippedPlan.contains("MapGroups"),
+        s"cap=1 should route through the chained-prefix twin:\n$flippedPlan")
+      spark.conf.unset(graft.Conf.FunnelSortCapConf)
+      val want = AnalyticsExt.qWindowFunnel.fn(spark, sfDir)
+      assert(flipped.exceptAll(want).count() == 0 && want.exceptAll(flipped).count() == 0)
+    } finally spark.conf.unset(graft.Conf.FunnelSortCapConf)
+  }
 }
