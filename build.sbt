@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // CORE spark confs (compression codec, local dirs, ...) must exist before
+  // the SparkContext does — spark.conf.set is too late for them, so
+  // SPARK_GRAFT_CONF can't carry them. System properties can:
+  //   SPARK_GRAFT_JVM_CONF="spark.io.compression.codec=zstd" sbt "runMain ..."
+  sys.env.get("SPARK_GRAFT_JVM_CONF").toSeq
+    .flatMap(_.split(',').map(kv => s"-D${kv.trim}"))

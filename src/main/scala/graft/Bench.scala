@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd shuffle/spill compression (round 13): measured cost-NEUTRAL at
+      // sf10 (59.8 vs 60.2 s over the 4 heaviest shuffle lanes) and >=1.5x
+      // smaller shuffle files -- the difference between emb_knn_graph at sf100
+      // FAILING on local-disk exhaustion under lz4 (>51 GB) and passing at
+      // 265.6 s (~43 GB low-water) on one box. At 100 TB the shuffle-byte
+      // shrink is pure cross-rack win.
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // collect_set aggregations fall back to sort-based after 128 keys by
       // default; our set-building groupBys have thousands of small groups.
