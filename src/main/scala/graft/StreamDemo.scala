@@ -25,6 +25,27 @@ object StreamDemo {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB state store (round 13): the default HDFS-backed store
+      // keeps every state row ON HEAP — at sf100 the LSH gate's band-key
+      // state (~5M docs x 16 bands x ~470 B ~= 37 GB) killed the 64 g JVM
+      // with SparkExitCode.OOM(52). RocksDB holds state off-heap/on-disk,
+      // which is the production deployment shape for state >> heap; the
+      // tiny-state specs keep the default provider.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // CHANGELOG checkpointing + short retain window (round 13, found at
+      // sf100): the OSS default snapshots the FULL RocksDB state per
+      // micro-batch version and retains 100 versions — the text gate's
+      // ~10 GB state x 8 AvailableNow batches filled the disk before the
+      // drain finished. Changelog checkpoints upload only the batch's
+      // delta; retain=2 lets the maintenance thread purge old versions.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
+      // each micro-batch's stream-static joins leave shuffle files that
+      // only the ContextCleaner frees, and it only runs on driver GC —
+      // rare under a large heap, so a long AvailableNow drain accumulates
+      // every batch's shuffle on disk. Force a periodic GC sweep.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -123,15 +144,26 @@ object StreamDemo {
     //    whole corpus. Docs stream from a file source (the queue stand-in)
     //    through the LSH gate; confirmed pairs must equal the batch
     //    dedup_minhash_lsh answer.
+    // BOUNDED micro-batches (round 13, found at sf100): a file source with
+    // default options delivers the ENTIRE backlog as ONE micro-batch —
+    // logOffset 0 held all 2M vectors / 5M docs, and that single batch's
+    // flatMap+join+sort footprint (not the state) is what exhausted the
+    // heap. A real queue delivers bounded batches; maxFilesPerTrigger over
+    // a 64-file feed is the file-source spelling of that, and
+    // Trigger.AvailableNow drains the backlog through it batch by batch.
+    val feedFiles = 64
+    val filesPerTrigger = "8"
     val docsTbl = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     docsTbl.as[(Long, String)]
       .map { case (id, t) => (id, graft.operators.Dedup.hashedShingleSet(t).toSeq) }
       .toDF("doc_id", "hsh")
       .write.mode("overwrite").parquet(s"$work/shingled_archive")
-    docsTbl.repartition(4).write.mode("overwrite").parquet(s"$work/docs_feed")
+    docsTbl.repartition(feedFiles).write.mode("overwrite").parquet(s"$work/docs_feed")
     val shingled = spark.read.parquet(s"$work/shingled_archive")
     val dedupQ = graft.streaming.StreamDedup.distinctPairs(
-        spark.readStream.schema(docsTbl.schema).parquet(s"$work/docs_feed"), shingled)
+        spark.readStream.schema(docsTbl.schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$work/docs_feed"),
+        shingled)
       .writeStream
       .format("parquet")
       .option("path", s"$work/dup_pairs")
@@ -139,6 +171,10 @@ object StreamDemo {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+    // gates drain SEQUENTIALLY: two corpus-sized backlogs sharing one
+    // JVM's execution memory is a demo artifact (production runs them as
+    // separate jobs); sequential = each gate gets the full heap
+    dedupQ.awaitTermination()
     // embedding gate over a pre-normed store; the sf corpora carry no
     // cos >= 0.9 pairs, so three near-identical vectors are planted —
     // the gate must confirm exactly those through the stored norms
@@ -155,10 +191,17 @@ object StreamDemo {
         .toDF("vec_id", "embedding"))
     vecsAll.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .write.mode("overwrite").parquet(s"$work/normed_store")
-    vecsAll.repartition(4).write.mode("overwrite").parquet(s"$work/vecs_feed")
+    vecsAll.repartition(feedFiles).write.mode("overwrite").parquet(s"$work/vecs_feed")
+    // bucket bits sized to the corpus (the saturation rule): at sf100 the
+    // 8-bit default put ~7.8k members in every (table, bucket) group —
+    // ~10^11 candidate pairs — and OOM'd the gate; 2M vectors at 64/bucket
+    // is 15 bits, the same posting economics as the batch over-cap legs
+    val nVecs = spark.read.parquet(s"$work/vecs_feed").count()
+    val embPlanes = graft.streaming.StreamEmbDedup.planesForCorpus(nVecs)
     val embQ = graft.streaming.StreamEmbDedup.distinctPairs(
-        spark.readStream.schema(vecsAll.schema).parquet(s"$work/vecs_feed"),
-        spark.read.parquet(s"$work/normed_store"))
+        spark.readStream.schema(vecsAll.schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$work/vecs_feed"),
+        spark.read.parquet(s"$work/normed_store"), nPlanes = embPlanes)
       .writeStream
       .format("parquet")
       .option("path", s"$work/emb_pairs")
@@ -166,7 +209,6 @@ object StreamDemo {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    dedupQ.awaitTermination()
     embQ.awaitTermination()
     val gatesSecs = secsSince(tGates)
     val dedupState = stateStats(dedupQ)
@@ -220,7 +262,7 @@ object StreamDemo {
     val annParity = servedHits == batchHits
     val evPerSec = if (drainSecs > 0) math.round(nArchive / drainSecs) else 0L
     println(
-      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"render_secs":$renderSecs,"drain_secs":$drainSecs,"events_per_sec":$evPerSec,"gates_secs":$gatesSecs,"ann_secs":$annSecs,"replica_state_rows":${replicaState._1},"replica_state_mb":${replicaState._2 / 1048576},"dedup_state_rows":${dedupState._1},"dedup_state_mb":${dedupState._2 / 1048576},"emb_state_rows":${embState._1},"emb_state_mb":${embState._2 / 1048576},"dir":"$work"}""")
+      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"emb_planes":$embPlanes,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"render_secs":$renderSecs,"drain_secs":$drainSecs,"events_per_sec":$evPerSec,"gates_secs":$gatesSecs,"ann_secs":$annSecs,"replica_state_rows":${replicaState._1},"replica_state_mb":${replicaState._2 / 1048576},"dedup_state_rows":${dedupState._1},"dedup_state_mb":${dedupState._2 / 1048576},"emb_state_rows":${embState._1},"emb_state_mb":${embState._2 / 1048576},"dir":"$work"}""")
     spark.stop()
   }
 }

@@ -49,14 +49,26 @@ object StreamEmbDedup {
     ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
       .toDouble / 1000003.0 - 0.5
 
-  /** The 16 8-bit table buckets of one embedding: per table, one sign
-    * bit per hyperplane (left-to-right double fold, the FloatVecDot
-    * order). */
-  private[graft] def tableBuckets(v: Seq[Float]): Array[Int] =
+  /** The 16 table buckets of one embedding: per table, one sign bit per
+    * hyperplane (left-to-right double fold, the FloatVecDot order).
+    *
+    * `nPlanes` is the SATURATION knob (round 13, found by the sf100
+    * StreamDemo probe OOMing inside this gate): a (table, bucket) group
+    * holds ~N/2^nPlanes members, and every bucket-mate pair is a
+    * candidate, so candidate volume is ~N²/2^nPlanes per table. At the
+    * default 8 bits a 2M-vector corpus puts ~7.8k members in every
+    * bucket — ~10¹¹ candidate pairs, a quadratic wall no pairing-loop
+    * micro-optimization survives. Production sizes bucket bits with the
+    * corpus: nPlanes ≈ log2(N / targetBucket) (see
+    * [[planesForCorpus]]), trading per-table recall (sign-agreement^
+    * nPlanes) that deployments buy back with more tables or multi-probe
+    * — the same posting-cap/probe economics as the batch over-cap ANN
+    * legs. */
+  private[graft] def tableBuckets(v: Seq[Float], nPlanes: Int): Array[Int] =
     Array.tabulate(NTables) { t =>
       var bucket = 0
       var p = 0
-      while (p < NPlanes) {
+      while (p < nPlanes) {
         var dot = 0.0
         var i = 0
         while (i < v.length) { dot += v(i) * wgt(t, p, i); i += 1 }
@@ -66,16 +78,31 @@ object StreamEmbDedup {
       bucket
     }
 
+  private[graft] def tableBuckets(v: Seq[Float]): Array[Int] =
+    tableBuckets(v, NPlanes)
+
+  /** Bucket bits for a corpus of `n` vectors targeting ~`targetBucket`
+    * members per (table, bucket): candidate work per newcomer stays
+    * O(tables × targetBucket) at any corpus size. Floor 8 = the measured
+    * ≈0.996 @ cos 0.9 recall point for small corpora; cap 24 keeps the
+    * bucket id in an Int with headroom. */
+  def planesForCorpus(n: Long, targetBucket: Int = 64): Int =
+    math.min(24, math.max(NPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
   /** Candidate pairs from a streaming (vec_id, embedding) frame, each
-    * pair emitted exactly once (when its later vector arrives). */
-  def candidates(vecs: DataFrame): Dataset[VecCandidate] = {
+    * pair emitted exactly once (when its later vector arrives).
+    * `nPlanes`: bucket bits per table — size with [[planesForCorpus]]
+    * for the expected corpus (the default 8 saturates above ~100k
+    * vectors; see [[tableBuckets]]). */
+  def candidates(vecs: DataFrame, nPlanes: Int = NPlanes): Dataset[VecCandidate] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     vecs
       .select("vec_id", "embedding")
       .as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
-        val buckets: Seq[Int] = tableBuckets(v).toSeq
+        val buckets: Seq[Int] = tableBuckets(v, nPlanes).toSeq
         buckets.iterator.zipWithIndex
           .map { case (b, t) => (t, b, id, buckets) }
       }
@@ -120,14 +147,22 @@ object StreamEmbDedup {
     * resolving every admitted vector (the embedding store in
     * production). Cosines round to 6 dp like the batch operators. */
   def nearDups(vecs: DataFrame, corpus: DataFrame,
-      tau: Double = 0.9): Dataset[VecNearDup] = {
+      tau: Double = 0.9, nPlanes: Int = NPlanes): Dataset[VecNearDup] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val dot = graft.plans.VectorExpressions.floatDot _
     val normed = normedCorpus(corpus)
-    val h1 = normed.toDF("vec_id", "v1", "n1")
-    val h2 = normed.toDF("vec_id", "v2", "n2")
-    candidates(vecs).toDF()
+    // SHUFFLE_HASH pinned on the corpus side (round 13, found at sf10
+    // scale-drive): the fmgws candidate output carries no usable size
+    // estimate and AQE is off in stateful plans, so Catalyst picked a
+    // BroadcastHashJoin building on the CANDIDATE side — unbounded,
+    // cumulative with state, and over the 8 GiB broadcast wall by the
+    // 4th micro-batch at sf10. The corpus side is the bounded one (the
+    // embedding store), and hash-partitioning both sides on vec_id is
+    // the only shape that survives any store size.
+    val h1 = normed.toDF("vec_id", "v1", "n1").hint("shuffle_hash")
+    val h2 = normed.toDF("vec_id", "v2", "n2").hint("shuffle_hash")
+    candidates(vecs, nPlanes).toDF()
       .join(h1, col("id1") === h1("vec_id")).drop("vec_id")
       .join(h2, col("id2") === h2("vec_id")).drop("vec_id")
       .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
@@ -139,8 +174,8 @@ object StreamEmbDedup {
   /** One row per confirmed pair — already distinct by the
     * smallest-shared-table election. */
   def distinctPairs(vecs: DataFrame, corpus: DataFrame,
-      tau: Double = 0.9): DataFrame =
-    nearDups(vecs, corpus, tau).toDF().drop("table_idx")
+      tau: Double = 0.9, nPlanes: Int = NPlanes): DataFrame =
+    nearDups(vecs, corpus, tau, nPlanes).toDF().drop("table_idx")
 
   /** A bounded-form candidate pair, stamped with the later vector's ts. */
   final case class TimedVecCandidate(id1: Long, id2: Long, table_idx: Int,

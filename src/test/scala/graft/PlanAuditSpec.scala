@@ -447,8 +447,13 @@ class PlanAuditSpec extends SparkSpec {
       // q_zorder_layout: the 1-row grid-bounds frame broadcast over events
       // emb_dim_trunc_eval: the 8-query broadcast × corpus scan, per dim
       // dedup_threshold_sweep: the 5-row τ table broadcast (range join)
+      // q_window_funnel_dist: the level-0 restore leg — 1-row
+      // total-users aggregate × 1-row funnel-user sum (both guarded by
+      // SinglePartition aggregates; the heavy prefix pipeline is all
+      // hash joins)
       "q_key_skew_report", "sketch_overlap_users", "ann_range_search",
-      "q_zorder_layout", "emb_dim_trunc_eval", "dedup_threshold_sweep")
+      "q_zorder_layout", "emb_dim_trunc_eval", "dedup_threshold_sweep",
+      "q_window_funnel_dist")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")

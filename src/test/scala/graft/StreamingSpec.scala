@@ -1623,6 +1623,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamEmbDedup: corpus-scaled bucket bits keep the candidate-truth contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the round-13 saturation fix: more planes = smaller buckets, same
+    // gate contract (pair surfaced iff a table bucket is shared at THAT
+    // plane count). Truth recomputed at 12 bits must equal the stream.
+    val nP = 12
+    assert(graft.streaming.StreamEmbDedup.planesForCorpus(2000000L) == 15)
+    assert(graft.streaming.StreamEmbDedup.planesForCorpus(1000L) == 8,
+      "small corpora keep the measured 8-bit default")
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val base = (0 until 30).map(i => (300L + i, vec()))
+    val dups = Seq(2, 11, 23).zipWithIndex.map { case (b, k) =>
+      val v = base(b)._2.clone(); v(1) += 0.01f
+      (400L + k, v)
+    }
+    val all = base ++ dups
+    def dotJ(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    def cosJ(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(dotJ(a, b) / (math.sqrt(dotJ(a, a)) * math.sqrt(dotJ(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bucketsOf = all.map { case (id, v) =>
+      id -> graft.streaming.StreamEmbDedup.tableBuckets(v.toSeq, nP)
+    }.toMap
+    val want = (for {
+      (i, vi) <- all; (j, vj) <- all
+      if i < j &&
+        bucketsOf(i).zip(bucketsOf(j)).exists { case (x, y) => x == y }
+      c = cosJ(vi, vj) if c >= 0.9
+    } yield (i, j, c)).toSet
+    assert(want.size >= 3, s"planted dups not in the 12-bit candidate truth: $want")
+    val corpus = all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.streaming.StreamEmbDedup.distinctPairs(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, nPlanes = nP)
+    val q = out.writeStream.format("memory").queryName("streamembdedup12")
+      .outputMode("append").start()
+    try {
+      mem.addData(base.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      mem.addData(dups.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("streamembdedup12").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("StreamEmbDedup.distinctPairsBounded: retention evicts partners, in-window pairs fire") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
