@@ -40,5 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the SparkContext does — spark.conf.set is too late for them, so
   // SPARK_GRAFT_CONF can't carry them. System properties can:
   //   SPARK_GRAFT_JVM_CONF="spark.io.compression.codec=zstd" sbt "runMain ..."
+  // Split only on commas that START a new key=value token: a LIST-valued
+  // conf (spark.local.dir=/a,/b) keeps its commas, and empty segments
+  // (trailing comma) produce no bogus bare -D flag.
   sys.env.get("SPARK_GRAFT_JVM_CONF").toSeq
-    .flatMap(_.split(',').map(kv => s"-D${kv.trim}"))
+    .flatMap(_.split(""",(?=[\w.]+=)""").map(_.trim).filter(_.nonEmpty)
+      .map(kv => s"-D$kv"))

@@ -60,6 +60,20 @@ object Conf {
     * holds the measured recall/cost curve). */
   val KnnProbeConf = "spark.graft.knnProbe"
 
+  /** Corpus-vector count above which the ANN serving lanes (`ann_lsh`,
+    * `emb_recall_report`'s index search) stop building the driver-resident
+    * broadcast index and route to the distributed posting-join twin
+    * ([[graft.operators.Guards.AnnServeCap]] holds the measured
+    * rationale). The twin is spec-proven row-identical, so the flip
+    * changes the physical plan only. */
+  val AnnServeCapConf = "spark.graft.annServeCap"
+
+  /** Query rows per broadcast batch in the distributed (segment-serving)
+    * ANN path: query streams past this loop over disjoint pmod batches —
+    * one corpus pass each — so the broadcast stays ≤ ~cap × 90 B no
+    * matter how many queries arrive. */
+  val AnnQueryBatchConf = "spark.graft.annQueryBatch"
+
   def long(s: SparkSession, key: String, default: Long): Long =
     s.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
 

@@ -133,7 +133,12 @@ object StreamDemo {
       java.nio.file.Files.walk(java.nio.file.Paths.get(s"$work/queue"))
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: Exception => () }
+    } catch {
+      // A partial delete leaves ~15 GB of dead JSON on the disk the later
+      // gates need — keep going (the drive may still fit) but SAY so.
+      case e: Exception =>
+        System.err.println(s"[StreamDemo] queue cleanup incomplete: $e")
+    }
     val tGates = System.nanoTime()
 
     // 3. INGEST DEDUP GATES over MATERIALIZED archive columns — the

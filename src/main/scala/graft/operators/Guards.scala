@@ -45,9 +45,33 @@ object Guards {
   def funnelSortCap(s: SparkSession): Long =
     graft.Conf.long(s, graft.Conf.FunnelSortCapConf, FunnelSortCap)
 
+  /** Corpus-vector count above which `lshTopK` refuses the serving path
+    * (driver-resident broadcast index) and routes to its spec-identical
+    * distributed posting-join twin. The serving index costs ~90 B/vector
+    * (id + packed sig + SQ8), so 10⁷ vectors ≈ 0.9 GB of driver heap +
+    * broadcast — the right plan up to there (zero shuffles before the
+    * exact rerank), a driver OOM well past it. The cap is a MEMORY
+    * envelope, not a perf crossover: at sf10 (200k vectors, whole-corpus
+    * query stream) serving measured 35.6 s and the segment-serving twin
+    * 35.8 s — cost parity — so the flip point is where the index stops
+    * fitting, not where it stops being fast. Deployments with small
+    * driver heaps lower it via `spark.graft.annServeCap`. */
+  val AnnServeCap = 10000000L
+
+  def annServeCap(s: SparkSession): Long =
+    graft.Conf.long(s, graft.Conf.AnnServeCapConf, AnnServeCap)
+
   private val MemoCap = 256
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // LRU, not clear-on-overflow (round 14): the old clear-all wiped every
+  // memoized stat on the 257th key, so a long-lived multi-dir session
+  // thrashed recounts of its HOT keys. accessOrder=true makes get() a
+  // touch; removeEldestEntry evicts only the coldest entry. All access
+  // synchronized — guard lookups are rare (one per lane per dir), the
+  // compute job itself still runs OUTSIDE the lock.
+  private val memo = new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+      size() > MemoCap
+  }
 
   /** Memoized guard statistic: computes (once per session/dir/tag) the
     * caller's max-group-size aggregate. */
@@ -58,13 +82,15 @@ object Guards {
     // exactly the skew the guard exists for.
     val key = graft.Registry.sessionToken(s) + "|" + d + "|" +
       graft.Registry.dirFingerprint(d) + "|" + tag
-    val hit = memo.get(key)
+    val hit = memo.synchronized(memo.get(key))
     if (hit != null) hit.longValue
     else {
-      val v = compute // outside the map: no bin lock held across the job
-      if (memo.size >= MemoCap) memo.clear()
-      val prev = memo.putIfAbsent(key, java.lang.Long.valueOf(v))
-      if (prev != null) prev.longValue else v
+      val v = compute // outside the lock: no monitor held across the job
+      memo.synchronized {
+        val prev = memo.get(key)
+        if (prev != null) prev.longValue
+        else { memo.put(key, java.lang.Long.valueOf(v)); v }
+      }
     }
   }
 }

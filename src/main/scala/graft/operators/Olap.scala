@@ -387,10 +387,22 @@ object Olap {
   /** As-of join: each purchase matched to the latest preceding click of the
     * same user. Implemented as union + running max (ts is monotone in the
     * window order, so max == last) — ONE shuffle on user_id, no point-lookups,
-    * no crossJoin; this survives 100 TB where a per-row subquery would not. */
+    * no crossJoin; this survives 100 TB where a per-row subquery would not.
+    *
+    * HOT-KEY GUARD (round 14): the per-user cumulative window funnels a
+    * hot user through one task's sort, so above [[Guards.singleSortCap]]
+    * rows for any one user (the SAME memoized "events_user" stat the
+    * sessionize/late-arrivals guards read) this delegates to
+    * [[ScalePatterns.qAsofJoinDist]]'s bucketed-prefix twin (identical
+    * output, same oracle). */
   val qAsofJoin: QueryDef = QueryDef(
     "q_asof_join",
     (s, d) => {
+      if (Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.singleSortCap(s)) ScalePatterns.qAsofJoinDist.fn(s, d)
+      else {
       val cum = Window
         .partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -408,6 +420,7 @@ object Olap {
           round(col("value"), 2).as("purchase_value")
         )
         .orderBy(col("purchase_id"))
+      }
     },
     Some("""
       SELECT event_id AS purchase_id, user_id,
@@ -480,10 +493,17 @@ object Olap {
   )
 
   /** As-of join WITH TOLERANCE (pandas merge_asof semantics): the matched
-    * click must lie within the preceding hour, else the match is null. */
+    * click must lie within the preceding hour, else the match is null.
+    * Hot-key guarded like [[qAsofJoin]] (round 14) → delegates to
+    * [[ScalePatterns.qAsofToleranceDist]]. */
   val qAsofTolerance: QueryDef = QueryDef(
     "q_asof_tolerance",
     (s, d) => {
+      if (Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.singleSortCap(s)) ScalePatterns.qAsofToleranceDist.fn(s, d)
+      else {
       val cum = Window
         .partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -501,6 +521,7 @@ object Olap {
           when(col("last_click_us") >= col("p_us") - 3600000000L, col("last_click_us")).as("click_us_within_1h")
         )
         .orderBy("purchase_id")
+      }
     },
     Some("""
       SELECT event_id AS purchase_id, user_id, p_us,
@@ -522,10 +543,16 @@ object Olap {
     * replay order — the mirror of [[qAsofJoin]]'s backward match, same
     * union+running-extreme shape (min over the strictly-following frame
     * instead of max over the preceding one). Still no per-row lookup, no
-    * crossJoin; one user_id exchange. */
+    * crossJoin; one user_id exchange. Hot-key guarded like [[qAsofJoin]]
+    * (round 14) → delegates to [[ScalePatterns.qAsofForwardDist]]. */
   val qAsofForward: QueryDef = QueryDef(
     "q_asof_forward",
     (s, d) => {
+      if (Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.singleSortCap(s)) ScalePatterns.qAsofForwardDist.fn(s, d)
+      else {
       val fwd = Window
         .partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -543,6 +570,7 @@ object Olap {
           round(col("value"), 2).as("purchase_value")
         )
         .orderBy(col("purchase_id"))
+      }
     },
     Some("""
       SELECT event_id AS purchase_id, user_id,
@@ -675,10 +703,16 @@ object Olap {
     * reversed order — an extra sort, never an extra exchange); ties at
     * equal distance break backward (the earlier click), deterministically
     * on both engines because all arithmetic is epoch-microsecond
-    * integers. */
+    * integers. Hot-key guarded like [[qAsofJoin]] (round 14) → delegates
+    * to [[ScalePatterns.qAsofNearestDist]]. */
   val qAsofNearest: QueryDef = QueryDef(
     "q_asof_nearest",
     (s, d) => {
+      if (Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.singleSortCap(s)) ScalePatterns.qAsofNearestDist.fn(s, d)
+      else {
       val back = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -709,6 +743,7 @@ object Olap {
             .as("dt_us"),
           col("direction"))
         .orderBy("purchase_id")
+      }
     },
     Some("""
       WITH c AS (

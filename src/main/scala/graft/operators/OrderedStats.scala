@@ -271,6 +271,14 @@ object OrderedStats {
   val qGapFill: QueryDef = QueryDef(
     "q_gap_fill",
     (s, d) => {
+      // Hot-key guard (round 14; the qAsofJoin pattern — same memoized
+      // "events_user" stat): above the cap the LOCF decomposes through
+      // ScalePatterns.qGapFillDist's struct-max bucketed prefix.
+      if (Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.singleSortCap(s)) ScalePatterns.qGapFillDist.fn(s, d)
+      else {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
@@ -284,6 +292,7 @@ object OrderedStats {
           col("event_type"),
           (col("carried_cents") / 100.0).as("last_purchase_value"))
         .orderBy("event_id")
+      }
     },
     Some("""
       SELECT event_id, user_id, event_type,

@@ -692,6 +692,18 @@ object ScalePatterns {
     * on the hot-key corpus shape. */
   private val PrefixBuckets = 256
 
+  /** Overflow-safe monotone time bucket shared by every bucketed-prefix
+    * kernel: `width = (tmax - tmin) div B + 1`, `bkt = (us - tmin) div
+    * width`. Division first means NO multiply of a µs span by B ever
+    * happens — the old `(us - tmin) * B` form silently wrapped Long for a
+    * per-user span past ~3.6e16 µs (corrupt far-future timestamps) and
+    * misbucketed rows. Still monotone in us (equal timestamps share a
+    * bucket) and bounded in [0, B): width > span/B, so span/width < B.
+    * The kernels only need monotonicity + the bound, not the exact
+    * boundaries, so the splice algebra is unchanged. */
+  private def timeBucket(B: Int) =
+    expr(s"(us - tmin) div ((tmax - tmin) div $B + 1)").cast("int")
+
   /** Core of [[qLateArrivalsDist]], factored on an arbitrary
     * (user_id, us, event_id) frame so the spec can drive a synthetic
     * hot-key frame through it. */
@@ -701,7 +713,7 @@ object ScalePatterns {
     val B = PrefixBuckets
     val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
     val bucketed = ev.join(bounds, "user_id")
-      .withColumn("bkt", expr(s"((us - tmin) * $B) div (tmax - tmin + 1)").cast("int"))
+      .withColumn("bkt", timeBucket(B))
     val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
       .orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -779,7 +791,7 @@ object ScalePatterns {
     val B = PrefixBuckets
     val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
     val bucketed = ev.join(bounds, "user_id")
-      .withColumn("bkt", expr(s"((us - tmin) * $B) div (tmax - tmin + 1)").cast("int"))
+      .withColumn("bkt", timeBucket(B))
       .drop("tmin", "tmax")
     val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
       .orderBy(col("us"), col("event_id"))
@@ -839,7 +851,7 @@ object ScalePatterns {
     val B = PrefixBuckets
     val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
     val bucketed = ev.join(bounds, "user_id")
-      .withColumn("bkt", expr(s"((us - tmin) * $B) div (tmax - tmin + 1)").cast("int"))
+      .withColumn("bkt", timeBucket(B))
       .drop("tmin", "tmax")
     val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
       .orderBy(col("us"), col("event_id"))
@@ -879,6 +891,197 @@ object ScalePatterns {
     Cdc.cdcScd2.oracle
   )
 
+  /** Generic bucketed CONDITIONAL CUMULATIVE MAX (inclusive current row) —
+    * round 14, the fourth member of the bucketed prefix family: adds
+    * column `out` = `max(mask) over (partition by user_id order by us,
+    * event_id rows unbounded preceding .. current row)` with the widest
+    * data sort 1/B of the hottest user. `mask` may be any orderable type
+    * (a µs long for the as-of lanes; a (us, event_id, value) struct for
+    * LOCF — lexicographic struct order IS the window order, so the
+    * struct's max carries the latest value). Splice: local cumulative max
+    * within (user, bucket) ⊕ carry = max of bucket maxima over PRIOR
+    * buckets; `greatest` skips nulls exactly like the window max, so
+    * all-null prefixes stay null. Extra columns pass through untouched. */
+  private[graft] def cumMaxBucketed(ev: org.apache.spark.sql.DataFrame,
+      mask: Column, out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PrefixBuckets
+    val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
+    val bucketed = ev.join(bounds, "user_id")
+      .withColumn("bkt", timeBucket(B))
+      .drop("tmin", "tmax")
+      .withColumn("__m", mask)
+    val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrior = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketed.groupBy(col("user_id"), col("bkt"))
+      .agg(max(col("__m")).as("bmax"))
+      .withColumn("__carry", max(col("bmax")).over(wPrior))
+      .select(col("user_id"), col("bkt"), col("__carry"))
+    bucketed
+      .withColumn("__l", max(col("__m")).over(wLocal))
+      .join(carry, Seq("user_id", "bkt"))
+      .withColumn(out, greatest(col("__l"), col("__carry")))
+      .drop("bkt", "__m", "__l", "__carry")
+  }
+
+  /** Mirror of [[cumMaxBucketed]]: conditional cumulative MIN over the
+    * FORWARD frame (current row .. unbounded following). Carry = min of
+    * bucket minima over FOLLOWING buckets; `least` skips nulls like the
+    * window min. */
+  private[graft] def cumMinFwdBucketed(ev: org.apache.spark.sql.DataFrame,
+      mask: Column, out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PrefixBuckets
+    val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
+    val bucketed = ev.join(bounds, "user_id")
+      .withColumn("bkt", timeBucket(B))
+      .drop("tmin", "tmax")
+      .withColumn("__m", mask)
+    val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAfter = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = bucketed.groupBy(col("user_id"), col("bkt"))
+      .agg(min(col("__m")).as("bmin"))
+      .withColumn("__carry", min(col("bmin")).over(wAfter))
+      .select(col("user_id"), col("bkt"), col("__carry"))
+    bucketed
+      .withColumn("__l", min(col("__m")).over(wLocal))
+      .join(carry, Seq("user_id", "bkt"))
+      .withColumn(out, least(col("__l"), col("__carry")))
+      .drop("bkt", "__m", "__l", "__carry")
+  }
+
+  /** Click/purchase event frame shared by the as-of twins. */
+  private def asofEvents(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+
+  private def clickMask: Column =
+    when(col("event_type") === "click", col("us"))
+
+  /** [[Olap.qAsofJoin]]'s two-phase twin (round 14 — the as-of family
+    * joins the bucketed-prefix guard program): identical output, same
+    * oracle. The backward conditional running max decomposes through
+    * [[cumMaxBucketed]]; output rows are purchases, whose own mask is
+    * null, so the inclusive-current frame equals the plain lane's. */
+  val qAsofJoinDist: QueryDef = QueryDef(
+    "q_asof_join_dist",
+    (s, d) => {
+      cumMaxBucketed(asofEvents(s, d), clickMask, "click_us")
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          col("us").as("purchase_us"),
+          col("click_us"),
+          round(col("value"), 2).as("purchase_value"))
+        .orderBy(col("purchase_id"))
+    },
+    Olap.qAsofJoin.oracle
+  )
+
+  /** [[Olap.qAsofTolerance]]'s two-phase twin: same kernel as
+    * [[qAsofJoinDist]], the 1-hour tolerance applied after. */
+  val qAsofToleranceDist: QueryDef = QueryDef(
+    "q_asof_tolerance_dist",
+    (s, d) => {
+      cumMaxBucketed(asofEvents(s, d), clickMask, "last_click_us")
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          col("us").as("p_us"),
+          when(col("last_click_us") >= col("us") - 3600000000L, col("last_click_us"))
+            .as("click_us_within_1h"))
+        .orderBy("purchase_id")
+    },
+    Olap.qAsofTolerance.oracle
+  )
+
+  /** [[Olap.qAsofForward]]'s two-phase twin: the forward conditional
+    * running min decomposes through [[cumMinFwdBucketed]] (strict vs
+    * inclusive frame is immaterial on purchase rows — their own mask is
+    * null). */
+  val qAsofForwardDist: QueryDef = QueryDef(
+    "q_asof_forward_dist",
+    (s, d) => {
+      cumMinFwdBucketed(asofEvents(s, d), clickMask, "next_click_us")
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          col("us").as("purchase_us"),
+          col("next_click_us"),
+          round(col("value"), 2).as("purchase_value"))
+        .orderBy(col("purchase_id"))
+    },
+    Olap.qAsofForward.oracle
+  )
+
+  /** [[Olap.qAsofNearest]]'s two-phase twin: both directional kernels
+    * chained over the same frame (the second kernel's bounds re-derive
+    * from the pass-through columns), then the plain lane's tie-break
+    * tail verbatim. */
+  val qAsofNearestDist: QueryDef = QueryDef(
+    "q_asof_nearest_dist",
+    (s, d) => {
+      val withBack = cumMaxBucketed(asofEvents(s, d), clickMask, "back_us")
+      cumMinFwdBucketed(withBack, clickMask, "fwd_us")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("purchase_us"), col("back_us"), col("fwd_us"))
+        .withColumn("direction",
+          when(col("back_us").isNull && col("fwd_us").isNull, lit(null).cast("string"))
+            .when(col("fwd_us").isNull, "backward")
+            .when(col("back_us").isNull, "forward")
+            .when(col("purchase_us") - col("back_us") <= col("fwd_us") - col("purchase_us"),
+              "backward")
+            .otherwise("forward"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+          when(col("direction") === "backward", col("back_us"))
+            .when(col("direction") === "forward", col("fwd_us")).as("click_us"),
+          when(col("direction") === "backward", col("purchase_us") - col("back_us"))
+            .when(col("direction") === "forward", col("fwd_us") - col("purchase_us"))
+            .as("dt_us"),
+          col("direction"))
+        .orderBy("purchase_id")
+    },
+    Olap.qAsofNearest.oracle
+  )
+
+  /** [[OrderedStats.qGapFill]]'s two-phase twin: LOCF is the conditional
+    * cumulative max of the (us, event_id, cents) STRUCT — lexicographic
+    * struct order is exactly the window order, so the running struct-max
+    * carries the latest purchase's cents forward, null through all-null
+    * prefixes. */
+  val qGapFillDist: QueryDef = QueryDef(
+    "q_gap_fill_dist",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("purchase_cents",
+          when(col("event_type") === "purchase", round(col("value") * 100).cast("long")))
+      cumMaxBucketed(ev,
+        when(col("purchase_cents").isNotNull,
+          struct(col("us"), col("event_id"), col("purchase_cents"))), "lp")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          (col("lp.purchase_cents") / 100.0).as("last_purchase_value"))
+        .orderBy("event_id")
+    },
+    OrderedStats.qGapFill.oracle
+  )
+
   /** Chained prefix-max pair behind [[qWindowFunnelDist]], factored on an
     * arbitrary (user_id, event_type, us, event_id) frame so the spec can
     * drive a synthetic hot-key frame through it. [[AnalyticsExt
@@ -903,7 +1106,7 @@ object ScalePatterns {
     val B = PrefixBuckets
     val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
     val bucketed = ev.join(bounds, "user_id")
-      .withColumn("bkt", expr(s"((us - tmin) * $B) div (tmax - tmin + 1)").cast("int"))
+      .withColumn("bkt", timeBucket(B))
       .drop("tmin", "tmax")
     val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
       .orderBy(col("us"), col("event_id"))
@@ -966,8 +1169,10 @@ object ScalePatterns {
         .agg(count(lit(1)).as("n_users")).localCheckpoint()
       // users with NO funnel-typed events sit at level 0 (the plain
       // lane's all-users frame): two 1-row aggregates, a 1-row crossJoin
+      // coalesce: a corpus with ZERO funnel-typed events makes lvls empty,
+      // so a bare sum is NULL and the all-users level-0 row would vanish
       val extra = evAll.agg(countDistinct(col("user_id")).as("total"))
-        .crossJoin(lvls.agg(sum(col("n_users")).as("fu")))
+        .crossJoin(lvls.agg(coalesce(sum(col("n_users")), lit(0L)).as("fu")))
         .select(lit(0).as("level"), (col("total") - col("fu")).as("n_users"))
       lvls.unionByName(extra)
         .groupBy(col("level")).agg(sum(col("n_users")).as("n_users"))
@@ -982,5 +1187,7 @@ object ScalePatterns {
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
     qPercentileDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
     cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit, qZorderLayout,
-    qLateArrivalsDist, qSessionizeDist, cdcScd2Dist, qWindowFunnelDist)
+    qLateArrivalsDist, qSessionizeDist, cdcScd2Dist, qWindowFunnelDist,
+    qAsofJoinDist, qAsofToleranceDist, qAsofForwardDist, qAsofNearestDist,
+    qGapFillDist)
 }

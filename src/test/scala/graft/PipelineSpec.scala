@@ -149,6 +149,16 @@ class PipelineSpec extends SparkSpec {
     val dist = Similarity.lshTopK(spark, sfDir, distributed = true)
     assert(serving.exceptAll(dist).count() == 0, "rows only in serving path")
     assert(dist.exceptAll(serving).count() == 0, "rows only in distributed path")
+    // query-batch invariance (round 14): a batch cap far under the corpus
+    // forces the distributed path through its pmod query-batch loop —
+    // the split must not change a single row
+    try {
+      spark.conf.set(graft.Conf.AnnQueryBatchConf, "100")
+      val batched = Similarity.lshTopK(spark, sfDir, distributed = true)
+      assert(batched.exceptAll(serving).count() == 0 &&
+        serving.exceptAll(batched).count() == 0,
+        "query batching changed the distributed path's answer")
+    } finally spark.conf.unset(graft.Conf.AnnQueryBatchConf)
   }
 
   test("approx sketches sit within their error bounds of the exact answers") {
@@ -919,6 +929,23 @@ class PipelineSpec extends SparkSpec {
     val sibling = spark.newSession()
     assert(graft.operators.Guards.maxGroupRows(sibling, dir, "t1")(counted) == 42L)
     assert(calls == 3, "newSession sibling must not hit the parent's memo")
+  }
+
+  test("Guards memo eviction is LRU: a hot key survives 300 cold inserts") {
+    // round 14 (r13 verdict #6): the old clear-on-overflow wiped ALL 256
+    // entries on the 257th key, so a long-lived multi-dir session thrashed
+    // recounts of its hottest keys. LRU must keep a freshly-touched key.
+    val dir = "/tmp/guards-lru-" + java.util.UUID.randomUUID()
+    var hotCalls = 0
+    def hot(): Long =
+      graft.operators.Guards.maxGroupRows(spark, dir, "lru_hot") { hotCalls += 1; 7L }
+    assert(hot() == 7L && hotCalls == 1)
+    (0 until 300).foreach { i =>
+      graft.operators.Guards.maxGroupRows(spark, dir, s"lru_cold_$i")(0L)
+      assert(hot() == 7L) // each touch re-marks the hot key most-recent
+    }
+    assert(hotCalls == 1,
+      s"hot key recomputed ${hotCalls - 1} times under cold-key pressure — eviction not LRU")
   }
 
   test("graft_dot is callable from SQL after registration") {

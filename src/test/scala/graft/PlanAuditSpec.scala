@@ -227,6 +227,89 @@ class PlanAuditSpec extends SparkSpec {
       s"funnel prefix windows not bucket-partitioned:\n$plan")
   }
 
+  test("as-of/gap-fill dist twins equal their single-window lanes on the corpus") {
+    import graft.operators.{Olap, OrderedStats, ScalePatterns}
+    for ((name, dist, plain) <- Seq(
+      ("q_asof_join", ScalePatterns.qAsofJoinDist, Olap.qAsofJoin),
+      ("q_asof_tolerance", ScalePatterns.qAsofToleranceDist, Olap.qAsofTolerance),
+      ("q_asof_forward", ScalePatterns.qAsofForwardDist, Olap.qAsofForward),
+      ("q_asof_nearest", ScalePatterns.qAsofNearestDist, Olap.qAsofNearest),
+      ("q_gap_fill", ScalePatterns.qGapFillDist, OrderedStats.qGapFill))) {
+      val d = dist.fn(spark, sfDir)
+      val p = plain.fn(spark, sfDir)
+      assert(d.exceptAll(p).count() == 0 && p.exceptAll(d).count() == 0,
+        s"$name dist twin diverges from the single-window lane")
+      // the heavy windows are partitioned by (user, bucket), never user alone
+      val plan = d.queryExecution.executedPlan.toString
+      assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r.findFirstIn(plan).isDefined,
+        s"$name dist windows not bucket-partitioned:\n$plan")
+    }
+  }
+
+  test("cumMaxBucketed / cumMinFwdBucketed equal single-window scans on a hot-key frame") {
+    import graft.operators.ScalePatterns
+    import spark.implicits._
+    // one user holds 80% of the frame; mask rows (clicks) are sparse and
+    // sometimes absent from whole buckets (carry must splice across many
+    // empty buckets); duplicate timestamps exercise the event_id tiebreak
+    val rows = (0 until 4000).map { i =>
+      val user = if (i % 5 != 0) 7L else (100 + i % 17).toLong
+      val typ = if (i % 11 == 0) "click" else if (i % 3 == 0) "purchase" else "view"
+      val us = 1000000L + (i / 2).toLong * 30L // pairs share a timestamp
+      (user, typ, us, i.toLong, (i % 7).toDouble)
+    }
+    val ev = rows.toDF("user_id", "event_type", "us", "event_id", "value")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val mask = when(col("event_type") === "click", col("us"))
+    val gotB = ScalePatterns.cumMaxBucketed(ev, mask, "cmax")
+      .select(col("user_id"), col("us"), col("event_id"), col("cmax"))
+    val wantB = ev.withColumn("cmax",
+      max(mask).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("user_id"), col("us"), col("event_id"), col("cmax"))
+    assert(gotB.exceptAll(wantB).count() == 0 && wantB.exceptAll(gotB).count() == 0,
+      "bucketed cumulative max diverges from the single-window scan")
+    val gotF = ScalePatterns.cumMinFwdBucketed(ev, mask, "cmin")
+      .select(col("user_id"), col("us"), col("event_id"), col("cmin"))
+    val wantF = ev.withColumn("cmin",
+      min(mask).over(w.rowsBetween(W.currentRow, W.unboundedFollowing)))
+      .select(col("user_id"), col("us"), col("event_id"), col("cmin"))
+    assert(gotF.exceptAll(wantF).count() == 0 && wantF.exceptAll(gotF).count() == 0,
+      "bucketed forward cumulative min diverges from the single-window scan")
+    // the LOCF struct-max carries the latest value exactly like
+    // last(..., ignoreNulls): struct (us, event_id, v) order ≡ frame order
+    val sMask = when(col("event_type") === "click",
+      struct(col("us"), col("event_id"), col("value")))
+    val gotS = ScalePatterns.cumMaxBucketed(ev, sMask, "lp")
+      .select(col("user_id"), col("us"), col("event_id"), col("lp.value").as("carried"))
+    val wantS = ev.withColumn("carried",
+      last(when(col("event_type") === "click", col("value")), ignoreNulls = true)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("user_id"), col("us"), col("event_id"), col("carried"))
+    assert(gotS.exceptAll(wantS).count() == 0 && wantS.exceptAll(gotS).count() == 0,
+      "bucketed LOCF struct-max diverges from last(..., ignoreNulls)")
+  }
+
+  test("singleSortCap=1 flips the as-of and gap-fill lanes to their bucketed twins") {
+    import graft.operators.{Olap, OrderedStats}
+    try {
+      spark.conf.set(graft.Conf.SingleSortCapConf, "1")
+      for ((name, lane) <- Seq(
+        ("q_asof_join", Olap.qAsofJoin), ("q_gap_fill", OrderedStats.qGapFill))) {
+        val flipped = lane.fn(spark, sfDir)
+        val flippedPlan = flipped.queryExecution.executedPlan.toString
+        assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r
+          .findFirstIn(flippedPlan).isDefined,
+          s"$name cap=1 should route through the bucketed twin:\n$flippedPlan")
+        spark.conf.unset(graft.Conf.SingleSortCapConf)
+        val want = lane.fn(spark, sfDir)
+        spark.conf.set(graft.Conf.SingleSortCapConf, "1")
+        assert(flipped.exceptAll(want).count() == 0 && want.exceptAll(flipped).count() == 0,
+          s"$name twin answer differs from the plain lane")
+      }
+    } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
+  }
+
   test("text_bm25: query and stats broadcast; top-20 is TakeOrdered, never a global sort") {
     import graft.operators.TextAnalysis
     val plan = TextAnalysis.textBm25.fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -641,6 +724,30 @@ class PlanAuditSpec extends SparkSpec {
       val want = plain.fn(spark, sfDir)
       assert(flipped.exceptAll(want).count() == 0 && want.exceptAll(flipped).count() == 0)
     } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
+  }
+
+  test("spark.graft.annServeCap routes ann_lsh off the driver-resident serving index") {
+    import graft.operators.Similarity
+    // default cap: the sf0.001 corpus serves from the broadcast index —
+    // the shortlist plan starts from the collected query-id list, which
+    // surfaces as an RDD-backed leaf (ExternalRDD) in the analyzed plan
+    val servingPlan =
+      Similarity.annLsh.fn(spark, sfDir).queryExecution.analyzed.toString
+    assert(servingPlan.contains("ExternalRDD"),
+      s"default cap should take the serving path:\n$servingPlan")
+    try {
+      spark.conf.set(graft.Conf.AnnServeCapConf, "1")
+      val routed = Similarity.annLsh.fn(spark, sfDir)
+      val routedPlan = routed.queryExecution.analyzed.toString
+      // the flip's whole point: NO corpus-sized collect behind the plan —
+      // every leaf is the parquet scan, nothing driver-resident
+      assert(!routedPlan.contains("ExternalRDD"),
+        s"cap=1 must not driver-collect a serving index:\n$routedPlan")
+      spark.conf.unset(graft.Conf.AnnServeCapConf)
+      val want = Similarity.annLsh.fn(spark, sfDir)
+      assert(routed.exceptAll(want).count() == 0 && want.exceptAll(routed).count() == 0,
+        "routed plan must answer identically to the serving plan")
+    } finally spark.conf.unset(graft.Conf.AnnServeCapConf)
   }
 
   test("spark.graft.funnelSortCap conf flips q_window_funnel to its dist twin without a rebuild") {
