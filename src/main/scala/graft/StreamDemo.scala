@@ -125,20 +125,26 @@ object StreamDemo {
     rejectQ.awaitTermination()
     val drainSecs = secsSince(tDrain)
     val replicaState = stateStats(replicaQ)
-    // The queue text is drained; drop it so a scale run (sf100 renders
-    // ~15 GB of JSON lines) isn't holding dead bytes through the
-    // dedup/ANN stages on the same disk.
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$work/queue"))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch {
-      // A partial delete leaves ~15 GB of dead JSON on the disk the later
-      // gates need — keep going (the drive may still fit) but SAY so.
-      case e: Exception =>
-        System.err.println(s"[StreamDemo] queue cleanup incomplete: $e")
-    }
+    // Disk-budget discipline (round 14, the sf100 drive): every consumed
+    // byte is DELETED as soon as no later stage needs it — the box's free
+    // disk, not the corpus, is what bounds the largest drivable SF.
+    // The queue CANNOT use the file source's cleanSource=delete because
+    // THREE independent queries read it (one would delete files the other
+    // two haven't committed), so it drops here, right after the drain;
+    // the single-reader gate feeds below do use cleanSource.
+    def dropDir(path: String, tag: String): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch {
+        // A partial delete leaves dead bytes on the disk the later gates
+        // need — keep going (the drive may still fit) but SAY so.
+        case e: Exception =>
+          System.err.println(s"[StreamDemo] $tag cleanup incomplete: $e")
+      }
+    dropDir(s"$work/queue", "queue")
     val tGates = System.nanoTime()
 
     // 3. INGEST DEDUP GATES over MATERIALIZED archive columns — the
@@ -165,9 +171,13 @@ object StreamDemo {
       .write.mode("overwrite").parquet(s"$work/shingled_archive")
     docsTbl.repartition(feedFiles).write.mode("overwrite").parquet(s"$work/docs_feed")
     val shingled = spark.read.parquet(s"$work/shingled_archive")
+    // cleanSource=delete: SINGLE-reader feed, so consumed files are safe
+    // to drop as each micro-batch commits — the feed never holds its full
+    // size through the drain (the bounded deleted-as-consumed queue shape)
     val dedupQ = graft.streaming.StreamDedup.distinctPairs(
         spark.readStream.schema(docsTbl.schema)
-          .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$work/docs_feed"),
+          .option("maxFilesPerTrigger", filesPerTrigger)
+          .option("cleanSource", "delete").parquet(s"$work/docs_feed"),
         shingled)
       .writeStream
       .format("parquet")
@@ -180,6 +190,10 @@ object StreamDemo {
     // JVM's execution memory is a demo artifact (production runs them as
     // separate jobs); sequential = each gate gets the full heap
     dedupQ.awaitTermination()
+    // the doc gate is done: its archive + any unconsumed feed remnants
+    // (~16 GB at sf100) free BEFORE the embedding gate needs the disk
+    dropDir(s"$work/shingled_archive", "shingled_archive")
+    dropDir(s"$work/docs_feed", "docs_feed")
     // embedding gate over a pre-normed store; the sf corpora carry no
     // cos >= 0.9 pairs, so three near-identical vectors are planted —
     // the gate must confirm exactly those through the stored norms
@@ -205,7 +219,8 @@ object StreamDemo {
     val embPlanes = graft.streaming.StreamEmbDedup.planesForCorpus(nVecs)
     val embQ = graft.streaming.StreamEmbDedup.distinctPairs(
         spark.readStream.schema(vecsAll.schema)
-          .option("maxFilesPerTrigger", filesPerTrigger).parquet(s"$work/vecs_feed"),
+          .option("maxFilesPerTrigger", filesPerTrigger)
+          .option("cleanSource", "delete").parquet(s"$work/vecs_feed"),
         spark.read.parquet(s"$work/normed_store"), nPlanes = embPlanes)
       .writeStream
       .format("parquet")
@@ -215,6 +230,8 @@ object StreamDemo {
       .trigger(Trigger.AvailableNow())
       .start()
     embQ.awaitTermination()
+    dropDir(s"$work/normed_store", "normed_store")
+    dropDir(s"$work/vecs_feed", "vecs_feed")
     val gatesSecs = secsSince(tGates)
     val dedupState = stateStats(dedupQ)
     val embState = stateStats(embQ)

@@ -42,8 +42,30 @@ object Guards {
     * measured tie; clusters lower it via the conf. */
   val FunnelSortCap = 32000000L
 
+  /** Round 14 (r13 verdict #7): the 32M default is a SINGLE-BOX
+    * measurement; on a fleet one 32M-row task idles every other
+    * executor, so when a deployment declares its size
+    * (`spark.executor.instances`) the effective default derives DOWN —
+    * divided by the instance count, floored at the shared
+    * [[SingleSortCap]] (below that the two-phase twin's own overhead
+    * dominates regardless of fleet size). An explicit
+    * `spark.graft.funnelSortCap` always wins. */
+  /** The pure derivation, seam for the spec (`spark.executor.instances`
+    * is a submit-time core conf — immutable per session, so the spec
+    * exercises the function, not a conf flip). */
+  private[graft] def derivedFunnelCap(execInstances: Option[String], floor: Long): Long = {
+    val execs = execInstances
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(1)
+    if (execs <= 1) FunnelSortCap
+    else math.max(floor, FunnelSortCap / execs)
+  }
+
   def funnelSortCap(s: SparkSession): Long =
-    graft.Conf.long(s, graft.Conf.FunnelSortCapConf, FunnelSortCap)
+    graft.Conf.long(s, graft.Conf.FunnelSortCapConf,
+      derivedFunnelCap(
+        s.conf.getOption("spark.executor.instances")
+          .orElse(Option(s.sparkContext.getConf.get("spark.executor.instances", null))),
+        singleSortCap(s)))
 
   /** Corpus-vector count above which `lshTopK` refuses the serving path
     * (driver-resident broadcast index) and routes to its spec-identical

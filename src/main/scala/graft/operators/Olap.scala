@@ -553,10 +553,19 @@ object Olap {
           .agg(max(col("n"))).first().getLong(0)
       } > Guards.singleSortCap(s)) ScalePatterns.qAsofForwardDist.fn(s, d)
       else {
+      // DESC-order cumulative frame, not `rows between 1 following and
+      // unbounded following` (round 14): Spark's UnboundedFollowing frame
+      // RE-SCANS the remainder of the partition per row — O(n²) in the
+      // partition, jstack-caught burning 1000+ s of one core on a 1M-row
+      // hot user — while the UnboundedPreceding frame accumulates
+      // incrementally, O(n). Identical output: the two frames differ only
+      // in whether the CURRENT row's own mask counts, and output rows are
+      // purchases whose click mask is null. (q_asof_nearest always used
+      // this spelling.)
       val fwd = Window
         .partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))

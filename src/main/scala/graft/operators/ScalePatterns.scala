@@ -940,9 +940,16 @@ object ScalePatterns {
       .withColumn("bkt", timeBucket(B))
       .drop("tmin", "tmax")
       .withColumn("__m", mask)
+    // DESC-order cumulative local frame ≡ min over (current row ..
+    // unbounded following) in ascending order — Spark's
+    // UnboundedFollowing frame re-scans the partition remainder per row
+    // (O(bucket²), jstack-caught at 1000+ s/core on hot frames); the
+    // UnboundedPreceding frame accumulates incrementally, O(bucket).
+    // The bucket-summary carry below keeps the following-frame form: its
+    // partitions are ≤B rows, where quadratic is noise.
     val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
-      .orderBy(col("us"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAfter = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
       .rowsBetween(1, Window.unboundedFollowing)
     val carry = bucketed.groupBy(col("user_id"), col("bkt"))

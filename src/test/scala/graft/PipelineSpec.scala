@@ -931,6 +931,29 @@ class PipelineSpec extends SparkSpec {
     assert(calls == 3, "newSession sibling must not hit the parent's memo")
   }
 
+  test("funnelSortCap derives down from the declared fleet size") {
+    import graft.operators.Guards
+    // single box (no spark.executor.instances): the measured 32M default
+    assert(Guards.derivedFunnelCap(None, Guards.SingleSortCap) == Guards.FunnelSortCap)
+    assert(Guards.funnelSortCap(spark) == Guards.FunnelSortCap)
+    // a 16-executor fleet: one 32M-row task idles 15 executors, so the
+    // default divides by the fleet (32M/16 = 2M)
+    assert(Guards.derivedFunnelCap(Some("16"), Guards.SingleSortCap)
+      == Guards.FunnelSortCap / 16)
+    // never below the shared single-sort floor (the twin's own overhead
+    // dominates there regardless of fleet size)
+    assert(Guards.derivedFunnelCap(Some("64"), Guards.SingleSortCap)
+      == Guards.SingleSortCap)
+    // garbage instance counts fall back to the single-box default
+    assert(Guards.derivedFunnelCap(Some("bogus"), Guards.SingleSortCap)
+      == Guards.FunnelSortCap)
+    // an explicit spark.graft.funnelSortCap always wins
+    try {
+      spark.conf.set(graft.Conf.FunnelSortCapConf, "12345")
+      assert(Guards.funnelSortCap(spark) == 12345L)
+    } finally spark.conf.unset(graft.Conf.FunnelSortCapConf)
+  }
+
   test("Guards memo eviction is LRU: a hot key survives 300 cold inserts") {
     // round 14 (r13 verdict #6): the old clear-on-overflow wiped ALL 256
     // entries on the 257th key, so a long-lived multi-dir session thrashed
