@@ -145,6 +145,17 @@ object StreamDemo {
           System.err.println(s"[StreamDemo] $tag cleanup incomplete: $e")
       }
     dropDir(s"$work/queue", "queue")
+    // Count the CDC outputs NOW so replica/archive and their checkpoints
+    // can free before the gates (at sf100 the embedding gate's confirm
+    // joins need every GB: the batch twin spills ~43 GB at that SF).
+    val nArchive = spark.read.parquet(s"$work/archive").count()
+    val months = spark.read.parquet(s"$work/archive")
+      .select(countDistinct(col("event_month"))).head().getLong(0)
+    val nReplica = spark.read.parquet(s"$work/replica").count()
+    val nRejects =
+      try spark.read.parquet(s"$work/rejects").count() catch { case _: Exception => 0L }
+    Seq("archive", "replica", "rejects", "ckpt_archive", "ckpt_replica", "ckpt_rejects")
+      .foreach(p => dropDir(s"$work/$p", p))
     val tGates = System.nanoTime()
 
     // 3. INGEST DEDUP GATES over MATERIALIZED archive columns — the
@@ -190,10 +201,12 @@ object StreamDemo {
     // JVM's execution memory is a demo artifact (production runs them as
     // separate jobs); sequential = each gate gets the full heap
     dedupQ.awaitTermination()
-    // the doc gate is done: its archive + any unconsumed feed remnants
-    // (~16 GB at sf100) free BEFORE the embedding gate needs the disk
+    // the doc gate is done: its archive, checkpoint (12 GB of RocksDB
+    // versions at sf100 even with changelog+retain=2) and any unconsumed
+    // feed remnants free BEFORE the embedding gate needs the disk
     dropDir(s"$work/shingled_archive", "shingled_archive")
     dropDir(s"$work/docs_feed", "docs_feed")
+    dropDir(s"$work/ckpt_dedup", "ckpt_dedup")
     // embedding gate over a pre-normed store; the sf corpora carry no
     // cos >= 0.9 pairs, so three near-identical vectors are planted —
     // the gate must confirm exactly those through the stored norms
@@ -217,9 +230,12 @@ object StreamDemo {
     // is 15 bits, the same posting economics as the batch over-cap legs
     val nVecs = spark.read.parquet(s"$work/vecs_feed").count()
     val embPlanes = graft.streaming.StreamEmbDedup.planesForCorpus(nVecs)
+    // the emb gate's confirm joins carry vector payloads across the
+    // candidate stream — per-batch shuffle footprint scales with batch
+    // size, so it triggers at HALF the doc gate's file count
     val embQ = graft.streaming.StreamEmbDedup.distinctPairs(
         spark.readStream.schema(vecsAll.schema)
-          .option("maxFilesPerTrigger", filesPerTrigger)
+          .option("maxFilesPerTrigger", "4")
           .option("cleanSource", "delete").parquet(s"$work/vecs_feed"),
         spark.read.parquet(s"$work/normed_store"), nPlanes = embPlanes)
       .writeStream
@@ -232,6 +248,7 @@ object StreamDemo {
     embQ.awaitTermination()
     dropDir(s"$work/normed_store", "normed_store")
     dropDir(s"$work/vecs_feed", "vecs_feed")
+    dropDir(s"$work/ckpt_embdedup", "ckpt_embdedup")
     val gatesSecs = secsSince(tGates)
     val dedupState = stateStats(dedupQ)
     val embState = stateStats(embQ)
@@ -261,13 +278,6 @@ object StreamDemo {
     annQ.awaitTermination()
     val annSecs = secsSince(tAnn)
 
-    val nArchive = spark.read.parquet(s"$work/archive").count()
-    val replica = spark.read.parquet(s"$work/replica")
-    val nReplica = replica.count()
-    val nRejects =
-      try spark.read.parquet(s"$work/rejects").count() catch { case _: Exception => 0L }
-    val months = spark.read.parquet(s"$work/archive")
-      .select(countDistinct(col("event_month"))).head().getLong(0)
     val streamedPairs = spark.read.parquet(s"$work/dup_pairs")
       .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val batchPairs = graft.operators.Dedup.dedupMinhashLsh.fn(spark, sfDir)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.{col, round, sqrt}
+import org.apache.spark.sql.functions.{broadcast, col, round, sqrt}
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** STREAMING EMBEDDING near-dup gate — the vector analog of
@@ -143,6 +143,34 @@ object StreamEmbDedup {
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm")).cache()
   }
 
+  /** The confirm-side join pair, routed on the STORE size against
+    * [[graft.Conf.AnnServeCapConf]] — the annServeCap recipe applied to
+    * the streaming confirm (round 14, found at the sf100 drive):
+    *
+    *  - UNDER the cap (store ≤ ~10⁷ vectors): BROADCAST the store on
+    *    both confirm sides. The candidate stream then never crosses an
+    *    exchange — the cosine computes in the candidate stage and only
+    *    confirmed τ-pairs survive. Without this, each micro-batch
+    *    SHUFFLES the candidate stream twice, the second time carrying
+    *    ~260 B/row of vector payload: on the sf100 tiled corpus (lumpy
+    *    buckets → e8-row candidate batches) one batch's confirm shuffle
+    *    burned >52 GB of disk and killed the drive.
+    *  - ABOVE the cap: shuffle_hash pinned on the corpus side (round 13
+    *    — Catalyst would otherwise build a broadcast on the CANDIDATE
+    *    side, which is unbounded; hash-partitioning both sides on
+    *    vec_id survives any store size, at fleet-disk shuffle cost).
+    *
+    * Never the candidate side: the fmgws output carries no usable size
+    * estimate and AQE is off in stateful plans. */
+  private def confirmSides(normed: DataFrame): (DataFrame, DataFrame) = {
+    val s = normed.sparkSession
+    val serveCap = graft.Conf.long(s, graft.Conf.AnnServeCapConf, 10000000L)
+    val h1 = normed.toDF("vec_id", "v1", "n1")
+    val h2 = normed.toDF("vec_id", "v2", "n2")
+    if (normed.count() <= serveCap) (broadcast(h1), broadcast(h2))
+    else (h1.hint("shuffle_hash"), h2.hint("shuffle_hash"))
+  }
+
   /** Confirmed cosine ≥ τ pairs. `corpus`: static (vec_id, embedding)
     * resolving every admitted vector (the embedding store in
     * production). Cosines round to 6 dp like the batch operators. */
@@ -151,17 +179,7 @@ object StreamEmbDedup {
     val spark = vecs.sparkSession
     import spark.implicits._
     val dot = graft.plans.VectorExpressions.floatDot _
-    val normed = normedCorpus(corpus)
-    // SHUFFLE_HASH pinned on the corpus side (round 13, found at sf10
-    // scale-drive): the fmgws candidate output carries no usable size
-    // estimate and AQE is off in stateful plans, so Catalyst picked a
-    // BroadcastHashJoin building on the CANDIDATE side — unbounded,
-    // cumulative with state, and over the 8 GiB broadcast wall by the
-    // 4th micro-batch at sf10. The corpus side is the bounded one (the
-    // embedding store), and hash-partitioning both sides on vec_id is
-    // the only shape that survives any store size.
-    val h1 = normed.toDF("vec_id", "v1", "n1").hint("shuffle_hash")
-    val h2 = normed.toDF("vec_id", "v2", "n2").hint("shuffle_hash")
+    val (h1, h2) = confirmSides(normedCorpus(corpus))
     candidates(vecs, nPlanes).toDF()
       .join(h1, col("id1") === h1("vec_id")).drop("vec_id")
       .join(h2, col("id2") === h2("vec_id")).drop("vec_id")
@@ -239,9 +257,7 @@ object StreamEmbDedup {
   def distinctPairsBounded(vecs: DataFrame, corpus: DataFrame,
       retention: String, tau: Double = 0.9): DataFrame = {
     val dot = graft.plans.VectorExpressions.floatDot _
-    val normed = normedCorpus(corpus)
-    val h1 = normed.toDF("vec_id", "v1", "n1")
-    val h2 = normed.toDF("vec_id", "v2", "n2")
+    val (h1, h2) = confirmSides(normedCorpus(corpus))
     candidatesBounded(vecs, retention).toDF()
       .join(h1, col("id1") === h1("vec_id")).drop("vec_id")
       .join(h2, col("id2") === h2("vec_id")).drop("vec_id")

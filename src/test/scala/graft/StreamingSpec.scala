@@ -1498,6 +1498,30 @@ class StreamingSpec extends SparkSpec {
     assert(offenders.isEmpty, s"corpus side re-shingles via $offenders:\n$plan")
   }
 
+  test("StreamEmbDedup confirm routes broadcast under annServeCap, shuffle_hash above") {
+    // round 14 (sf100 drive): under the cap the store broadcasts so the
+    // candidate stream never crosses an exchange (one sf100 batch's
+    // confirm shuffle burned >52 GB of disk under the old always-shuffle
+    // shape); above it the r13 corpus-side shuffle_hash pin returns.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    def planOf(): String =
+      graft.streaming.StreamEmbDedup.nearDups(vecs, vecs)
+        .queryExecution.executedPlan.toString
+    val under = planOf()
+    assert(under.contains("BroadcastHashJoin") && !under.contains("ShuffledHashJoin"),
+      s"store under cap must broadcast the confirm sides:\n$under")
+    try {
+      spark.conf.set(graft.Conf.AnnServeCapConf, "1")
+      val over = planOf()
+      assert(over.contains("ShuffledHashJoin") && !over.contains("BroadcastHashJoin"),
+        s"store over cap must pin shuffle_hash on the corpus side:\n$over")
+    } finally spark.conf.unset(graft.Conf.AnnServeCapConf)
+  }
+
   test("StreamEmbDedup: a pre-normed embedding store (nrm column) serves the confirm as-is") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
