@@ -40,9 +40,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the SparkContext does — spark.conf.set is too late for them, so
   // SPARK_GRAFT_CONF can't carry them. System properties can:
   //   SPARK_GRAFT_JVM_CONF="spark.io.compression.codec=zstd" sbt "runMain ..."
-  // Split only on commas that START a new key=value token: a LIST-valued
-  // conf (spark.local.dir=/a,/b) keeps its commas, and empty segments
-  // (trailing comma) produce no bogus bare -D flag.
+  // Split only on commas that START a new spark.*=value token: a
+  // LIST-valued conf (spark.local.dir=/a,/b) keeps its commas, and empty
+  // segments (trailing comma) produce no bogus bare -D flag. The
+  // lookahead is anchored to a dotted spark key — a list ELEMENT that
+  // itself looks like key=value (extraJavaOptions=-Da=1,b=2) no longer
+  // mis-splits. Known limit: a non-spark.* system property as the 2nd+
+  // token won't split — pass those via separate -D flags.
   sys.env.get("SPARK_GRAFT_JVM_CONF").toSeq
-    .flatMap(_.split(""",(?=[\w.]+=)""").map(_.trim).filter(_.nonEmpty)
+    .flatMap(_.split(""",(?=spark\.[\w.]+=)""").map(_.trim).filter(_.nonEmpty)
       .map(kv => s"-D$kv"))

@@ -68,6 +68,17 @@ object Conf {
     * changes the physical plan only. */
   val AnnServeCapConf = "spark.graft.annServeCap"
 
+  /** Multi-probe depth for the SERVING/SEGMENT ANN lanes' `lshTopK`
+    * shortlist (the `ann_lsh` family): 1 = exact bucket + every 1-bit
+    * sig flip per table (the r14 hard-coded behavior, kept as default),
+    * 2 = + every 2-bit flip — ~(P choose 2) extra probe buckets per
+    * table for a recall/cost dial the routed kNN leg already has
+    * ([[KnnProbeConf]]). Needed at scale: sampled recall@3 on the sf10
+    * tiled corpus measured 0.485 at depth 1 (log-scaled buckets finer
+    * than per-copy structure) with no knob to buy it back; PLANS.md
+    * holds the measured depth-1/2 curve. */
+  val AnnProbeConf = "spark.graft.annProbe"
+
   /** Query rows per broadcast batch in the distributed (segment-serving)
     * ANN path: query streams past this loop over disjoint pmod batches —
     * one corpus pass each — so the broadcast stays ≤ ~cap × 90 B no

@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   * hash-agg count job, so it is memoized per (session, dir, tag) — the
   * bpeMemo/pairsMemo lifetime contract: keyed by [[graft.Registry
   * .sessionToken]]'s per-session UUID plus the data dir (STRINGS, never
-  * the session object), bounded with clear-on-overflow (a miss just
-  * recomputes), and the count job runs OUTSIDE any map lock. */
+  * the session object), bounded as a synchronized access-order LRU
+  * (removeEldestEntry evicts only the coldest key; a miss just
+  * recomputes), and the count job runs OUTSIDE any map lock — two racing
+  * first probes may both compute, which is benign (same value, last put
+  * loses). */
 object Guards {
 
   /** Per-partition row bound above which a windowed single-sort lane

@@ -229,11 +229,23 @@ object OrderedStats {
     * the p=k/n boundaries, so the ≥ comparison agrees with DuckDB's
     * ceil-position definition. Values flow as integer cents (the selected
     * element is exact; only the final /100 presents a decimal). Window is
-    * per-priority like q_percentile — the pre-bucketed `_dist` family is
-    * the documented scale path for low-cardinality ranking. */
+    * per-priority like q_percentile. ROUND 15: guarded like its r12
+    * siblings — ~5 priority groups make this a handful of single-task
+    * whole-group sorts at any SF (the most DuckDB-lagging lane at sf10,
+    * 13.26 s vs 0.43 s), so above [[graft.operators.Guards]]'
+    * singleSortCap rows in any group it delegates to
+    * [[ScalePatterns.qPercentileDiscDist]]'s two-phase bucketed rank
+    * (identical output, same oracle); the guard stat is the SAME memoized
+    * (session, dir, "orders_priority") count q_percentile/q_cume_dist
+    * read — no extra job. */
   val qPercentileDisc: QueryDef = QueryDef(
     "q_percentile_disc",
     (s, d) => {
+      if (Guards.maxGroupRows(s, d, "orders_priority") {
+        Tables.orders(s, d).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.singleSortCap(s)) ScalePatterns.qPercentileDiscDist.fn(s, d)
+      else {
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
       Tables.orders(s, d)
         .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -249,6 +261,7 @@ object OrderedStats {
           (col("p90c") / 100.0).as("p90_disc"),
           col("n_orders"))
         .orderBy("o_orderpriority")
+      }
     },
     Some("""
       SELECT o_orderpriority,

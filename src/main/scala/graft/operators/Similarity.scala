@@ -475,8 +475,20 @@ object Similarity {
         else low
         (v & laneMask).toInt
       }
-      // Multi-probe masks: the exact bucket plus every 1-bit flip.
-      val probeMasks: Array[Int] = (0 +: (0 until nPlanes).map(1 << _)).toArray
+      // Multi-probe masks: the exact bucket plus every 1-bit flip; at
+      // `spark.graft.annProbe` ≥ 2 (round 15, verdict #4) also every
+      // 2-bit flip — the recall/cost dial the routed kNN leg already had
+      // via knnProbe. Depth 1 stays the default (bit-identical plans to
+      // r14); PLANS.md holds the measured sf10 depth-1/2 recall curve.
+      val probeDepth = graft.Conf.int(s, graft.Conf.AnnProbeConf, 1)
+      val probeMasks: Array[Int] = {
+        val one = (0 until nPlanes).map(1 << _)
+        val two = if (probeDepth >= 2)
+          for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+            yield (1 << i) | (1 << j)
+        else Seq.empty[Int]
+        (0 +: (one ++ two)).toArray
+      }
 
       // (id, packed sig words, SQ8 bytes) in one pass over the corpus.
       def sideData = emb(s, d)
@@ -646,6 +658,18 @@ object Similarity {
           val batchCap = graft.Conf.long(s, graft.Conf.AnnQueryBatchConf, 2000000L)
           val nQ = queryIds.map(_.size.toLong).getOrElse(corpusN)
           val nBatches = math.max(1L, (nQ + batchCap - 1) / batchCap).toInt
+          // Per-query merge window: batches partition query_id disjointly
+          // (pmod), so merging INSIDE each batch is row-identical to one
+          // global merge — and it lets a multi-batch stream materialize
+          // each batch eagerly (localCheckpoint) and DESTROY its query
+          // broadcast before the next collect. Round 15 (advice): the old
+          // lazy union kept every batch broadcast referenced until
+          // execution, so peak footprint was the FULL query set (~nQ ×
+          // 90 B), not one batch — exactly in the above-serve-cap regime
+          // this path exists for. Single-batch streams keep the lazy plan
+          // (no extra materialization).
+          val mergeW = Window.partitionBy(col("query_id"))
+            .orderBy(col("adot").desc, col("neighbor_id"))
           val batchResults = (0 until nBatches).map { b =>
             val qBatch = (queryIds match {
               case Some(ids) => sideD.filter(r => ids.contains(r._1))
@@ -655,7 +679,7 @@ object Similarity {
             val qB = s.sparkContext.broadcast(qBatch)
             val nT = nTables; val nP = nPlanes; val nW = nWords
             val lMask = laneMask; val tM = topM; val masks = probeMasks
-            sideD.mapPartitions { segIt =>
+            val local = sideD.mapPartitions { segIt =>
               val seg = segIt.toArray
               val queries = qB.value
               if (seg.isEmpty || queries.isEmpty) Iterator.empty
@@ -748,16 +772,21 @@ object Similarity {
                   out.iterator
                 }
               }
-            }
+            }.toDF("query_id", "neighbor_id", "adot")
+            val mergedB = local
+              .withColumn("hrn", row_number().over(mergeW))
+              .filter(col("hrn") <= topM)
+              .select("query_id", "neighbor_id")
+            if (nBatches > 1) {
+              // Eager: runs this batch's one corpus pass + merge NOW,
+              // pins the ≤ batchQ×topM result on executors, and frees
+              // the query broadcast before the next batch collects.
+              val eager = mergedB.localCheckpoint(eager = true)
+              qB.destroy()
+              eager
+            } else mergedB
           }
-          val local = batchResults.reduce(_ union _)
-            .toDF("query_id", "neighbor_id", "adot")
-          val mergeW = Window.partitionBy(col("query_id"))
-            .orderBy(col("adot").desc, col("neighbor_id"))
-          local
-            .withColumn("hrn", row_number().over(mergeW))
-            .filter(col("hrn") <= topM)
-            .select("query_id", "neighbor_id")
+          batchResults.reduce(_ union _)
         }
 
       val vecs = withNorm(s, d)

@@ -164,10 +164,22 @@ object StreamEmbDedup {
     * estimate and AQE is off in stateful plans. */
   private def confirmSides(normed: DataFrame): (DataFrame, DataFrame) = {
     val s = normed.sparkSession
-    val serveCap = graft.Conf.long(s, graft.Conf.AnnServeCapConf, 10000000L)
+    val serveCap = graft.operators.Guards.annServeCap(s)
     val h1 = normed.toDF("vec_id", "v1", "n1")
     val h2 = normed.toDF("vec_id", "v2", "n2")
-    if (normed.count() <= serveCap) (broadcast(h1), broadcast(h2))
+    // BYTE-scaled threshold (round 15, advice): annServeCap encodes a
+    // ~0.9 GB memory envelope derived at ~90 B/vector SERVING rows, but a
+    // confirm row carries the FULL float vector (4·Dim) + id + norm —
+    // ~3× wider at Dim=64 — so a raw count test near the cap would build
+    // multi-GB broadcasts outside that envelope. Compare corpus bytes
+    // against cap×90 instead: the broadcast stays inside the same budget
+    // at any dimension. Both stats run once at stream build, not per
+    // micro-batch (sf100: 2M × 272 B = 544 MB → broadcast, as measured).
+    val n = normed.count()
+    val rowBytes =
+      if (n == 0L) 90L
+      else 4L * normed.select(col("embedding")).head.getSeq[Float](0).length + 16L
+    if (n * rowBytes <= serveCap * 90L) (broadcast(h1), broadcast(h2))
     else (h1.hint("shuffle_hash"), h2.hint("shuffle_hash"))
   }
 

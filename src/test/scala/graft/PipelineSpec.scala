@@ -159,6 +159,16 @@ class PipelineSpec extends SparkSpec {
         serving.exceptAll(batched).count() == 0,
         "query batching changed the distributed path's answer")
     } finally spark.conf.unset(graft.Conf.AnnQueryBatchConf)
+    // round 15: the probe-depth dial (spark.graft.annProbe=2 adds every
+    // 2-bit flip) must hold serving ≡ distributed parity — both paths
+    // read the same mask array, so a divergence means one path dropped it
+    try {
+      spark.conf.set(graft.Conf.AnnProbeConf, "2")
+      val s2 = Similarity.lshTopK(spark, sfDir, distributed = false)
+      val d2 = Similarity.lshTopK(spark, sfDir, distributed = true)
+      assert(s2.exceptAll(d2).count() == 0 && d2.exceptAll(s2).count() == 0,
+        "probe depth 2: serving and distributed paths diverge")
+    } finally spark.conf.unset(graft.Conf.AnnProbeConf)
   }
 
   test("approx sketches sit within their error bounds of the exact answers") {

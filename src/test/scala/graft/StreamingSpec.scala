@@ -1519,6 +1519,15 @@ class StreamingSpec extends SparkSpec {
       val over = planOf()
       assert(over.contains("ShuffledHashJoin") && !over.contains("BroadcastHashJoin"),
         s"store over cap must pin shuffle_hash on the corpus side:\n$over")
+      // round 15 (advice): the threshold is BYTE-scaled — a confirm row
+      // carries the full vector (4·64+16 = 272 B at Dim=64), so cap=17
+      // (> the 16-row count, but 17×90 B < 16×272 B) must still shuffle:
+      // a raw count test here would build a broadcast ~3× outside the
+      // cap's ~90 B/row memory envelope.
+      spark.conf.set(graft.Conf.AnnServeCapConf, "17")
+      val width = planOf()
+      assert(width.contains("ShuffledHashJoin") && !width.contains("BroadcastHashJoin"),
+        s"byte-scaled threshold must shuffle when rows fit but bytes don't:\n$width")
     } finally spark.conf.unset(graft.Conf.AnnServeCapConf)
   }
 
