@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   * shared≥2 candidate stage, banded by containment score, plus the
   * end-to-end top-3 delta of the forced over-cap path vs the exact one. */
 object RecallCheck {
+
+  /** The Bench knob seam: SPARK_GRAFT_CONF="spark.graft.annProbe=2,..."
+    * applies runtime confs before any lane builds — how the probe-depth
+    * recall/cost curve is driven (round 15). */
+  private def applyEnvConf(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     if (args.lift(1).contains("containment")) { containmentMode(d); return }
@@ -22,6 +33,7 @@ object RecallCheck {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    applyEnvConf(spark)
     import spark.implicits._
 
     val sh = Tables.documents(spark, d)
@@ -78,6 +90,7 @@ object RecallCheck {
       .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    applyEnvConf(spark)
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
@@ -121,10 +134,30 @@ object RecallCheck {
     val pq = operators.Similarity.annPq.fn(spark, d).select("query_id", "neighbor_id")
     val recPq = pq.intersect(pqExact).count().toDouble / pqExact.count()
     System.err.println(f"[ann] pq recall@5=$recPq%.4f")
+    // Round 15 (r14 verdict #7): measured-minus-margin FLOORS per SF —
+    // the check FAILS (exit 2) on a regression that halves recall, not
+    // just on degenerate output. Measured at probe depth 1 (the
+    // default): sf0.1 sampled recall 0.651 (21 queries — small-sample
+    // noisy, wide margin), sf10 0.485 / parity 0 / pq 0.625; deeper
+    // probes (spark.graft.annProbe=2) only raise recall, so the floors
+    // hold at any depth. Unknown dirs get the conservative sf10 floors.
+    val sfKey = new java.io.File(d).getName
+    val (lshFloor, pqFloor) = sfKey match {
+      case "sf0.1" => (0.45, 0.45)
+      case _ => (0.35, 0.45)
+    }
+    val parityOk = (onlyS + onlyD) == 0
+    val pass = parityOk && recS >= lshFloor && recD >= lshFloor && recPq >= pqFloor
     println(s"""{"metric":"ann_recall","sf":"$d","n_queries":${qIds.size},""" +
       s""""lsh_parity_delta":${onlyS + onlyD},"lsh_recall_serving":$recS,""" +
-      s""""lsh_recall_dist":$recD,"pq_recall":$recPq}""")
+      s""""lsh_recall_dist":$recD,"pq_recall":$recPq,""" +
+      s""""lsh_floor":$lshFloor,"pq_floor":$pqFloor,"pass":$pass}""")
     spark.stop()
+    if (!pass) {
+      System.err.println(s"[ann] FAIL: parity_delta=${onlyS + onlyD} " +
+        f"recall(serving=$recS%.4f dist=$recD%.4f floor=$lshFloor) pq=$recPq%.4f floor=$pqFloor")
+      sys.exit(2)
+    }
   }
 
   /** Containment-candidate recall: TRUE pairs = all within-(lang,source)
@@ -142,6 +175,7 @@ object RecallCheck {
       .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    applyEnvConf(spark)
 
     val docs = operators.Dedup.docHashedShingles(spark, d)
       .select(col("doc_id"), col("lang"), col("source"), col("hsh"))
