@@ -147,6 +147,16 @@ object Advanced {
   val qMovingAvg: QueryDef = QueryDef(
     "q_moving_avg",
     (s, d) => {
+      // HOT-KEY GUARD (round 15): the bounded frame is O(n) but still
+      // sorts a hot key on one task; above Guards.singleSortCap rows/key
+      // delegate to ScalePatterns.qMovingAvgDist's rank scatter-gather
+      // (identical rows, same oracle). Same memoized "events_user" count.
+      val hottest = Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > Guards.singleSortCap(s)) ScalePatterns.qMovingAvgDist.fn(s, d)
+      else {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-6, Window.currentRow)
       // Exact-arithmetic frame mean: sliding float sums associate
@@ -165,6 +175,7 @@ object Advanced {
         .select(col("user_id"), col("event_id"),
           (expr("(10 * cents) div cnt") / 1000.0).as("avg7"))
         .orderBy("user_id", "event_id")
+      }
     },
     Some("""
       SELECT user_id, event_id,

@@ -120,22 +120,38 @@ object Cdc {
 
   /** The replica: latest state per primary key after replaying
     * insert/update/delete in event order; keys whose final op is a DELETE
-    * tombstone vanish — exactly what `process_events()` leaves behind. */
+    * tombstone vanish — exactly what `process_events()` leaves behind.
+    *
+    * HOT-KEY GUARD (round 15): above [[graft.operators.Guards
+    * .singleSortCap]] rows for any key this delegates to
+    * [[graft.operators.ScalePatterns.cdcSnapshotDist]]'s struct-max
+    * aggregate (identical output, same oracle) — latest-per-key reduces,
+    * so the twin's partial agg absorbs the hot key map-side with no
+    * per-key sort at all. Same memoized "events_user" count as
+    * cdc_late_arrivals/q_sessionize. */
   val cdcSnapshot: QueryDef = QueryDef(
     "cdc_snapshot",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
-      ev(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && opOf(col("event_type")) =!= "delete")
-        .select(
-          col("user_id"),
-          col("event_id").as("last_event_id"),
-          opOf(col("event_type")).as("last_op"),
-          unix_micros(col("ts")).as("last_ts_us"),
-          round(col("value"), 2).as("last_value")
-        )
-        .orderBy("user_id")
+      val hottest = graft.operators.Guards.maxGroupRows(s, d, "events_user") {
+        ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > graft.operators.Guards.singleSortCap(s))
+        graft.operators.ScalePatterns.cdcSnapshotDist.fn(s, d)
+      else {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+        ev(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && opOf(col("event_type")) =!= "delete")
+          .select(
+            col("user_id"),
+            col("event_id").as("last_event_id"),
+            opOf(col("event_type")).as("last_op"),
+            unix_micros(col("ts")).as("last_ts_us"),
+            round(col("value"), 2).as("last_value")
+          )
+          .orderBy("user_id")
+      }
     },
     Some(s"""
       SELECT user_id, event_id AS last_event_id,
@@ -344,11 +360,23 @@ object Cdc {
   /** Undo stream — the reference's own roadmap item (`README.md:157`:
     * "Consider how an 'undo' would work, since we can reverse any
     * action"). Every event maps to its inverse (insert<->delete, update
-    * stays update with prior values), emitted in reverse replay order. */
+    * stays update with prior values), emitted in reverse replay order.
+    *
+    * HOT-KEY GUARD (round 15): the per-key DESC rank funnels a hot key's
+    * whole history through one task's sort, so above
+    * [[graft.operators.Guards.singleSortCap]] rows/key this delegates to
+    * [[graft.operators.ScalePatterns.cdcUndoDist]]'s bucketed-rank twin
+    * (identical rows, same oracle). Same memoized "events_user" count. */
   val cdcUndo: QueryDef = QueryDef(
     "cdc_undo",
-    (s, d) =>
-      ev(s, d)
+    (s, d) => {
+      val hottest = graft.operators.Guards.maxGroupRows(s, d, "events_user") {
+        ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > graft.operators.Guards.singleSortCap(s))
+        graft.operators.ScalePatterns.cdcUndoDist.fn(s, d)
+      else ev(s, d)
         .select(
           col("event_id").as("undo_of"),
           col("user_id").as("pk"),
@@ -363,7 +391,8 @@ object Cdc {
         )
         .withColumn("undo_seq", row_number().over(
           Window.partitionBy(col("pk")).orderBy(col("ts_us").desc, col("undo_of").desc)))
-        .orderBy("pk", "undo_seq"),
+        .orderBy("pk", "undo_seq")
+    },
     oracle = Some(s"""
       SELECT undo_of, pk, orig_op, ts_us,
              CASE WHEN orig_op = 'insert' THEN 'delete'
@@ -381,10 +410,24 @@ object Cdc {
 
   /** Point-in-time replica: the state `process_events()` would have left if
     * replay had stopped at time T — what the reference's month-partitioned
-    * event archive exists to make possible. */
+    * event archive exists to make possible.
+    *
+    * HOT-KEY GUARD (round 15): same shape as [[cdcSnapshot]], same
+    * delegation — [[graft.operators.ScalePatterns.cdcReplayAtDist]]'s
+    * struct-max aggregate over the time-sliced archive. The guard reads
+    * the UNSLICED "events_user" memo: an over-cap key in the full archive
+    * may be under-cap inside the cutoff, but the agg twin is never worse
+    * there, so the conservative stat costs nothing. */
   val cdcReplayAt: QueryDef = QueryDef(
     "cdc_replay_at",
     (s, d) => {
+      val hottest = graft.operators.Guards.maxGroupRows(s, d, "events_user") {
+        ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > graft.operators.Guards.singleSortCap(s))
+        graft.operators.ScalePatterns.cdcReplayAtDist.fn(s, d)
+      else {
       val cutoff = lit("2024-01-15 00:00:00")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
       ev(s, d)
@@ -399,6 +442,7 @@ object Cdc {
           round(col("value"), 2).as("last_value")
         )
         .orderBy("user_id")
+      }
     },
     Some(s"""
       SELECT user_id, event_id AS last_event_id,

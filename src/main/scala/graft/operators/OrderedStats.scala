@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -336,10 +337,37 @@ object OrderedStats {
     * to DECIMAL(38) (the q_cov_exact pattern).
     *
     * Scale: count/sum/sum-of-squares share ONE (user_id) exchange and one
-    * Window node; anomalies filter before the output sort. */
+    * Window node; anomalies filter before the output sort.
+    *
+    * HOT-KEY GUARD (round 15): that one Window still sorts a hot key on
+    * one task, so above [[Guards.singleSortCap]] rows/key this delegates
+    * to [[ScalePatterns.qValueAnomaliesDist]]'s bucketed prefix-sums twin
+    * (bit-equal rows, same oracle). Same memoized "events_user" count. */
+  /** The 3σ comparison, shared by the plain lane and its dist twin.
+    * Round 15: the r14 docs called n·Q > 2⁶³ "the documented swap to
+    * DECIMAL(38)" — the sf10hot drill then MEASURED that ceiling biting
+    * at just a 1M-row hot key ((n·x−S)² ≈ 1e20 under ANSI mode =
+    * SparkArithmeticException, both lanes), so the swap is now real: the
+    * COMPARISON runs in decimal(38,0) (exact; new ceiling ~1e38, i.e.
+    * n ≳ 1e14 rows/key), while the window sums stay Long (Σx² overflows
+    * only past ~9e10 rows/key × cents² — fail-loud under ANSI, same
+    * contract as the streaming twin's Math.addExact accumulation). */
+  private[operators] def anomalyTest: Column = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val lhs = d(col("n_prior")) * d(col("cents")) - d(col("s"))
+    col("n_prior") >= 8 &&
+      lhs * lhs > lit(9).cast("decimal(38,0)") *
+        (d(col("n_prior")) * d(col("q")) - d(col("s")) * d(col("s")))
+  }
   val qValueAnomalies: QueryDef = QueryDef(
     "q_value_anomalies",
     (s, d) => {
+      val hottest = Guards.maxGroupRows(s, d, "events_user") {
+        Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      }
+      if (hottest > Guards.singleSortCap(s)) ScalePatterns.qValueAnomaliesDist.fn(s, d)
+      else {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.events(s, d)
@@ -349,12 +377,10 @@ object OrderedStats {
           count(lit(1)).over(w).as("n_prior"),
           sum(col("cents")).over(w).as("s"),
           sum(col("cents") * col("cents")).over(w).as("q"))
-        .filter(col("n_prior") >= 8 &&
-          (col("n_prior") * col("cents") - col("s")) *
-            (col("n_prior") * col("cents") - col("s")) >
-            lit(9L) * (col("n_prior") * col("q") - col("s") * col("s")))
+        .filter(anomalyTest)
         .select(col("event_id"), col("user_id"), col("cents"), col("n_prior"))
         .orderBy("event_id")
+      }
     },
     Some("""
       WITH c AS (

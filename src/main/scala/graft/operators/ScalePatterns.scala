@@ -1234,11 +1234,201 @@ object ScalePatterns {
     AnalyticsExt.qWindowFunnel.oracle
   )
 
+  /** Generic bucketed EXACT per-user rank over the canonical (us,
+    * event_id) event order — round 15, the sixth member of the bucketed
+    * prefix family: adds column `r` = `row_number() over (partition by
+    * user_id order by us [desc], event_id [desc])` with the widest data
+    * sort 1/B of the hottest user. Local row_number within (user,
+    * bucket); the carry is the row COUNT of prior buckets (asc) or
+    * following buckets (desc) — a per-user window over ≤B bucket-summary
+    * rows, where the following frame's quadratic evaluator is noise.
+    * Extra columns pass through untouched. */
+  private[graft] def rankTimeBucketed(ev: org.apache.spark.sql.DataFrame,
+      descOrder: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PrefixBuckets
+    val bounds = ev.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
+    val bucketed = ev.join(bounds, "user_id")
+      .withColumn("bkt", timeBucket(B))
+      .drop("tmin", "tmax")
+    val wLocal =
+      if (descOrder)
+        Window.partitionBy(col("user_id"), col("bkt"))
+          .orderBy(col("us").desc, col("event_id").desc)
+      else
+        Window.partitionBy(col("user_id"), col("bkt"))
+          .orderBy(col("us"), col("event_id"))
+    val wCarry =
+      if (descOrder)
+        Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+          .rowsBetween(1, Window.unboundedFollowing)
+      else
+        Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("user_id"), col("bkt"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wCarry), lit(0L)))
+      .select("user_id", "bkt", "off")
+    bucketed.join(offsets, Seq("user_id", "bkt"))
+      .withColumn("r", row_number().over(wLocal) + col("off"))
+      .drop("bkt")
+  }
+
+  /** [[Cdc.cdcSnapshot]]'s scale twin: latest-row-per-key as ONE hash
+    * aggregate — `max(struct(ts_us, event_id, …))` picks the window
+    * order's last row because lexicographic struct order on the unique
+    * (ts_us, event_id) prefix IS the order, and the trailing fields ride
+    * along. Partial aggregation combines the hot key MAP-SIDE, so no
+    * task ever sorts a key's history at all — for a reduce-to-one-row
+    * window this beats any bucketed sort decomposition. */
+  val cdcSnapshotDist: QueryDef = QueryDef(
+    "cdc_snapshot_dist",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), col("value"))).as("m"))
+        .filter(Cdc.opOf(col("m.event_type")) =!= "delete")
+        .select(
+          col("user_id"),
+          col("m.event_id").as("last_event_id"),
+          Cdc.opOf(col("m.event_type")).as("last_op"),
+          col("m.ts_us").as("last_ts_us"),
+          round(col("m.value"), 2).as("last_value"))
+        .orderBy("user_id"),
+    // the oracle is the plain single-window form — same answer
+    Cdc.cdcSnapshot.oracle
+  )
+
+  /** [[Cdc.cdcReplayAt]]'s scale twin: the same struct-max aggregate as
+    * [[cdcSnapshotDist]] over the time-sliced archive — the cutoff filter
+    * pushes into the scan, then one partial-agg pass. */
+  val cdcReplayAtDist: QueryDef = QueryDef(
+    "cdc_replay_at_dist",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") <= lit("2024-01-15 00:00:00"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), col("value"))).as("m"))
+        .filter(Cdc.opOf(col("m.event_type")) =!= "delete")
+        .select(
+          col("user_id"),
+          col("m.event_id").as("last_event_id"),
+          Cdc.opOf(col("m.event_type")).as("last_op"),
+          col("m.ts_us").as("last_ts_us"),
+          round(col("m.value"), 2).as("last_value"))
+        .orderBy("user_id"),
+    Cdc.cdcReplayAt.oracle
+  )
+
+  /** [[Cdc.cdcUndo]]'s two-phase twin: the reverse replay sequence is
+    * [[rankTimeBucketed]]'s DESC rank — identical rows (same oracle SQL),
+    * widest sort 1/B of the hottest key. row_number's Int + the Long
+    * carry widens to Long; cast back to the plain lane's Int (the plain
+    * single-task row_number could never exceed Int anyway). */
+  val cdcUndoDist: QueryDef = QueryDef(
+    "cdc_undo_dist",
+    (s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        Cdc.opOf(col("event_type")).as("orig_op"),
+        unix_micros(col("ts")).as("us"))
+      rankTimeBucketed(e, descOrder = true)
+        .select(
+          col("event_id").as("undo_of"),
+          col("user_id").as("pk"),
+          col("orig_op"),
+          col("us").as("ts_us"),
+          when(col("orig_op") === "insert", "delete")
+            .when(col("orig_op") === "delete", "insert")
+            .otherwise("update").as("undo_op"),
+          col("r").cast("int").as("undo_seq"))
+        .orderBy("pk", "undo_seq")
+    },
+    Cdc.cdcUndo.oracle
+  )
+
+  /** [[OrderedStats.qValueAnomalies]]'s two-phase twin: the exclusive
+    * prefix (count, Σcents, Σcents²) triple decomposes like
+    * [[sessionIdsBucketed]]'s chained sums — local INCLUSIVE cumulative
+    * sums within (user, bucket) minus the row's own contribution, plus
+    * the prior buckets' totals carried on a users×≤B summary frame. The
+    * 3σ integer test then runs on identical (n, S, Q) values, so the
+    * anomaly set is bit-equal to the plain lane's. */
+  val qValueAnomaliesDist: QueryDef = QueryDef(
+    "q_value_anomalies_dist",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = PrefixBuckets
+      val e = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val bounds = e.groupBy("user_id").agg(min("us").as("tmin"), max("us").as("tmax"))
+      val bucketed = e.join(bounds, "user_id")
+        .withColumn("bkt", timeBucket(B))
+        .drop("tmin", "tmax")
+      val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrior = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = bucketed.groupBy(col("user_id"), col("bkt"))
+        .agg(count(lit(1)).as("bc"), sum(col("cents")).as("bs"),
+          sum(col("cents") * col("cents")).as("bq"))
+        .withColumn("cc", coalesce(sum(col("bc")).over(wPrior), lit(0L)))
+        .withColumn("cs", coalesce(sum(col("bs")).over(wPrior), lit(0L)))
+        .withColumn("cq", coalesce(sum(col("bq")).over(wPrior), lit(0L)))
+        .select("user_id", "bkt", "cc", "cs", "cq")
+      bucketed.join(carry, Seq("user_id", "bkt"))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          (col("cc") + count(lit(1)).over(wLocal) - 1).as("n_prior"),
+          (col("cs") + sum(col("cents")).over(wLocal) - col("cents")).as("s"),
+          (col("cq") + sum(col("cents") * col("cents")).over(wLocal) -
+            col("cents") * col("cents")).as("q"))
+        .filter(OrderedStats.anomalyTest) // shared decimal(38,0) 3σ compare
+        .select(col("event_id"), col("user_id"), col("cents"), col("n_prior"))
+        .orderBy("event_id")
+    },
+    OrderedStats.qValueAnomalies.oracle
+  )
+
+  /** [[Advanced.qMovingAvg]]'s two-phase twin: a BOUNDED 7-row frame is
+    * a scatter-gather over [[rankTimeBucketed]]'s exact rank — each row
+    * contributes its cents to the frames anchored at ranks r..r+6 (a
+    * 7-element sequence explode: constant-size array, trivial to
+    * re-evaluate, unlike the banned expensive-array case), and one hash
+    * aggregate per (user, target rank) rebuilds each frame's (Σcents,
+    * count) with full parallelism. Frames whose anchor rank has no row
+    * (the r+j > c spill past each user's end) identify as null-event_id
+    * and drop. Shuffle volume is 7×N rows of 4 longs — the price of
+    * removing the per-user sort entirely; the widest SORT is the rank
+    * kernel's 1/B slice. */
+  val qMovingAvgDist: QueryDef = QueryDef(
+    "q_moving_avg_dist",
+    (s, d) => {
+      val e = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      rankTimeBucketed(e, descOrder = false)
+        .withColumn("tgt", explode(sequence(col("r"), col("r") + lit(6L))))
+        .groupBy(col("user_id"), col("tgt"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("cnt"),
+          max(when(col("r") === col("tgt"), col("event_id"))).as("event_id"))
+        .filter(col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          (expr("(10 * cents) div cnt") / 1000.0).as("avg7"))
+        .orderBy("user_id", "event_id")
+    },
+    Advanced.qMovingAvg.oracle
+  )
+
   val all: Seq[QueryDef] = Seq(
     qSkewJoinSalted, cdcTableStats, sketchDistinctUsers, qRangeJoin, qNtileDist,
     qPercentileDist, qPercentileDiscDist, qCumeDistDist, sketchWindowMerge, qKeySkewReport,
     cdcBackfillPlan, sketchOverlapUsers, cdcGapAudit, qZorderLayout,
     qLateArrivalsDist, qSessionizeDist, cdcScd2Dist, qWindowFunnelDist,
     qAsofJoinDist, qAsofToleranceDist, qAsofForwardDist, qAsofNearestDist,
-    qGapFillDist)
+    qGapFillDist, cdcSnapshotDist, cdcReplayAtDist, cdcUndoDist,
+    qValueAnomaliesDist, qMovingAvgDist)
 }

@@ -28,19 +28,19 @@ object StreamAnomaly {
   case class Anomaly(event_id: Long, user_id: Long, cents: Long, n_prior: Long)
 
   /** Score one observation against the prior state and fold it in.
-    * Every multiplication/sum runs through `Math.*Exact`, so once per-key
-    * volume pushes n·Q (or lhs²) past 2⁶³ the operator FAILS LOUDLY with
-    * ArithmeticException instead of silently emitting wrong anomaly flags
-    * — the batch twin documents the same ceiling as its DECIMAL(38) swap
-    * point (q_value_anomalies, OrderedStats.scala). Exact-arithmetic
-    * parity below the ceiling is unchanged (spec-asserted bit-equality
-    * with the batch op; the overflow path has its own spec). */
+    * Round 15: the 3σ COMPARISON runs in BigInt — the r15 hot-key drill
+    * measured (n·x−S)² ≈ 1e20 at just a 1M-row key, so the old
+    * Math.*Exact test's fail-loud ceiling sat well inside real per-key
+    * volumes; BigInt keeps the test exact at any n and preserves
+    * bit-parity with the batch twin's decimal(38,0) compare
+    * (q_value_anomalies, OrderedStats.scala). The STATE accumulation
+    * stays Long + Math.*Exact fail-loud: Σx² overflows only past ~9e10
+    * rows/key × cents², and wrapping state silently would poison every
+    * later decision, so that ceiling still throws (spec'd). */
   def step(st: StatState, x: Long): (Boolean, StatState) = {
-    val lhs = Math.subtractExact(Math.multiplyExact(st.n, x), st.s)
+    val lhs = BigInt(st.n) * x - st.s
     val anomaly = st.n >= 8 &&
-      Math.multiplyExact(lhs, lhs) > Math.multiplyExact(9L,
-        Math.subtractExact(Math.multiplyExact(st.n, st.q),
-          Math.multiplyExact(st.s, st.s)))
+      lhs * lhs > 9 * (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
     (anomaly, StatState(st.n + 1, Math.addExact(st.s, x),
       Math.addExact(st.q, Math.multiplyExact(x, x))))
   }

@@ -310,6 +310,42 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
   }
 
+  test("singleSortCap=1 flips the r15 per-user window lanes to their scale twins") {
+    import graft.operators.{Advanced, Cdc, OrderedStats}
+    try {
+      spark.conf.set(graft.Conf.SingleSortCapConf, "1")
+      // reduce-to-one-row lanes: the twin is a struct-max AGGREGATE —
+      // the flipped plan must carry NO window at all
+      for ((name, lane) <- Seq(
+        ("cdc_snapshot", Cdc.cdcSnapshot), ("cdc_replay_at", Cdc.cdcReplayAt))) {
+        val flipped = lane.fn(spark, sfDir)
+        val flippedPlan = flipped.queryExecution.executedPlan.toString
+        assert(!flippedPlan.contains("windowspecdefinition"),
+          s"$name cap=1 should route through the struct-max aggregate:\n$flippedPlan")
+        spark.conf.unset(graft.Conf.SingleSortCapConf)
+        val want = lane.fn(spark, sfDir)
+        spark.conf.set(graft.Conf.SingleSortCapConf, "1")
+        assert(flipped.exceptAll(want).count() == 0 && want.exceptAll(flipped).count() == 0,
+          s"$name twin answer differs from the plain lane")
+      }
+      // all-rows-out lanes: the twin windows within (user, bucket)
+      for ((name, lane) <- Seq(
+        ("cdc_undo", Cdc.cdcUndo), ("q_value_anomalies", OrderedStats.qValueAnomalies),
+        ("q_moving_avg", Advanced.qMovingAvg))) {
+        val flipped = lane.fn(spark, sfDir)
+        val flippedPlan = flipped.queryExecution.executedPlan.toString
+        assert("windowspecdefinition\\(user_id#\\d+L?, bkt#\\d+".r
+          .findFirstIn(flippedPlan).isDefined,
+          s"$name cap=1 should route through the bucketed twin:\n$flippedPlan")
+        spark.conf.unset(graft.Conf.SingleSortCapConf)
+        val want = lane.fn(spark, sfDir)
+        spark.conf.set(graft.Conf.SingleSortCapConf, "1")
+        assert(flipped.exceptAll(want).count() == 0 && want.exceptAll(flipped).count() == 0,
+          s"$name twin answer differs from the plain lane")
+      }
+    } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
+  }
+
   test("singleSortCap=1 flips q_percentile_disc to the bucketed-rank twin") {
     import graft.operators.OrderedStats
     // default cap: tiny priority groups, the plain cume_dist window runs

@@ -1395,13 +1395,22 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric primary key"))
   }
 
-  test("StreamAnomaly.step fails loudly on Long overflow instead of mis-flagging") {
+  test("StreamAnomaly.step: BigInt test survives past 2⁶³; state overflow still throws") {
     import graft.streaming.StreamAnomaly
     import graft.streaming.StreamAnomaly.StatState
-    // n·Q already past 2⁶³/9: the silent-wrap version would compare garbage
+    // n·Q past 2⁶³/9 (the r15 drill hit this at a 1M-row hot key): the
+    // old Math.*Exact test threw here; the BigInt compare must decide
+    // correctly instead
     val hot = StatState(n = 100, s = 0L, q = Long.MaxValue / 50)
-    intercept[ArithmeticException] { StreamAnomaly.step(hot, 10L) }
-    // Σx² accumulation overflow also refuses to wrap
+    val (hotFlag, _) = StreamAnomaly.step(hot, 10L)
+    val expectHot = (BigInt(hot.n) * 10 - hot.s).pow(2) >
+      9 * (BigInt(hot.n) * hot.q - BigInt(hot.s) * hot.s)
+    assert(hotFlag == expectHot, "BigInt test disagrees past the Long ceiling")
+    // a genuinely huge deviation past the ceiling must still flag
+    val (bigDev, _) = StreamAnomaly.step(StatState(n = 1000000, s = 0L,
+      q = Long.MaxValue / 10), 1000000000L)
+    assert(bigDev, "extreme deviation not flagged past the Long ceiling")
+    // Σx² STATE accumulation overflow still refuses to wrap (fail-loud)
     val nearFull = StatState(n = 9, s = 0L, q = Long.MaxValue - 5)
     intercept[ArithmeticException] { StreamAnomaly.step(nearFull, 1000L) }
     // and below the ceiling the exact test agrees with BigInt arithmetic
