@@ -211,12 +211,21 @@ object StreamDemo {
     // cos >= 0.9 pairs, so three near-identical vectors are planted —
     // the gate must confirm exactly those through the stored norms
     val dot = graft.plans.VectorExpressions.floatDot _
+    // Planted ids sit ABOVE the corpus max (round 15, found by the sf100
+    // drive): the old hard-coded 1000000L+k collided with real sf100
+    // vec_ids (corpus max 9.99e6), which (a) made two DIFFERENT vectors
+    // share an id in the store and (b) flipped the (min, max) pair order
+    // the forall check assumes — the gate confirmed the planted trio
+    // (cos 0.99995 pairs in emb_pairs), but the check couldn't see them.
+    // maxId+1+k keeps planted ids unique AND largest at any SF.
+    val maxVecId = Tables.embeddings(spark, sfDir)
+      .agg(max(col("vec_id"))).head().getLong(0)
     val planted = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).limit(3)
       .as[(Long, Seq[Float])].collect()
       .zipWithIndex.map { case ((id, v), k) =>
         val w = v.toArray.clone(); w(0) += 0.01f
-        (1000000L + k, w.toSeq, id)
+        (maxVecId + 1L + k, w.toSeq, id)
       }
     val vecsAll = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       .unionByName(spark.createDataset(planted.toSeq.map(p => (p._1, p._2)))
