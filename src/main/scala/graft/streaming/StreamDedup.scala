@@ -18,11 +18,12 @@ import graft.operators.Dedup
   * minhashes each doc (JVM-side [[Dedup.hashedShingleSet]]/
   * [[Dedup.minhashBandKeys]] — byte-identical to the batch column
   * pipeline) and emits its 16 (band_idx, band-key signature) rows;
-  * `flatMapGroupsWithState` keyed on the band bucket holds prior member
-  * (doc_id, 16 band signatures[, ts]) rows — FIXED ~200 B per member
-  * regardless of document length — and emits each bucket-mate pair as a
-  * CANDIDATE exactly once (smallest-shared-band election over the
-  * signature vectors). Exact Jaccard confirm is DOWNSTREAM and
+  * `flatMapGroupsWithState` keyed on the band bucket holds prior members
+  * as packed primitive arrays of (doc_id, band signatures BELOW the
+  * group's own band — all the election reads) — FIXED ≤136 B per member
+  * (avg ~68) regardless of document length — and emits each bucket-mate
+  * pair as a CANDIDATE exactly once (smallest-shared-band election; see
+  * [[PackedBandMembers]] for why the layout is packed). Exact Jaccard confirm is DOWNSTREAM and
   * STATELESS: a stream-static join against the corpus/archive plus the
   * codegen'd [[graft.plans.SortedJaccard]] kernel — the batch operator's
   * own band-join → candidates → confirm-join topology.
@@ -57,6 +58,18 @@ object StreamDedup {
     }
   }
 
+  /** Packed band-member state (round 15 — the [[StreamEmbDedup
+    * .PackedVecMembers]] layout for Long signatures): `ids(j)` is member
+    * j's doc_id and `pre(j*b .. j*b+b-1)` its band signatures at bands
+    * 0..b-1, where b is the group's own band index — all the
+    * smallest-shared-band election ever reads (both members share THIS
+    * band by construction). Primitive arrays encode as one
+    * UnsafeArrayData memcopy per state write instead of a per-element
+    * List re-encode, and the suffix signatures never enter state or the
+    * exchange: ~(8 + 8·bIdx) B per member, avg half the old fixed-16
+    * layout. */
+  final case class PackedBandMembers(ids: Array[Long], pre: Array[Long])
+
   /** Candidate pairs from a streaming (doc_id, text) frame, each pair
     * emitted exactly once (when its later doc arrives) via the
     * smallest-shared-band election — no confirm, no shingle state. */
@@ -67,31 +80,58 @@ object StreamDedup {
       .select("doc_id", "text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val sigs: Seq[Long] = bandSigs(text).toSeq
-        sigs.iterator.zipWithIndex.map { case (sig, bIdx) => (bIdx, sig, id, sigs) }
+        val sigs = bandSigs(text)
+        // each band row carries only the PREFIX (bands below its own)
+        sigs.iterator.zipWithIndex
+          .map { case (sig, bIdx) => (bIdx, sig, id, sigs.take(bIdx)) }
       }
       .groupByKey { case (bIdx, sig, _, _) => (bIdx, sig) }
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], BandHit](
+      .flatMapGroupsWithState[PackedBandMembers, BandHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((bIdx, _), rows, state) =>
-          var seen = state.getOption.getOrElse(List.empty[(Long, Seq[Long])])
+          val st = state.getOption
+            .getOrElse(PackedBandMembers(Array.emptyLongArray, Array.emptyLongArray))
+          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val newPre = scala.collection.mutable.ArrayBuffer.empty[Long]
           val out = scala.collection.mutable.ArrayBuffer.empty[BandHit]
           // doc_id order makes within-batch pairing deterministic and
           // independent of micro-batch chunking: a batch's docs join the
           // bucket one at a time, each paired against ALL earlier
           // members (previous batches AND earlier rows of this batch).
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sigs) =>
-            if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, osigs) =>
-                val firstShared = sigs.iterator.zip(osigs.iterator)
-                  .indexWhere { case (a, b) => a == b }
-                if (firstShared == bIdx)
-                  out += BandHit(math.min(id, oid), math.max(id, oid), bIdx)
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p) =>
+            if (!st.ids.contains(id) && !newIds.contains(id)) {
+              var j = 0
+              while (j < st.ids.length) {
+                var i = 0
+                var shared = false
+                while (i < bIdx && !shared) {
+                  if (p(i) == st.pre(j * bIdx + i)) shared = true
+                  i += 1
+                }
+                if (!shared)
+                  out += BandHit(math.min(id, st.ids(j)),
+                    math.max(id, st.ids(j)), bIdx)
+                j += 1
               }
-              seen = (id, sigs) :: seen
+              var k = 0
+              while (k < newIds.length) {
+                var i = 0
+                var shared = false
+                while (i < bIdx && !shared) {
+                  if (p(i) == newPre(k * bIdx + i)) shared = true
+                  i += 1
+                }
+                if (!shared)
+                  out += BandHit(math.min(id, newIds(k)),
+                    math.max(id, newIds(k)), bIdx)
+                k += 1
+              }
+              newIds += id
+              newPre ++= p
             }
           }
-          state.update(seen)
+          if (newIds.nonEmpty)
+            state.update(PackedBandMembers(st.ids ++ newIds, st.pre ++ newPre))
           out.iterator
       }
   }
@@ -159,15 +199,17 @@ object StreamDedup {
     * The earlier form of this gate kept each doc's full hashed shingle
     * set (O(tokens) longs) in EVERY one of its 16 band buckets so it
     * could exact-confirm in-op — a ~16× corpus-text memory multiplier at
-    * ingest scale. This stage stores only `(doc_id, band-key signatures,
-    * ts)` per member: the 16 band keys collapse to xxhash64 signatures
-    * (16 longs), which is all the smallest-shared-band election needs
-    * (equality, not content). Shuffle rows shrink identically — no
-    * shingle set and no key strings ride the exchange. Exact Jaccard
-    * confirm moves DOWNSTREAM to a stateless stream-static join against
-    * the corpus/archive ([[nearDupsBounded]]) — the same topology as the
-    * batch operator (band join → candidates → exact confirm join), so
-    * moving it off the state store costs nothing semantically.
+    * ingest scale. This stage stores only `(doc_id, band signatures
+    * BELOW the group's band, ts)` per member in the packed
+    * [[PackedTimedBandMembers]] layout: band keys collapse to xxhash64
+    * signatures, which is all the smallest-shared-band election needs
+    * (equality, not content), and only the prefix is ever read. Shuffle
+    * rows shrink identically — no shingle set and no key strings ride
+    * the exchange. Exact Jaccard confirm moves DOWNSTREAM to a stateless
+    * stream-static join against the corpus/archive ([[nearDupsBounded]])
+    * — the same topology as the batch operator (band join → candidates →
+    * exact confirm join), so moving it off the state store costs nothing
+    * semantically.
     *
     * Signature collisions: grouping on a colliding bucket signature can
     * only ADD spurious candidates (killed by the exact confirm); electing
@@ -182,6 +224,11 @@ object StreamDedup {
     * Bounds: members older than the watermark are evicted before pairing;
     * an event-time timeout at (newest member + 1 ms) sweeps idle buckets,
     * so state death does not require new traffic. */
+  /** [[PackedBandMembers]] plus each member's event-time millis (for
+    * retention eviction). */
+  final case class PackedTimedBandMembers(ids: Array[Long], pre: Array[Long],
+      tsMs: Array[Long])
+
   def candidatesBounded(docs: DataFrame,
       retention: String): Dataset[CandidatePair] = {
     val spark = docs.sparkSession
@@ -190,47 +237,85 @@ object StreamDedup {
       .select("doc_id", "text", "ts")
       .as[(Long, String, java.sql.Timestamp)]
       .flatMap { case (id, text, ts) =>
-        val sigs: Seq[Long] = bandSigs(text).toSeq
+        val sigs = bandSigs(text)
         sigs.iterator.zipWithIndex
-          .map { case (sig, bIdx) => (bIdx, sig, id, sigs, ts) }
+          .map { case (sig, bIdx) => (bIdx, sig, id, sigs.take(bIdx).toSeq, ts) }
       }
       .toDF("band_idx", "band_sig", "doc_id", "band_sigs", "ts")
       .withWatermark("ts", retention)
       .as[(Int, Long, Long, Seq[Long], java.sql.Timestamp)]
     bands
       .groupByKey { case (bIdx, sig, _, _, _) => (bIdx, sig) }
-      .flatMapGroupsWithState[List[(Long, Seq[Long], Long)], CandidatePair](
+      .flatMapGroupsWithState[PackedTimedBandMembers, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((bIdx, _), rows, state) =>
           val wmMs = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(
+            PackedTimedBandMembers(Array.emptyLongArray, Array.emptyLongArray,
+              Array.emptyLongArray))
           // retention eviction first: expired members are not candidates
-          var seen = state.getOption
-            .getOrElse(List.empty[(Long, Seq[Long], Long)])
-            .filter(_._3 >= wmMs)
+          // (arrays rebuilt only when something actually expired)
+          val st =
+            if (!st0.tsMs.exists(_ < wmMs)) st0
+            else {
+              val keep = st0.tsMs.indices.filter(st0.tsMs(_) >= wmMs)
+              PackedTimedBandMembers(
+                keep.map(st0.ids(_)).toArray,
+                keep.iterator.flatMap(j =>
+                  (0 until bIdx).iterator.map(i => st0.pre(j * bIdx + i))).toArray,
+                keep.map(st0.tsMs(_)).toArray)
+            }
+          val evicted = st ne st0
+          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val newPre = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val newTs = scala.collection.mutable.ArrayBuffer.empty[Long]
           val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
           // doc_id order makes within-batch pairing deterministic and
-          // independent of micro-batch chunking
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sigs, ts) =>
-            if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, osigs, _) =>
-                // exactly-once lane election: only the smallest band the
-                // two docs share reports the pair (they share THIS band,
-                // so the index always exists and is ≤ bIdx)
-                val firstShared = sigs.iterator.zip(osigs.iterator)
-                  .indexWhere { case (a, b) => a == b }
-                if (firstShared == bIdx)
-                  out += CandidatePair(
-                    math.min(id, oid), math.max(id, oid), bIdx, ts)
+          // independent of micro-batch chunking. Exactly-once lane
+          // election: a pair reports on the smallest band the two docs
+          // share — elected HERE iff no band below bIdx already shares.
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, ts) =>
+            if (!st.ids.contains(id) && !newIds.contains(id)) {
+              var j = 0
+              while (j < st.ids.length) {
+                var i = 0
+                var shared = false
+                while (i < bIdx && !shared) {
+                  if (p(i) == st.pre(j * bIdx + i)) shared = true
+                  i += 1
+                }
+                if (!shared)
+                  out += CandidatePair(math.min(id, st.ids(j)),
+                    math.max(id, st.ids(j)), bIdx, ts)
+                j += 1
               }
-              seen = (id, sigs, ts.getTime) :: seen
+              var k = 0
+              while (k < newIds.length) {
+                var i = 0
+                var shared = false
+                while (i < bIdx && !shared) {
+                  if (p(i) == newPre(k * bIdx + i)) shared = true
+                  i += 1
+                }
+                if (!shared)
+                  out += CandidatePair(math.min(id, newIds(k)),
+                    math.max(id, newIds(k)), bIdx, ts)
+                k += 1
+              }
+              newIds += id
+              newPre ++= p
+              newTs += ts.getTime
             }
           }
-          if (seen.isEmpty) state.remove()
+          val ids = st.ids ++ newIds
+          if (ids.isEmpty) state.remove()
           else {
-            state.update(seen)
+            if (newIds.nonEmpty || evicted)
+              state.update(PackedTimedBandMembers(ids, st.pre ++ newPre,
+                st.tsMs ++ newTs))
             // fire once the watermark passes the newest member: every
             // member is then expired and the bucket removes itself
-            val newest = seen.map(_._3).max
+            val newest = (st.tsMs.iterator ++ newTs.iterator).max
             if (newest + 1L > wmMs) state.setTimeoutTimestamp(newest + 1L)
           }
           out.iterator

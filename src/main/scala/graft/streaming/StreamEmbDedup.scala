@@ -12,19 +12,34 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * ingest, where the text gate can't see paraphrase-level duplication.
   *
   * Topology (the round-9 lean-state shape shared with [[StreamDedup]]):
-  * a typed flatMap computes each vector's 16 8-bit hyperplane table
-  * buckets (JVM mirror of the batch hyperplane-LSH lanes — same
-  * deterministic integer-mix plane weights as
-  * `Similarity.embeddingTop3`/`lshTopK`); `flatMapGroupsWithState`
-  * keyed on (table, bucket) stores prior members as (vec_id, 16 bucket
-  * keys) — ~100 B per member per bucket, independent of vector
-  * dimension — and emits each bucket-mate pair ONCE via the
+  * a typed flatMap computes each vector's 16 hyperplane table buckets
+  * (JVM mirror of the batch hyperplane-LSH lanes — same deterministic
+  * integer-mix plane weights as `Similarity.embeddingTop3`/`lshTopK`);
+  * `flatMapGroupsWithState` keyed on (table, bucket) stores prior
+  * members and emits each bucket-mate pair ONCE via the
   * smallest-shared-table election. Exact cosine confirm is DOWNSTREAM
   * and STATELESS: a stream-static join against the embedding corpus +
   * the codegen'd FloatVecDot kernel. Retention bounding composes
   * exactly as in [[StreamDedup.candidatesBounded]] (watermark + ts in
   * state + event-time timeout) when the deployment's duplicate horizon
   * is bounded.
+  *
+  * State layout (round 15, found at the sf100 drive): members are
+  * PACKED PRIMITIVE ARRAYS of (vec_id, bucket keys for tables BELOW the
+  * group's own table index). Two measured costs drove this off the
+  * previous `List[(id, all-16-keys)]` shape. (1) The election only ever
+  * reads keys at tables < tIdx — both members share THIS table's bucket
+  * by construction, so the pair is elected here iff no earlier table
+  * already shares; storing the suffix was dead weight (avg 7.5 of 16
+  * entries live). (2) fmgws rewrites a group's WHOLE value per update,
+  * and Catalyst encodes a List of case-classes per element — at sf100
+  * (2M vectors × 16 tables, ~64 members/bucket by [[planesForCorpus]])
+  * the re-encode + RocksDB changelog churn made the gate ~9 min per
+  * 125k-vector micro-batch. Primitive arrays encode as one
+  * UnsafeArrayData memcopy, the per-batch merge does ONE state.update
+  * per touched group, and member bytes drop ~2.6× (8 + 4·tIdx vs ~100).
+  * Shuffle rows shrink identically (prefix rides the exchange, not the
+  * full key vector).
   *
   * Recall contract: a pair is surfaced iff the two vectors share at
   * least one of the 16 tables — the same candidate contract as the
@@ -90,6 +105,25 @@ object StreamEmbDedup {
     math.min(24, math.max(NPlanes,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
+  /** Packed bucket-member state: `ids(j)` is member j's vec_id and
+    * `pre(j*t .. j*t+t-1)` its bucket keys at tables 0..t-1, where t is
+    * the group's own table index (constant per group, so no offsets are
+    * stored). Table 0 groups store ids only. */
+  final case class PackedVecMembers(ids: Array[Long], pre: Array[Int])
+
+  /** True iff `p` (a newcomer's t-entry bucket prefix) shares a bucket
+    * with member j of `pre` at any table below t — i.e. the pair was
+    * already elected on an earlier table. */
+  private def sharesBelow(p: Array[Int], pre: Array[Int], j: Int, t: Int): Boolean = {
+    var i = 0
+    val base = j * t
+    while (i < t) {
+      if (p(i) == pre(base + i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Candidate pairs from a streaming (vec_id, embedding) frame, each
     * pair emitted exactly once (when its later vector arrives).
     * `nPlanes`: bucket bits per table — size with [[planesForCorpus]]
@@ -102,29 +136,50 @@ object StreamEmbDedup {
       .select("vec_id", "embedding")
       .as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
-        val buckets: Seq[Int] = tableBuckets(v, nPlanes).toSeq
+        val buckets = tableBuckets(v, nPlanes)
+        // each table row carries only the PREFIX (tables below its own)
+        // — all the smallest-shared-table election ever reads
         buckets.iterator.zipWithIndex
-          .map { case (b, t) => (t, b, id, buckets) }
+          .map { case (b, t) => (t, b, id, buckets.take(t)) }
       }
       .groupByKey { case (t, b, _, _) => (t, b) }
-      .flatMapGroupsWithState[List[(Long, Seq[Int])], VecCandidate](
+      .flatMapGroupsWithState[PackedVecMembers, VecCandidate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((tIdx, _), rows, state) =>
-          var seen = state.getOption.getOrElse(List.empty[(Long, Seq[Int])])
+          val st = state.getOption
+            .getOrElse(PackedVecMembers(Array.emptyLongArray, Array.emptyIntArray))
+          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
           val out = scala.collection.mutable.ArrayBuffer.empty[VecCandidate]
           // vec_id order: deterministic pairing independent of chunking
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, buckets) =>
-            if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, obuckets) =>
-                val firstShared = buckets.iterator.zip(obuckets.iterator)
-                  .indexWhere { case (a, b) => a == b }
-                if (firstShared == tIdx)
-                  out += VecCandidate(math.min(id, oid), math.max(id, oid), tIdx)
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p) =>
+            if (!st.ids.contains(id) && !newIds.contains(id)) {
+              var j = 0
+              while (j < st.ids.length) {
+                if (!sharesBelow(p, st.pre, j, tIdx))
+                  out += VecCandidate(math.min(id, st.ids(j)),
+                    math.max(id, st.ids(j)), tIdx)
+                j += 1
               }
-              seen = (id, buckets) :: seen
+              var k = 0
+              while (k < newIds.length) {
+                var i = 0
+                var shared = false
+                while (i < tIdx && !shared) {
+                  if (p(i) == newPre(k * tIdx + i)) shared = true
+                  i += 1
+                }
+                if (!shared)
+                  out += VecCandidate(math.min(id, newIds(k)),
+                    math.max(id, newIds(k)), tIdx)
+                k += 1
+              }
+              newIds += id
+              newPre ++= p
             }
           }
-          state.update(seen)
+          if (newIds.nonEmpty)
+            state.update(PackedVecMembers(st.ids ++ newIds, st.pre ++ newPre))
           out.iterator
       }
   }
@@ -211,13 +266,19 @@ object StreamEmbDedup {
   final case class TimedVecCandidate(id1: Long, id2: Long, table_idx: Int,
       ts: java.sql.Timestamp)
 
+  /** [[PackedVecMembers]] plus each member's event-time millis (for
+    * retention eviction). */
+  final case class PackedTimedVecMembers(ids: Array[Long], pre: Array[Int],
+      tsMs: Array[Long])
+
   /** RETENTION-BOUNDED candidate stage — the [[StreamDedup.candidatesBounded]]
     * machinery for vectors: `vecs` is a streaming (vec_id, embedding, ts)
     * frame; the watermark is declared on the flatMap OUTPUT (typed maps
     * strip the event-time tag), members older than the watermark evict
     * BEFORE pairing, and an event-time timeout at (newest member + 1 ms)
-    * sweeps idle buckets — state is O(vectors inside retention), with the
-    * same ~100 B fixed member size as the unbounded form. */
+    * sweeps idle buckets — state is O(vectors inside retention), in the
+    * same packed prefix-key layout as the unbounded form (+8 B/member
+    * for the eviction timestamp). */
   def candidatesBounded(vecs: DataFrame,
       retention: String): Dataset[TimedVecCandidate] = {
     val spark = vecs.sparkSession
@@ -226,38 +287,78 @@ object StreamEmbDedup {
       .select("vec_id", "embedding", "ts")
       .as[(Long, Seq[Float], java.sql.Timestamp)]
       .flatMap { case (id, v, ts) =>
-        val buckets: Seq[Int] = tableBuckets(v).toSeq
+        val buckets = tableBuckets(v)
         buckets.iterator.zipWithIndex
-          .map { case (b, t) => (t, b, id, buckets, ts) }
+          .map { case (b, t) => (t, b, id, buckets.take(t).toSeq, ts) }
       }
       .toDF("table_idx", "bucket", "vec_id", "buckets", "ts")
       .withWatermark("ts", retention)
       .as[(Int, Int, Long, Seq[Int], java.sql.Timestamp)]
       .groupByKey { case (t, b, _, _, _) => (t, b) }
-      .flatMapGroupsWithState[List[(Long, Seq[Int], Long)], TimedVecCandidate](
+      .flatMapGroupsWithState[PackedTimedVecMembers, TimedVecCandidate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((tIdx, _), rows, state) =>
           val wmMs = state.getCurrentWatermarkMs()
-          var seen = state.getOption
-            .getOrElse(List.empty[(Long, Seq[Int], Long)])
-            .filter(_._3 >= wmMs)
+          val st0 = state.getOption.getOrElse(
+            PackedTimedVecMembers(Array.emptyLongArray, Array.emptyIntArray,
+              Array.emptyLongArray))
+          // retention eviction first: expired members are not candidates
+          // (arrays rebuilt only when something actually expired)
+          val st =
+            if (!st0.tsMs.exists(_ < wmMs)) st0
+            else {
+              val keep = st0.tsMs.indices.filter(st0.tsMs(_) >= wmMs)
+              PackedTimedVecMembers(
+                keep.map(st0.ids(_)).toArray,
+                keep.iterator.flatMap(j =>
+                  (0 until tIdx).iterator.map(i => st0.pre(j * tIdx + i))).toArray,
+                keep.map(st0.tsMs(_)).toArray)
+            }
+          val evicted = st ne st0
+          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val newTs = scala.collection.mutable.ArrayBuffer.empty[Long]
           val out = scala.collection.mutable.ArrayBuffer.empty[TimedVecCandidate]
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, buckets, ts) =>
-            if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, obuckets, _) =>
-                val firstShared = buckets.iterator.zip(obuckets.iterator)
-                  .indexWhere { case (a, b) => a == b }
-                if (firstShared == tIdx)
-                  out += TimedVecCandidate(
-                    math.min(id, oid), math.max(id, oid), tIdx, ts)
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, ts) =>
+            if (!st.ids.contains(id) && !newIds.contains(id)) {
+              var j = 0
+              while (j < st.ids.length) {
+                var i = 0
+                var shared = false
+                while (i < tIdx && !shared) {
+                  if (p(i) == st.pre(j * tIdx + i)) shared = true
+                  i += 1
+                }
+                if (!shared)
+                  out += TimedVecCandidate(math.min(id, st.ids(j)),
+                    math.max(id, st.ids(j)), tIdx, ts)
+                j += 1
               }
-              seen = (id, buckets, ts.getTime) :: seen
+              var k = 0
+              while (k < newIds.length) {
+                var i = 0
+                var shared = false
+                while (i < tIdx && !shared) {
+                  if (p(i) == newPre(k * tIdx + i)) shared = true
+                  i += 1
+                }
+                if (!shared)
+                  out += TimedVecCandidate(math.min(id, newIds(k)),
+                    math.max(id, newIds(k)), tIdx, ts)
+                k += 1
+              }
+              newIds += id
+              newPre ++= p
+              newTs += ts.getTime
             }
           }
-          if (seen.isEmpty) state.remove()
+          val ids = st.ids ++ newIds
+          if (ids.isEmpty) state.remove()
           else {
-            state.update(seen)
-            val newest = seen.map(_._3).max
+            if (newIds.nonEmpty || evicted)
+              state.update(PackedTimedVecMembers(ids, st.pre ++ newPre,
+                st.tsMs ++ newTs))
+            val newest = (st.tsMs.iterator ++ newTs.iterator).max
             if (newest + 1L > wmMs) state.setTimeoutTimestamp(newest + 1L)
           }
           out.iterator
