@@ -26,11 +26,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // Optional runtime confs for profiling knob sweeps, e.g.
     // SPARK_GRAFT_CONF="spark.graft.knnProbe=2,spark.graft.postingCap=128"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    Conf.applyEnv(spark)
     // Optional comma-separated filter for profiling individual queries.
     // Sorted by name: Map iteration order would shuffle which queries pay
     // cold-codegen costs between runs, adding run-to-run noise.

@@ -90,4 +90,19 @@ object Conf {
 
   def int(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
+
+  /** The measurement-harness knob seam, single-sourced (round 15 —
+    * Bench and RecallCheck each carried a copy):
+    * `SPARK_GRAFT_CONF="spark.graft.annProbe=2,..."` applies runtime
+    * confs before any lane builds. Known limit (shared by design with
+    * the one parser): list-valued confs containing commas don't fit
+    * this env var — core confs like `spark.local.dir=/a,/b` belong in
+    * SPARK_GRAFT_JVM_CONF anyway (session confs are too late for
+    * them). */
+  def applyEnv(s: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        s.conf.set(k.trim, v.trim)
+      })
 }

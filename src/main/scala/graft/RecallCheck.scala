@@ -12,15 +12,10 @@ import org.apache.spark.sql.functions._
   * end-to-end top-3 delta of the forced over-cap path vs the exact one. */
 object RecallCheck {
 
-  /** The Bench knob seam: SPARK_GRAFT_CONF="spark.graft.annProbe=2,..."
-    * applies runtime confs before any lane builds — how the probe-depth
-    * recall/cost curve is driven (round 15). */
-  private def applyEnvConf(spark: SparkSession): Unit =
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+  /** The Bench knob seam ([[Conf.applyEnv]]): SPARK_GRAFT_CONF=
+    * "spark.graft.annProbe=2,..." applies runtime confs before any lane
+    * builds — how the probe-depth recall/cost curve is driven (round 15). */
+  private def applyEnvConf(spark: SparkSession): Unit = Conf.applyEnv(spark)
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")

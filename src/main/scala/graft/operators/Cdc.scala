@@ -389,8 +389,13 @@ object Cdc {
             .when(col("orig_op") === "delete", "insert")
             .otherwise("update")
         )
+        // BIGINT undo_seq on BOTH lanes (round 15, review): the dist
+        // twin's bucketed rank is natively Long, and an Int cast there
+        // reintroduced a 2^31 ceiling on exactly the over-cap keys the
+        // twin exists for. DuckDB row_number is BIGINT already.
         .withColumn("undo_seq", row_number().over(
-          Window.partitionBy(col("pk")).orderBy(col("ts_us").desc, col("undo_of").desc)))
+          Window.partitionBy(col("pk")).orderBy(col("ts_us").desc, col("undo_of").desc))
+          .cast("long"))
         .orderBy("pk", "undo_seq")
     },
     oracle = Some(s"""

@@ -1324,9 +1324,9 @@ object ScalePatterns {
 
   /** [[Cdc.cdcUndo]]'s two-phase twin: the reverse replay sequence is
     * [[rankTimeBucketed]]'s DESC rank — identical rows (same oracle SQL),
-    * widest sort 1/B of the hottest key. row_number's Int + the Long
-    * carry widens to Long; cast back to the plain lane's Int (the plain
-    * single-task row_number could never exceed Int anyway). */
+    * widest sort 1/B of the hottest key. undo_seq is Long on BOTH lanes
+    * (round 15, review): an Int cast here reintroduced a 2^31 ceiling on
+    * exactly the over-cap keys this twin exists for. */
   val cdcUndoDist: QueryDef = QueryDef(
     "cdc_undo_dist",
     (s, d) => {
@@ -1343,7 +1343,7 @@ object ScalePatterns {
           when(col("orig_op") === "insert", "delete")
             .when(col("orig_op") === "delete", "insert")
             .otherwise("update").as("undo_op"),
-          col("r").cast("int").as("undo_seq"))
+          col("r").as("undo_seq"))
         .orderBy("pk", "undo_seq")
     },
     Cdc.cdcUndo.oracle

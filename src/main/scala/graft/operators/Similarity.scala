@@ -475,19 +475,22 @@ object Similarity {
         else low
         (v & laneMask).toInt
       }
-      // Multi-probe masks: the exact bucket plus every 1-bit flip; at
-      // `spark.graft.annProbe` ≥ 2 (round 15, verdict #4) also every
-      // 2-bit flip — the recall/cost dial the routed kNN leg already had
-      // via knnProbe. Depth 1 stays the default (bit-identical plans to
-      // r14); PLANS.md holds the measured sf10 depth-1/2 recall curve.
-      val probeDepth = graft.Conf.int(s, graft.Conf.AnnProbeConf, 1)
+      // Multi-probe masks: the exact bucket plus every flip of up to
+      // `spark.graft.annProbe` signature bits (round 15, verdict #4) —
+      // the recall/cost dial the routed kNN leg already had via knnProbe.
+      // Depth d probes sum(C(nPlanes, 1..d)) buckets per table; depth 1
+      // stays the default (bit-identical plans to r14). GENERIC in d
+      // (review: an earlier form silently treated annProbe=3 as 2 — a
+      // recall dial that ignores its setting is worse than none).
+      // PLANS.md holds the measured sf10 depth-1/2 recall curve.
+      val probeDepth = math.max(1, graft.Conf.int(s, graft.Conf.AnnProbeConf, 1))
       val probeMasks: Array[Int] = {
-        val one = (0 until nPlanes).map(1 << _)
-        val two = if (probeDepth >= 2)
-          for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
-            yield (1 << i) | (1 << j)
-        else Seq.empty[Int]
-        (0 +: (one ++ two)).toArray
+        val buf = scala.collection.mutable.ArrayBuffer(0)
+        for {
+          d <- 1 to math.min(probeDepth, nPlanes)
+          combo <- (0 until nPlanes).combinations(d)
+        } buf += combo.foldLeft(0)((m, b) => m | (1 << b))
+        buf.toArray
       }
 
       // (id, packed sig words, SQ8 bytes) in one pass over the corpus.

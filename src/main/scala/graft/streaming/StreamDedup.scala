@@ -70,6 +70,33 @@ object StreamDedup {
     * layout. */
   final case class PackedBandMembers(ids: Array[Long], pre: Array[Long])
 
+  /** True iff `p` (a newcomer's b-entry signature prefix) shares a
+    * signature with member j of `pre` at any band below b — i.e. the
+    * pair was already elected on an earlier band. The SINGLE source of
+    * the election comparison (plus the buffer twin below); primitive
+    * while-loops per the repo's hot-path rule. */
+  private def sharesBelow(p: Array[Long], pre: Array[Long], j: Int, b: Int): Boolean = {
+    var i = 0
+    val base = j * b
+    while (i < b) {
+      if (p(i) == pre(base + i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** [[sharesBelow]] against the within-batch newcomer buffer. */
+  private def sharesBelowBuf(p: Array[Long],
+      pre: scala.collection.mutable.ArrayBuffer[Long], k: Int, b: Int): Boolean = {
+    var i = 0
+    val base = k * b
+    while (i < b) {
+      if (p(i) == pre(base + i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Candidate pairs from a streaming (doc_id, text) frame, each pair
     * emitted exactly once (when its later doc arrives) via the
     * smallest-shared-band election — no confirm, no shingle state. */
@@ -102,26 +129,14 @@ object StreamDedup {
             if (!st.ids.contains(id) && !newIds.contains(id)) {
               var j = 0
               while (j < st.ids.length) {
-                var i = 0
-                var shared = false
-                while (i < bIdx && !shared) {
-                  if (p(i) == st.pre(j * bIdx + i)) shared = true
-                  i += 1
-                }
-                if (!shared)
+                if (!sharesBelow(p, st.pre, j, bIdx))
                   out += BandHit(math.min(id, st.ids(j)),
                     math.max(id, st.ids(j)), bIdx)
                 j += 1
               }
               var k = 0
               while (k < newIds.length) {
-                var i = 0
-                var shared = false
-                while (i < bIdx && !shared) {
-                  if (p(i) == newPre(k * bIdx + i)) shared = true
-                  i += 1
-                }
-                if (!shared)
+                if (!sharesBelowBuf(p, newPre, k, bIdx))
                   out += BandHit(math.min(id, newIds(k)),
                     math.max(id, newIds(k)), bIdx)
                 k += 1
@@ -274,30 +289,19 @@ object StreamDedup {
           // independent of micro-batch chunking. Exactly-once lane
           // election: a pair reports on the smallest band the two docs
           // share — elected HERE iff no band below bIdx already shares.
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, ts) =>
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, pSeq, ts) =>
             if (!st.ids.contains(id) && !newIds.contains(id)) {
+              val p = pSeq.toArray // unbox once; the loops below stay primitive
               var j = 0
               while (j < st.ids.length) {
-                var i = 0
-                var shared = false
-                while (i < bIdx && !shared) {
-                  if (p(i) == st.pre(j * bIdx + i)) shared = true
-                  i += 1
-                }
-                if (!shared)
+                if (!sharesBelow(p, st.pre, j, bIdx))
                   out += CandidatePair(math.min(id, st.ids(j)),
                     math.max(id, st.ids(j)), bIdx, ts)
                 j += 1
               }
               var k = 0
               while (k < newIds.length) {
-                var i = 0
-                var shared = false
-                while (i < bIdx && !shared) {
-                  if (p(i) == newPre(k * bIdx + i)) shared = true
-                  i += 1
-                }
-                if (!shared)
+                if (!sharesBelowBuf(p, newPre, k, bIdx))
                   out += CandidatePair(math.min(id, newIds(k)),
                     math.max(id, newIds(k)), bIdx, ts)
                 k += 1

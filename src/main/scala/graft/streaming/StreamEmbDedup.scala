@@ -79,7 +79,7 @@ object StreamEmbDedup {
     * nPlanes) that deployments buy back with more tables or multi-probe
     * — the same posting-cap/probe economics as the batch over-cap ANN
     * legs. */
-  private[graft] def tableBuckets(v: Seq[Float], nPlanes: Int): Array[Int] =
+  private[graft] def tableBuckets(v: Array[Float], nPlanes: Int): Array[Int] =
     Array.tabulate(NTables) { t =>
       var bucket = 0
       var p = 0
@@ -93,8 +93,17 @@ object StreamEmbDedup {
       bucket
     }
 
+  /** Seq convenience for specs/truth recomputes. The hot path decodes
+    * straight to Array[Float] and never goes through here: Spark's
+    * `Seq[T]` deserializer builds an immutable LIST, whose O(i) apply
+    * turned each hyperplane dot quadratic — jstacked at the sf100 drive
+    * as the gate's top frame (~15k indexed reads per vector through
+    * List.drop). Found round 15. */
+  private[graft] def tableBuckets(v: Seq[Float], nPlanes: Int): Array[Int] =
+    tableBuckets(v.toArray, nPlanes)
+
   private[graft] def tableBuckets(v: Seq[Float]): Array[Int] =
-    tableBuckets(v, NPlanes)
+    tableBuckets(v.toArray, NPlanes)
 
   /** Bucket bits for a corpus of `n` vectors targeting ~`targetBucket`
     * members per (table, bucket): candidate work per newcomer stays
@@ -113,10 +122,25 @@ object StreamEmbDedup {
 
   /** True iff `p` (a newcomer's t-entry bucket prefix) shares a bucket
     * with member j of `pre` at any table below t — i.e. the pair was
-    * already elected on an earlier table. */
+    * already elected on an earlier table. The SINGLE source of the
+    * election comparison (plus the buffer twin below — review: the loop
+    * was once inlined at every call site); primitive-array while-loops,
+    * not HOFs, per the repo's hot-path rule. */
   private def sharesBelow(p: Array[Int], pre: Array[Int], j: Int, t: Int): Boolean = {
     var i = 0
     val base = j * t
+    while (i < t) {
+      if (p(i) == pre(base + i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** [[sharesBelow]] against the within-batch newcomer buffer. */
+  private def sharesBelowBuf(p: Array[Int],
+      pre: scala.collection.mutable.ArrayBuffer[Int], k: Int, t: Int): Boolean = {
+    var i = 0
+    val base = k * t
     while (i < t) {
       if (p(i) == pre(base + i)) return true
       i += 1
@@ -134,7 +158,7 @@ object StreamEmbDedup {
     import spark.implicits._
     vecs
       .select("vec_id", "embedding")
-      .as[(Long, Seq[Float])]
+      .as[(Long, Array[Float])] // Array, not Seq: the Seq decoder builds a List (O(i) apply)
       .flatMap { case (id, v) =>
         val buckets = tableBuckets(v, nPlanes)
         // each table row carries only the PREFIX (tables below its own)
@@ -163,13 +187,7 @@ object StreamEmbDedup {
               }
               var k = 0
               while (k < newIds.length) {
-                var i = 0
-                var shared = false
-                while (i < tIdx && !shared) {
-                  if (p(i) == newPre(k * tIdx + i)) shared = true
-                  i += 1
-                }
-                if (!shared)
+                if (!sharesBelowBuf(p, newPre, k, tIdx))
                   out += VecCandidate(math.min(id, newIds(k)),
                     math.max(id, newIds(k)), tIdx)
                 k += 1
@@ -216,7 +234,16 @@ object StreamEmbDedup {
     *    vec_id survives any store size, at fleet-disk shuffle cost).
     *
     * Never the candidate side: the fmgws output carries no usable size
-    * estimate and AQE is off in stateful plans. */
+    * estimate and AQE is off in stateful plans.
+    *
+    * One broadcast build per micro-batch, not two (measured, round 15):
+    * with AQE off — the stateful-plan regime this runs in — Catalyst's
+    * ReuseExchange canonicalizes the h1/h2 subtrees equal (alias names
+    * erase), so the second join reads a ReusedExchange of the first's
+    * relation. A probe of the same join shape under AQE shows NO static
+    * reuse (AQE handles it at runtime via stage caching instead) — do
+    * not "simplify" this into two visibly-shared plans on that
+    * evidence. */
   private def confirmSides(normed: DataFrame): (DataFrame, DataFrame) = {
     val s = normed.sparkSession
     val serveCap = graft.operators.Guards.annServeCap(s)
@@ -234,7 +261,12 @@ object StreamEmbDedup {
     val rowBytes =
       if (n == 0L) 90L
       else 4L * normed.select(col("embedding")).head.getSeq[Float](0).length + 16L
-    if (n * rowBytes <= serveCap * 90L) (broadcast(h1), broadcast(h2))
+    // saturating, not wrapping: a huge cap override (e.g. Long.MaxValue,
+    // the natural "always broadcast" spelling) must not flip the routing
+    // to shuffle via overflow (round 15, review)
+    val capBytes =
+      if (serveCap > Long.MaxValue / 90L) Long.MaxValue else serveCap * 90L
+    if (n <= capBytes / rowBytes) (broadcast(h1), broadcast(h2))
     else (h1.hint("shuffle_hash"), h2.hint("shuffle_hash"))
   }
 
@@ -285,9 +317,9 @@ object StreamEmbDedup {
     import spark.implicits._
     vecs
       .select("vec_id", "embedding", "ts")
-      .as[(Long, Seq[Float], java.sql.Timestamp)]
+      .as[(Long, Array[Float], java.sql.Timestamp)]
       .flatMap { case (id, v, ts) =>
-        val buckets = tableBuckets(v)
+        val buckets = tableBuckets(v, NPlanes)
         buckets.iterator.zipWithIndex
           .map { case (b, t) => (t, b, id, buckets.take(t).toSeq, ts) }
       }
@@ -319,30 +351,19 @@ object StreamEmbDedup {
           val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
           val newTs = scala.collection.mutable.ArrayBuffer.empty[Long]
           val out = scala.collection.mutable.ArrayBuffer.empty[TimedVecCandidate]
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, ts) =>
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, pSeq, ts) =>
             if (!st.ids.contains(id) && !newIds.contains(id)) {
+              val p = pSeq.toArray // unbox once; the loops below stay primitive
               var j = 0
               while (j < st.ids.length) {
-                var i = 0
-                var shared = false
-                while (i < tIdx && !shared) {
-                  if (p(i) == st.pre(j * tIdx + i)) shared = true
-                  i += 1
-                }
-                if (!shared)
+                if (!sharesBelow(p, st.pre, j, tIdx))
                   out += TimedVecCandidate(math.min(id, st.ids(j)),
                     math.max(id, st.ids(j)), tIdx, ts)
                 j += 1
               }
               var k = 0
               while (k < newIds.length) {
-                var i = 0
-                var shared = false
-                while (i < tIdx && !shared) {
-                  if (p(i) == newPre(k * tIdx + i)) shared = true
-                  i += 1
-                }
-                if (!shared)
+                if (!sharesBelowBuf(p, newPre, k, tIdx))
                   out += TimedVecCandidate(math.min(id, newIds(k)),
                     math.max(id, newIds(k)), tIdx, ts)
                 k += 1
