@@ -175,6 +175,17 @@ object StreamDemo {
     // Trigger.AvailableNow drains the backlog through it batch by batch.
     val feedFiles = 64
     val filesPerTrigger = "8"
+    // GATE state-partition count (round 15, found by jstack on the sf100
+    // drive): a stateful query's partition count FREEZES at checkpoint
+    // birth, and the tiled corpus's lumpy LSH buckets concentrate
+    // candidate volume — at 16 partitions (= cpus) 1-2 tasks carried each
+    // emb micro-batch while 14 threads idled. A deployment sizes state
+    // partitions for SKEW, not for the box: set SPARK_GRAFT_GATE_PARTITIONS
+    // above the core count to spread hot buckets across more tasks. The
+    // CDC queries above keep the cpus-sized checkpoints they were born
+    // with; default = cpus (today's measured behavior).
+    val gateParts = sys.env.getOrElse("SPARK_GRAFT_GATE_PARTITIONS", cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", gateParts)
     val docsTbl = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     docsTbl.as[(Long, String)]
       .map { case (id, t) => (id, graft.operators.Dedup.hashedShingleSet(t).toSeq) }
