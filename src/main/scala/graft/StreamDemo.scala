@@ -185,7 +185,15 @@ object StreamDemo {
     // CDC queries above keep the cpus-sized checkpoints they were born
     // with; default = cpus (today's measured behavior).
     val gateParts = sys.env.getOrElse("SPARK_GRAFT_GATE_PARTITIONS", cpus)
-    spark.conf.set("spark.sql.shuffle.partitions", gateParts)
+    // SCOPED to each gate's query start (round 16, r15 advice): start()
+    // clones the session with the conf snapshot, which is all the
+    // state-partition birth (and the gate's own micro-batch shuffles)
+    // needs — a session-global set would also resize every later BATCH
+    // shuffle (shingled-archive build, ANN parity joins) to gateParts.
+    def withGateParts[T](body: => T): T = {
+      spark.conf.set("spark.sql.shuffle.partitions", gateParts)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
     val docsTbl = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     docsTbl.as[(Long, String)]
       .map { case (id, t) => (id, graft.operators.Dedup.hashedShingleSet(t).toSeq) }
@@ -196,18 +204,20 @@ object StreamDemo {
     // cleanSource=delete: SINGLE-reader feed, so consumed files are safe
     // to drop as each micro-batch commits — the feed never holds its full
     // size through the drain (the bounded deleted-as-consumed queue shape)
-    val dedupQ = graft.streaming.StreamDedup.distinctPairs(
-        spark.readStream.schema(docsTbl.schema)
-          .option("maxFilesPerTrigger", filesPerTrigger)
-          .option("cleanSource", "delete").parquet(s"$work/docs_feed"),
-        shingled)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$work/dup_pairs")
-      .option("checkpointLocation", s"$work/ckpt_dedup")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val dedupQ = withGateParts {
+      graft.streaming.StreamDedup.distinctPairs(
+          spark.readStream.schema(docsTbl.schema)
+            .option("maxFilesPerTrigger", filesPerTrigger)
+            .option("cleanSource", "delete").parquet(s"$work/docs_feed"),
+          shingled)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/dup_pairs")
+        .option("checkpointLocation", s"$work/ckpt_dedup")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     // gates drain SEQUENTIALLY: two corpus-sized backlogs sharing one
     // JVM's execution memory is a demo artifact (production runs them as
     // separate jobs); sequential = each gate gets the full heap
@@ -253,18 +263,20 @@ object StreamDemo {
     // the emb gate's confirm joins carry vector payloads across the
     // candidate stream — per-batch shuffle footprint scales with batch
     // size, so it triggers at HALF the doc gate's file count
-    val embQ = graft.streaming.StreamEmbDedup.distinctPairs(
-        spark.readStream.schema(vecsAll.schema)
-          .option("maxFilesPerTrigger", "4")
-          .option("cleanSource", "delete").parquet(s"$work/vecs_feed"),
-        spark.read.parquet(s"$work/normed_store"), nPlanes = embPlanes)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$work/emb_pairs")
-      .option("checkpointLocation", s"$work/ckpt_embdedup")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val embQ = withGateParts {
+      graft.streaming.StreamEmbDedup.distinctPairs(
+          spark.readStream.schema(vecsAll.schema)
+            .option("maxFilesPerTrigger", "4")
+            .option("cleanSource", "delete").parquet(s"$work/vecs_feed"),
+          spark.read.parquet(s"$work/normed_store"), nPlanes = embPlanes)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/emb_pairs")
+        .option("checkpointLocation", s"$work/ckpt_embdedup")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     embQ.awaitTermination()
     dropDir(s"$work/normed_store", "normed_store")
     dropDir(s"$work/vecs_feed", "vecs_feed")
