@@ -23,24 +23,32 @@ object Advanced {
     * one pass. Spark expands to one Expand node feeding a single hash
     * aggregate — 3 grouping sets cost one shuffle, not three scans.
     * Base columns are never NULL, so `coalesce(_, 'ALL')` labels subtotal
-    * rows unambiguously (and keeps the ORDER BY NULL-free on both engines). */
+    * rows unambiguously (and keeps the ORDER BY NULL-free on both engines).
+    *
+    * EXACT accumulation as LONG CENTS (round 16; was decimal(18,2) since
+    * r10 when the grand-total double sum crossed a 2 dp rounding boundary
+    * at sf1): both measures are 2-dp sources, so `round(x·100)::long` is
+    * lossless, the integer sum is exact, and ONE cast-to-double + /100.0
+    * at the end reproduces the decimal form bit for bit — while the hot
+    * 3× Expand stream sums primitive longs instead of Decimal objects
+    * (the repo's worst covered-set ratio, 27.5× DuckDB at sf10, was this
+    * lane's decimal agg). Headroom: Σcents ≤ ~6e14 at sf10 extendedprice,
+    * ~6e16 at 100× — far under 2⁶³; the double conversion of the exact
+    * integer sum is the same single rounding both engines perform. */
   val qGroupingSets: QueryDef = QueryDef(
     "q_grouping_sets",
     (s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n_rows"),
-          // exact DECIMAL accumulation (2 dp source values), ONE double
-          // conversion at the end: the grand-total double sum crossed a
-          // 2 dp rounding boundary at sf1 group sizes (6M rows) — the
-          // q_market_share exact-decimal treatment, applied here
-          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
-            .as("sum_qty"),
-          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
-            .as("sum_price"))
+          round(sum(col("qty_c")).cast("double") / 100.0, 2).as("sum_qty"),
+          round(sum(col("price_c")).cast("double") / 100.0, 2).as("sum_price"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -50,8 +58,8 @@ object Advanced {
       SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
              coalesce(l_linestatus, 'ALL') AS linestatus,
              count(*) AS n_rows,
-             round(CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE), 2) AS sum_qty,
-             round(CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE), 2) AS sum_price
+             round(CAST(sum(round(l_quantity * 100)::BIGINT)::BIGINT AS DOUBLE) / 100.0, 2) AS sum_qty,
+             round(CAST(sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS DOUBLE) / 100.0, 2) AS sum_price
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY returnflag, linestatus

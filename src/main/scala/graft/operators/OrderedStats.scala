@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -404,6 +404,30 @@ object OrderedStats {
     """.stripMargin.trim)
   )
 
+  /** The order-cadence gap stream shared by [[qOrderCadence]] and
+    * [[ScalePatterns.qOrderCadenceDist]]: per-customer consecutive-order
+    * day gaps, labelled with the (broadcast) customer market segment.
+    * Columns (key = c_mktsegment, v = gap_days, id = o_orderkey) — the
+    * bucketedRank input contract; id is unique (one gap per non-first
+    * order row). The lag runs over the o_custkey exchange —
+    * high-cardinality, scale-safe; only the SEGMENT grouping downstream
+    * differs between the two lanes. */
+  private[operators] def orderCadenceGaps(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val wCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(wCust))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    gaps.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("key"), col("gap_days").as("v"),
+        col("o_orderkey").as("id"))
+  }
+
   /** Order-cadence distribution: per market segment, the median / p90 /
     * mean days between a customer's CONSECUTIVE orders — the
     * purchase-rhythm view behind churn models and replenishment
@@ -411,34 +435,40 @@ object OrderedStats {
     * cume_dist ≡ quantile_disc identity (value-based, so tied gaps can't
     * diverge); the mean is exact (integer day-sums are exact in doubles).
     *
-    * Scale: gaps come from a lag over the o_custkey exchange; the
-    * customer dim broadcasts; the percentile window sorts per SEGMENT
-    * (5 natural partitions of the gap stream — the demo grain; the
-    * bucketed q_percentile_dist ranking is the swap if segments were
-    * high-cardinality). */
+    * Scale (ROUND 16): gaps come from a lag over the o_custkey exchange
+    * (high-cardinality, fine); the percentile window sorts per SEGMENT —
+    * 5 natural partitions, so the whole gap stream funnelled through 5
+    * tasks (11.5 s vs DuckDB's 0.69 s at sf10, the last unguarded
+    * low-cardinality ranking window). Guarded like its r12/r15 siblings:
+    * above [[Guards.singleSortCap]] rows in any segment it delegates to
+    * [[ScalePatterns.qOrderCadenceDist]]'s two-phase bucketed rank
+    * (identical output, same oracle; cap=1 plan-flip spec); the guard
+    * stat is one memoized broadcast-join count per (session, dir). */
   val qOrderCadence: QueryDef = QueryDef(
     "q_order_cadence",
     (s, d) => {
-      val wCust = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val gaps = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-        .withColumn("prev", lag(col("o_orderdate"), 1).over(wCust))
-        .filter(col("prev").isNotNull)
-        .select(col("o_custkey"),
-          datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
-      val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-      val wSeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("gap_days"))
-      gaps
-        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      if (Guards.maxGroupRows(s, d, "orders_mktsegment") {
+        Tables.orders(s, d).select(col("o_custkey"))
+          .join(broadcast(
+            Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).first().getLong(0)
+      } > Guards.singleSortCap(s)) ScalePatterns.qOrderCadenceDist.fn(s, d)
+      else {
+      val wSeg = Window.partitionBy(col("key")).orderBy(col("v"))
+      orderCadenceGaps(s, d)
         .withColumn("cd", cume_dist().over(wSeg))
-        .groupBy(col("c_mktsegment"))
+        .groupBy(col("key"))
         .agg(
           count(lit(1)).as("n_gaps"),
-          min(when(col("cd") >= 0.5, col("gap_days"))).as("p50_gap"),
-          min(when(col("cd") >= 0.9, col("gap_days"))).as("p90_gap"),
-          round(avg(col("gap_days")), 2).as("avg_gap"))
+          min(when(col("cd") >= 0.5, col("v"))).as("p50_gap"),
+          min(when(col("cd") >= 0.9, col("v"))).as("p90_gap"),
+          round(avg(col("v")), 2).as("avg_gap"))
+        .select(col("key").as("c_mktsegment"), col("n_gaps"),
+          col("p50_gap"), col("p90_gap"), col("avg_gap"))
         .orderBy("c_mktsegment")
+      }
     },
     Some("""
       WITH g AS (

@@ -367,6 +367,27 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
   }
 
+  test("singleSortCap=1 flips q_order_cadence to the bucketed-rank twin") {
+    import graft.operators.OrderedStats
+    // default cap: 5 tiny segments, the plain cume_dist window runs
+    val plainPlan =
+      OrderedStats.qOrderCadence.fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(key#\\d+, bkt#\\d+".r.findFirstIn(plainPlan).isEmpty,
+      s"default cap unexpectedly delegated:\n$plainPlan")
+    try {
+      spark.conf.set(graft.Conf.SingleSortCapConf, "1")
+      val flipped = OrderedStats.qOrderCadence.fn(spark, sfDir)
+      val flippedPlan = flipped.queryExecution.executedPlan.toString
+      assert("windowspecdefinition\\(key#\\d+, bkt#\\d+".r.findFirstIn(flippedPlan).isDefined,
+        s"cap=1 should route through the bucketed-rank twin:\n$flippedPlan")
+      spark.conf.unset(graft.Conf.SingleSortCapConf)
+      val want = OrderedStats.qOrderCadence.fn(spark, sfDir)
+      spark.conf.set(graft.Conf.SingleSortCapConf, "1")
+      assert(flipped.exceptAll(want).count() == 0 && want.exceptAll(flipped).count() == 0,
+        "q_order_cadence twin answer differs from the plain lane")
+    } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
+  }
+
   test("text_bm25: query and stats broadcast; top-20 is TakeOrdered, never a global sort") {
     import graft.operators.TextAnalysis
     val plan = TextAnalysis.textBm25.fn(spark, sfDir).queryExecution.executedPlan.toString
