@@ -401,13 +401,22 @@ object Advanced {
 
   /** Typed extraction from the JSON props payload (the event-properties
     * lane cdc_parse opens): per event type, stats over props.k. The
-    * extraction is a codegen'd path expression on the scan side; the sum
-    * is exact integer so avg is the identical division on both engines. */
+    * extraction is `from_json` with a 1-field schema (round 16, probed at
+    * sf10: 4.4 s vs get_json_object's 15.6 s warm, identical sums —
+    * Jackson parses straight to the typed struct instead of re-walking
+    * the document per path and materializing an intermediate string);
+    * the sum is exact integer so avg is the identical division on both
+    * engines. Missing/malformed props → null field, matching
+    * json_extract_string's null on both engines. */
   val qPropsExtract: QueryDef = QueryDef(
     "q_props_extract",
     (s, d) =>
       Tables.events(s, d)
-        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+            .getField("k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(
           count(col("k")).as("n"),

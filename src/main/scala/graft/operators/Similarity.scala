@@ -483,7 +483,18 @@ object Similarity {
       // (review: an earlier form silently treated annProbe=3 as 2 — a
       // recall dial that ignores its setting is worse than none).
       // PLANS.md holds the measured sf10 depth-1/2 recall curve.
-      val probeDepth = math.max(1, graft.Conf.int(s, graft.Conf.AnnProbeConf, 1))
+      // Depth CLAMPED to 4 (round 16, r15 advice): masks grow as
+      // sum(C(nPlanes, 1..d)), so with nPlanes up to 18 an unbounded
+      // depth enumerates up to 2^18 masks per table — a silent
+      // combinatorial cost cliff behind one conf knob. Depth 4 already
+      // probes ~4.6k buckets/table at 18 planes, far past any useful
+      // point on the measured recall/cost curve (PLANS.md r15); the
+      // clamp is LOUD so an extreme annProbe setting is visible.
+      val probeDepthRaw = math.max(1, graft.Conf.int(s, graft.Conf.AnnProbeConf, 1))
+      val probeDepth = math.min(probeDepthRaw, 4)
+      if (probeDepth != probeDepthRaw)
+        System.err.println(s"[graft] annProbe=$probeDepthRaw clamped to " +
+          s"$probeDepth (mask count is sum(C($nPlanes,1..d)) per table)")
       val probeMasks: Array[Int] = {
         val buf = scala.collection.mutable.ArrayBuffer(0)
         for {

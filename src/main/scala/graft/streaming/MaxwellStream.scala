@@ -81,13 +81,26 @@ object MaxwellStream {
     * spark-sql-kafka connector on the deployment classpath (not bundled in
     * this container, so exercised only in deployments). */
   def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
-      .selectExpr("CAST(value AS STRING) AS value")
+    fromKafkaRecords(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+
+  /** The Kafka record→line normalization, split from [[fromKafka]] (round
+    * 16) so RECORDED record batches — frames in the connector's output
+    * schema, `value: binary` payload plus key/topic/partition/offset
+    * metadata — drive the exact same parse path in tests: the
+    * [[fromRabbitDeliveries]] recorded-delivery treatment for the Kafka
+    * transport. Record values UTF-8-decode here; the `[\t\r\n]` scrub
+    * (rabbitmq.go:39,181) lives in [[parse]], so every transport
+    * inherits it. Only `value` is projected: Maxwell's payload is
+    * self-describing (database/table/ts ride in the JSON), the partition
+    * key is routing detail. */
+  def fromKafkaRecords(records: DataFrame): DataFrame =
+    records.selectExpr("CAST(value AS STRING) AS value")
 
   /** RabbitMQ transport lane — the queue the reference actually ships
     * (rabbitmq.go:77-150 consumes `maxwell` deliveries and applies each

@@ -67,7 +67,17 @@ object StreamDedup {
     * UnsafeArrayData memcopy per state write instead of a per-element
     * List re-encode, and the suffix signatures never enter state or the
     * exchange: ~(8 + 8·bIdx) B per member, avg half the old fixed-16
-    * layout. */
+    * layout.
+    *
+    * STATE-FORMAT BREAK (r15 advice): the packed layouts (this,
+    * [[PackedTimedBandMembers]], [[StreamEmbDedup.PackedVecMembers]] and
+    * its timed twin) changed the fmgws state encoder schema — a restart
+    * from a pre-round-15 checkpoint fails Spark's state-schema check by
+    * design (no silent misread); there is no migration path. Gate
+    * checkpoints are retention-bounded operational state, not data: an
+    * in-place upgrade discards old gate checkpoints and replays the
+    * retention window (the confirmed-pair SINK is the durable output and
+    * carries across). */
   final case class PackedBandMembers(ids: Array[Long], pre: Array[Long])
 
   /** True iff `p` (a newcomer's b-entry signature prefix) shares a

@@ -2222,6 +2222,32 @@ class StreamingSpec extends SparkSpec {
     assert(viaString.map(_.toString).toSeq == clean.map(_.toString).toSeq)
   }
 
+  test("fromKafkaRecords: recorded Kafka record batch parses identically to clean lines") {
+    import spark.implicits._
+    // Recorded ConsumerRecords in the connector's output schema: binary
+    // key/value + topic/partition/offset/timestamp metadata. Payloads
+    // include the tab/newline contamination parse scrubs for every
+    // transport, and a multibyte UTF-8 title (the decode is byte-exact,
+    // not ASCII-lucky).
+    val payloads = Seq(
+      "\t{\"database\":\"music\",\"table\":\"album\",\"type\":\"insert\",\"ts\":1522558000,\n\"data\":{\"id\":1,\"title\":\"Nevermind\"}}\r\n",
+      "{\"database\":\"music\",\"table\":\"album\",\"type\":\"update\",\"ts\":1522558040,\"data\":{\"id\":1,\"title\":\"Névermind éé\"},\"old\":{\"title\":\"Nevermind\"}}"
+    )
+    val records = payloads.zipWithIndex.map { case (p, i) =>
+      ("album:1".getBytes("UTF-8"), p.getBytes("UTF-8"),
+        "maxwell", 0, i.toLong, new java.sql.Timestamp(1522558000000L + i), 0)
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val viaKafka =
+      MaxwellStream.parse(MaxwellStream.fromKafkaRecords(records)).collect()
+    val clean = MaxwellStream.parse(
+      payloads.map(_.replaceAll("[\\t\\r\\n]+", " ")).toDF("value")).collect()
+    assert(viaKafka.length == 2)
+    assert(viaKafka.map(_.toString).toSeq == clean.map(_.toString).toSeq)
+    // the multibyte title survives the binary->string->JSON path intact
+    assert(viaKafka.map(_.getAs[Map[String, String]]("data").getOrElse("title", ""))
+      .toSet.contains("Névermind éé"))
+  }
+
   test("strict apply mode: one pk-less event aborts the batch, replica untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_strict").toString + "/replica"
