@@ -79,6 +79,20 @@ object Conf {
     * holds the measured depth-1/2 curve. */
   val AnnProbeConf = "spark.graft.annProbe"
 
+  /** Members-per-(table, bucket) cap for the STREAMING embedding dedup
+    * gate ([[graft.streaming.StreamEmbDedup]]) — 0 (default) = unbounded,
+    * today's exact-candidate contract. Above 0 each bucket keeps a ring
+    * of the newest N members: per-newcomer pairing work and state stay
+    * O(tables × N) at ANY corpus size instead of growing linearly with
+    * accumulated members (the sf100 drive's ~3 → 10 min/batch curve).
+    * Recall trade: a pair is missed only if the earlier vector has
+    * rotated out of EVERY table the two share before the later one
+    * arrives — the posting-cap economics of the batch over-cap ANN legs
+    * applied to ingest. Size it to the duplicate horizon (how far apart
+    * duplicates arrive), like retention in the bounded gate but counted
+    * in members, not time. */
+  val EmbGateBucketCapConf = "spark.graft.embGateBucketCap"
+
   /** Query rows per broadcast batch in the distributed (segment-serving)
     * ANN path: query streams past this loop over disjoint pmod batches —
     * one corpus pass each — so the broadcast stays ≤ ~cap × 90 B no

@@ -49,6 +49,9 @@ object StreamDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the measurement-harness knob seam (round 16): lets a drive set
+    // spark.graft.* lane knobs (e.g. embGateBucketCap) without a rebuild
+    Conf.applyEnv(spark)
     import spark.implicits._
 
     val work = Files.createTempDirectory("graft_stream_demo").toString

@@ -152,10 +152,30 @@ object StreamEmbDedup {
     * pair emitted exactly once (when its later vector arrives).
     * `nPlanes`: bucket bits per table — size with [[planesForCorpus]]
     * for the expected corpus (the default 8 saturates above ~100k
-    * vectors; see [[tableBuckets]]). */
+    * vectors; see [[tableBuckets]]).
+    *
+    * BUCKET CAP (round 16, r15 verdict #5): per-batch gate cost grows
+    * ~linearly with the accumulated corpus because every newcomer pairs
+    * against all prior bucket-mates (~3.8n members at batch n on the
+    * sf100 drive — the algorithmic term the corpus shape dictates, not a
+    * constant). `spark.graft.embGateBucketCap` > 0 bounds each (table,
+    * bucket) group to a ring of its newest N members — pairing work and
+    * state become O(tables × N) per newcomer at any corpus size. The
+    * cap only LOSES pairs, never duplicates one: election reads
+    * SIGNATURES (the newcomer's prefix vs the member's stored prefix),
+    * so at most one shared table emits a pair regardless of which
+    * tables still hold the member; a pair is missed only when the
+    * earlier vector rotated out of every shared table first. One
+    * contract narrows: the unbounded gate's `contains` check also
+    * deduped a REDELIVERED vec_id forever, while a ring only remembers
+    * the newest N — under the cap, feed-level exactly-once (which the
+    * file/Kafka sources provide) is the idempotence boundary. Default 0
+    * keeps the exact-candidate contract (bit-identical to r15). */
   def candidates(vecs: DataFrame, nPlanes: Int = NPlanes): Dataset[VecCandidate] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // read ONCE at stream build; the closure captures the value
+    val bucketCap = graft.Conf.int(spark, graft.Conf.EmbGateBucketCapConf, 0)
     vecs
       .select("vec_id", "embedding")
       .as[(Long, Array[Float])] // Array, not Seq: the Seq decoder builds a List (O(i) apply)
@@ -172,32 +192,61 @@ object StreamEmbDedup {
         case ((tIdx, _), rows, state) =>
           val st = state.getOption
             .getOrElse(PackedVecMembers(Array.emptyLongArray, Array.emptyIntArray))
-          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
           val out = scala.collection.mutable.ArrayBuffer.empty[VecCandidate]
-          // vec_id order: deterministic pairing independent of chunking
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p) =>
-            if (!st.ids.contains(id) && !newIds.contains(id)) {
-              var j = 0
-              while (j < st.ids.length) {
-                if (!sharesBelow(p, st.pre, j, tIdx))
-                  out += VecCandidate(math.min(id, st.ids(j)),
-                    math.max(id, st.ids(j)), tIdx)
-                j += 1
+          if (bucketCap > 0) {
+            // RING path: state is ≤ cap members, so seeding working
+            // buffers from it is one bounded copy per touched group.
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val pre = scala.collection.mutable.ArrayBuffer.empty[Int]
+            ids ++= st.ids
+            pre ++= st.pre
+            var changed = false
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p) =>
+              if (!ids.contains(id)) {
+                var j = 0
+                while (j < ids.length) {
+                  if (!sharesBelowBuf(p, pre, j, tIdx))
+                    out += VecCandidate(math.min(id, ids(j)),
+                      math.max(id, ids(j)), tIdx)
+                  j += 1
+                }
+                ids += id
+                pre ++= p
+                if (ids.length > bucketCap) { // evict the oldest member
+                  ids.remove(0)
+                  if (tIdx > 0) pre.remove(0, tIdx)
+                }
+                changed = true
               }
-              var k = 0
-              while (k < newIds.length) {
-                if (!sharesBelowBuf(p, newPre, k, tIdx))
-                  out += VecCandidate(math.min(id, newIds(k)),
-                    math.max(id, newIds(k)), tIdx)
-                k += 1
-              }
-              newIds += id
-              newPre ++= p
             }
+            if (changed) state.update(PackedVecMembers(ids.toArray, pre.toArray))
+          } else {
+            val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
+            // vec_id order: deterministic pairing independent of chunking
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p) =>
+              if (!st.ids.contains(id) && !newIds.contains(id)) {
+                var j = 0
+                while (j < st.ids.length) {
+                  if (!sharesBelow(p, st.pre, j, tIdx))
+                    out += VecCandidate(math.min(id, st.ids(j)),
+                      math.max(id, st.ids(j)), tIdx)
+                  j += 1
+                }
+                var k = 0
+                while (k < newIds.length) {
+                  if (!sharesBelowBuf(p, newPre, k, tIdx))
+                    out += VecCandidate(math.min(id, newIds(k)),
+                      math.max(id, newIds(k)), tIdx)
+                  k += 1
+                }
+                newIds += id
+                newPre ++= p
+              }
+            }
+            if (newIds.nonEmpty)
+              state.update(PackedVecMembers(st.ids ++ newIds, st.pre ++ newPre))
           }
-          if (newIds.nonEmpty)
-            state.update(PackedVecMembers(st.ids ++ newIds, st.pre ++ newPre))
           out.iterator
       }
   }

@@ -1665,6 +1665,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamEmbDedup: embGateBucketCap bounds pairing to a ring of the newest members") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val base: Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def near(k: Int): Seq[Float] = {
+      val v = base.clone(); v(0) += 0.0001f * k; v.toSeq
+    }
+    // precondition (deterministic seed): all vectors land in the SAME
+    // bucket in every table, so each table's ring sees every arrival
+    val b0 = graft.streaming.StreamEmbDedup.tableBuckets(near(1))
+    (2 to 11).foreach(k =>
+      assert(graft.streaming.StreamEmbDedup.tableBuckets(near(k)).sameElements(b0),
+        s"seed precondition: vector $k left the shared bucket"))
+    spark.conf.set(graft.Conf.EmbGateBucketCapConf, "4")
+    try {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val out = graft.streaming.StreamEmbDedup.candidates(
+        mem.toDF().toDF("vec_id", "embedding"))
+      val q = out.toDF().writeStream.format("memory").queryName("embcap")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L to 10L).map(i => (i, near(i.toInt))): _*)
+        q.processAllAvailable()
+        mem.addData((11L, near(11)))
+        q.processAllAvailable()
+        val got = spark.table("embcap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // the newcomer pairs with exactly the ring (newest 4), elected
+        // once each — O(tables × cap) work, not O(corpus)
+        assert(got.filter(_._2 == 11L) ==
+          Set((7L, 11L), (8L, 11L), (9L, 11L), (10L, 11L)),
+          s"ring should pair 11 with the newest 4 only: ${got.filter(_._2 == 11L)}")
+        // rotated-out members are the recall trade, not duplicates: the
+        // oldest member never re-pairs, and no pair appears twice
+        assert(!got.contains((1L, 11L)))
+        val dupCounts = spark.table("embcap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).filter(_._2.length > 1)
+        assert(dupCounts.isEmpty, s"duplicate elections: ${dupCounts.keys.take(3)}")
+      } finally q.stop()
+    } finally spark.conf.unset(graft.Conf.EmbGateBucketCapConf)
+  }
+
   test("StreamEmbDedup: corpus-scaled bucket bits keep the candidate-truth contract") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
