@@ -357,27 +357,42 @@ object ScalePatterns {
     * [[OrderedStats.qOrderCadence]] and the last lane off the unguarded
     * low-cardinality-window list: the plain form's cume_dist over 5 market
     * segments funnels the whole gap stream through 5 tasks (11.5 s vs
-    * DuckDB 0.69 s at sf10). Here the shared gap stream
-    * ([[OrderedStats.orderCadenceGaps]] — same lag over the o_custkey
-    * exchange, same broadcast segment join) flows through [[bucketedRank]]
-    * (parallelism keys×256), and the discrete p50/p90 are the values at
-    * exact INTEGER target ranks ceil(p·c) — the same
-    * rank ≡ min(v | cume_dist ≥ p) identity [[qPercentileDiscDist]]
-    * proved (value-based, so tied gaps can't diverge). n_gaps and the
-    * 2-dp mean ride the same hash aggregate (long day-sums are exact in
-    * doubles). Output and oracle are IDENTICAL to the plain lane. */
+    * DuckDB 0.69 s at sf10). Not [[bucketedRank]] here (it reads its
+    * input 3× — expensive when the input is the lag-window gap stream,
+    * measured 38.8 s at sf10): gap_days has a TINY value domain (bounded
+    * by the corpus's day span, ~2.5k distinct values), so the exact
+    * distribution is a per-(segment, gap) COUNT HISTOGRAM — one hash
+    * aggregate with map-side partials over the gap stream, ≤ segments ×
+    * days rows out — and the discrete p50/p90 are the smallest gaps whose
+    * cumulative count reaches ceil(p·c), computed by a running sum over
+    * that tiny frame (integer comparisons; identical to the plain lane's
+    * min(v | cume_dist ≥ p) by definition of cume_dist = cum/c). The mean
+    * is Σ(gap·cnt)/c: every partial is an integer-valued double < 2⁵³
+    * (Σ ≤ max_gap·n ≈ 2500·1.5e9 at 100×), so double accumulation is
+    * EXACT in any order and equals the plain lane's avg(long) bit for
+    * bit. Output and oracle are IDENTICAL to the plain lane; the domain
+    * stays ~2.5k at any SF (the date RANGE is fixed — more data adds
+    * count, not distinct gaps). */
   val qOrderCadenceDist: QueryDef = QueryDef(
     "q_order_cadence_dist",
     (s, d) => {
-      val t50 = expr("(c + 1) div 2")        // ceil(0.5·c)
-      val t90 = expr("(9 * c + 9) div 10")   // ceil(0.9·c)
-      bucketedRank(OrderedStats.orderCadenceGaps(s, d))
-        .groupBy(col("key"), col("c"))
+      import org.apache.spark.sql.expressions.Window
+      val hist = OrderedStats.orderCadenceGaps(s, d)
+        .groupBy(col("key"), col("v")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("key")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSeg = Window.partitionBy(col("key"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("c", sum(col("cnt")).over(wSeg))
+        .withColumn("s", sum(col("v") * col("cnt")).over(wSeg))
+        .groupBy(col("key"))
         .agg(
-          max(when(col("r") === t50, col("v"))).as("p50_gap"),
-          max(when(col("r") === t90, col("v"))).as("p90_gap"),
-          round(avg(col("v")), 2).as("avg_gap"))
-        .select(col("key").as("c_mktsegment"), col("c").as("n_gaps"),
+          max(col("c")).as("n_gaps"),
+          min(when(col("cum") >= expr("(c + 1) div 2"), col("v"))).as("p50_gap"),
+          min(when(col("cum") >= expr("(9 * c + 9) div 10"), col("v"))).as("p90_gap"),
+          round(max(col("s")).cast("double") / max(col("c")), 2).as("avg_gap"))
+        .select(col("key").as("c_mktsegment"), col("n_gaps"),
           col("p50_gap"), col("p90_gap"), col("avg_gap"))
         .orderBy("c_mktsegment")
     },

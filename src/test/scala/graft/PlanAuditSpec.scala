@@ -367,19 +367,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset(graft.Conf.SingleSortCapConf)
   }
 
-  test("singleSortCap=1 flips q_order_cadence to the bucketed-rank twin") {
+  test("singleSortCap=1 flips q_order_cadence to the gap-histogram twin") {
     import graft.operators.OrderedStats
     // default cap: 5 tiny segments, the plain cume_dist window runs
     val plainPlan =
       OrderedStats.qOrderCadence.fn(spark, sfDir).queryExecution.executedPlan.toString
-    assert("windowspecdefinition\\(key#\\d+, bkt#\\d+".r.findFirstIn(plainPlan).isEmpty,
+    assert(plainPlan.contains("cume_dist"),
       s"default cap unexpectedly delegated:\n$plainPlan")
     try {
       spark.conf.set(graft.Conf.SingleSortCapConf, "1")
       val flipped = OrderedStats.qOrderCadence.fn(spark, sfDir)
       val flippedPlan = flipped.queryExecution.executedPlan.toString
-      assert("windowspecdefinition\\(key#\\d+, bkt#\\d+".r.findFirstIn(flippedPlan).isDefined,
-        s"cap=1 should route through the bucketed-rank twin:\n$flippedPlan")
+      assert(!flippedPlan.contains("cume_dist"),
+        s"cap=1 should route through the gap-histogram twin:\n$flippedPlan")
       spark.conf.unset(graft.Conf.SingleSortCapConf)
       val want = OrderedStats.qOrderCadence.fn(spark, sfDir)
       spark.conf.set(graft.Conf.SingleSortCapConf, "1")
