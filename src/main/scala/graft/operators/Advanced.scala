@@ -412,11 +412,7 @@ object Advanced {
     "q_props_extract",
     (s, d) =>
       Tables.events(s, d)
-        .select(col("event_type"),
-          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.LongType))))
-            .getField("k").cast("long").as("k"))
+        .select(col("event_type"), Tables.propsK.cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(
           count(col("k")).as("n"),

@@ -51,7 +51,7 @@ object Cdc {
           opOf(col("event_type")).as("op"),
           when(col("event_id") % 2 === 0, unix_millis(col("ts")))
             .otherwise(expr("unix_millis(ts) div 1000")).as("raw_ts")
-        , get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        , Tables.propsK.cast("int").as("prop_k"))
         .withColumn(
           "ts_sec",
           when(col("raw_ts") >= 100000000000L, expr("raw_ts div 1000")).otherwise(col("raw_ts"))
@@ -704,7 +704,7 @@ object Cdc {
         // project BEFORE the window: the exchange must carry the extracted
         // key, never the raw props JSON blob it came from
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"),
-          get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+          Tables.propsK.cast("int").as("prop_k"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && opOf(col("event_type")) =!= "delete")
         .select(

@@ -38,7 +38,7 @@ object OrderedStats {
       val iv = Tables.events(s, d).select(
         col("event_type"),
         unix_micros(col("ts")).as("s_us"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        Tables.propsK.cast("long").as("k"))
         .withColumn("day", expr(s"s_us div $DayUs"))
         .withColumn("e_us", least(col("s_us") + col("k") * 1000000L, (col("day") + 1) * DayUs))
       val bounds = iv.select(
