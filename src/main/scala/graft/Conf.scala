@@ -90,7 +90,10 @@ object Conf {
     * arrives — the posting-cap economics of the batch over-cap ANN legs
     * applied to ingest. Size it to the duplicate horizon (how far apart
     * duplicates arrive), like retention in the bounded gate but counted
-    * in members, not time. */
+    * in members, not time. Applies to the UNBOUNDED candidate stage
+    * ([[graft.streaming.StreamEmbDedup.candidates]]); the bounded stage
+    * already bounds state by the retention watermark — time is its
+    * horizon dial. */
   val EmbGateBucketCapConf = "spark.graft.embGateBucketCap"
 
   /** Query rows per broadcast batch in the distributed (segment-serving)
