@@ -20,12 +20,16 @@ def main():
     sf_dir, dump_dir, base_path, keys_csv = sys.argv[1:5]
     keys = [k for k in keys_csv.split(",") if k]
     sql = json.load(open(f"{dump_dir}/oracle_sql.json"))
+    # same config as baseline_duckdb.py (default thread count) — and run
+    # on a QUIET box: a first splice attempt under a concurrent sf100
+    # drive inflated DuckDB 2-4x, which would flatter Spark's ratio
     con = duckdb.connect()
-    con.execute(f"SET threads TO 8")
+    import os
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     base = json.load(open(base_path))
     for k in keys:
         t0 = time.time()
