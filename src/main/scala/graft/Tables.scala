@@ -12,21 +12,21 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `props.k` extracted via `from_json` with a 1-field schema — the
-    * measured JSON kernel (round 16, probed at sf10: 4.4 s vs
-    * get_json_object's 15.6 s warm, identical values — Jackson parses
-    * straight to the typed struct instead of re-walking the document per
-    * path and materializing an intermediate string). Single-sourced: every
-    * events-props lane (cdc_parse, cdc_snapshot_composite,
-    * q_interval_overlap, q_props_extract) reads k through this. Missing or
-    * malformed props → null, matching json_extract_string on the oracle
-    * side. */
+  /** `props.k` extraction, single-sourced for every events-props lane
+    * (cdc_parse, cdc_snapshot_composite, q_interval_overlap,
+    * q_props_extract). Round 16 adjudication — get_json_object KEPT, on
+    * query-level numbers: an isolated kernel probe at LOW parallelism
+    * (8 threads, parse-dominated) favored from_json 3.6× (4.4 s vs
+    * 15.6 s warm at sf10), but the four real lanes each measured 15-25%
+    * SLOWER with from_json at 32 threads, twice-reproduced (e.g.
+    * cdc_parse 12.1 → 14.6/15.4 s) — JsonToStructs is a non-codegen
+    * expression, so it breaks the scan stage's whole-stage codegen and
+    * the stage-level cost outweighs the parse-kernel saving once the
+    * parse is no longer the bottleneck. get_json_object stays inside
+    * WholeStageCodegen. Missing/malformed props → null on both engines. */
   def propsK: org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.from_json(
-      org.apache.spark.sql.functions.col("props"),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.LongType)))).getField("k")
+    org.apache.spark.sql.functions.get_json_object(
+      org.apache.spark.sql.functions.col("props"), "$.k")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

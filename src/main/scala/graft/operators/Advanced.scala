@@ -401,13 +401,12 @@ object Advanced {
 
   /** Typed extraction from the JSON props payload (the event-properties
     * lane cdc_parse opens): per event type, stats over props.k. The
-    * extraction is `from_json` with a 1-field schema (round 16, probed at
-    * sf10: 4.4 s vs get_json_object's 15.6 s warm, identical sums —
-    * Jackson parses straight to the typed struct instead of re-walking
-    * the document per path and materializing an intermediate string);
-    * the sum is exact integer so avg is the identical division on both
-    * engines. Missing/malformed props → null field, matching
-    * json_extract_string's null on both engines. */
+    * extraction is the shared [[Tables.propsK]] kernel — get_json_object,
+    * kept after the round-16 from_json probe on query-level numbers (the
+    * adjudication lives at propsK's scaladoc: from_json wins the isolated
+    * parse kernel but breaks whole-stage codegen and loses at the query
+    * level). The sum is exact integer so avg is the identical division on
+    * both engines. */
   val qPropsExtract: QueryDef = QueryDef(
     "q_props_extract",
     (s, d) =>
