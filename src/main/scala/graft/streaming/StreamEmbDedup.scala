@@ -196,6 +196,12 @@ object StreamEmbDedup {
           if (bucketCap > 0) {
             // RING path: state is ≤ cap members, so seeding working
             // buffers from it is one bounded copy per touched group.
+            // ArrayBuffer boxing is a deliberate exception to the
+            // primitive-array hot-loop rule: the CAP bounds every loop
+            // here (the unbounded path keeps primitive arrays because
+            // nothing bounds it), and the sf100 drive measured the ring
+            // flat at ~67 s/batch — the quadratic pairing it removes was
+            // the cost, not the constant.
             val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
             val pre = scala.collection.mutable.ArrayBuffer.empty[Int]
             ids ++= st.ids
