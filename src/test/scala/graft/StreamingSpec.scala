@@ -1829,6 +1829,46 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("StreamEmbDedup: the capped ring survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val base: Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def near(k: Int): Seq[Float] = {
+      val v = base.clone(); v(0) += 0.0001f * k; v.toSeq
+    }
+    val b0 = graft.streaming.StreamEmbDedup.tableBuckets(near(1))
+    (2 to 5).foreach(k =>
+      assert(graft.streaming.StreamEmbDedup.tableBuckets(near(k)).sameElements(b0),
+        s"seed precondition: vector $k left the shared bucket"))
+    val ckpt = java.nio.file.Files.createTempDirectory("embcap_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("embcap_out").toString
+    spark.conf.set(graft.Conf.EmbGateBucketCapConf, "2")
+    try {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      def start() = graft.streaming.StreamEmbDedup.candidates(
+          mem.toDF().toDF("vec_id", "embedding")).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      // batch 1 overflows the cap: the checkpointed ring must hold ONLY
+      // the newest 2 members (3, 4) when the query restarts
+      val q1 = start()
+      try {
+        mem.addData((1L to 4L).map(i => (i, near(i.toInt))): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        mem.addData((5L, near(5)))
+        q2.processAllAvailable()
+        val after = spark.read.parquet(outDir).select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet.filter(_._2 == 5L)
+        assert(after == Set((3L, 5L), (4L, 5L)),
+          s"restarted ring should hold exactly {3,4}: $after")
+      } finally q2.stop()
+    } finally spark.conf.unset(graft.Conf.EmbGateBucketCapConf)
+  }
+
   test("StreamDedup.distinctPairsBounded: retention evicts partners, in-window pairs still fire") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
