@@ -85,15 +85,22 @@ object Conf {
     * of the newest N members: per-newcomer pairing work and state stay
     * O(tables × N) at ANY corpus size instead of growing linearly with
     * accumulated members (the sf100 drive's ~3 → 10 min/batch curve).
-    * Recall trade: a pair is missed only if the earlier vector has
-    * rotated out of EVERY table the two share before the later one
-    * arrives — the posting-cap economics of the batch over-cap ANN legs
-    * applied to ingest. Size it to the duplicate horizon (how far apart
-    * duplicates arrive), like retention in the bounded gate but counted
-    * in members, not time. Applies to the UNBOUNDED candidate stage
-    * ([[graft.streaming.StreamEmbDedup.candidates]]); the bounded stage
-    * already bounds state by the retention watermark — time is its
-    * horizon dial. */
+    * Recall trade: a pair is missed iff the earlier vector has rotated
+    * out of the SMALLEST signature-shared table's ring before the later
+    * one arrives (the election reads signature prefixes, so a higher
+    * table the two still share never re-elects — bucket occupancy
+    * differs per table, making this strictly more misses than "out of
+    * every shared table"; size caps from THIS condition) — the
+    * posting-cap economics of the batch over-cap ANN legs applied to
+    * ingest. Size it to the duplicate horizon (how far apart duplicates
+    * arrive), like retention in the bounded gate but counted in members,
+    * not time. Applies to BOTH candidate stages (round 17): the
+    * unbounded gate ([[graft.streaming.StreamEmbDedup.candidates]]) and
+    * the retention-bounded gate
+    * ([[graft.streaming.StreamEmbDedup.candidatesBounded]]), where
+    * retention bounds total state but not one hot (table, bucket) group
+    * inside the window — there expired members evict first, then
+    * oldest-by-arrival. */
   val EmbGateBucketCapConf = "spark.graft.embGateBucketCap"
 
   /** Query rows per broadcast batch in the distributed (segment-serving)

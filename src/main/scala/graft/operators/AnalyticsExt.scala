@@ -326,10 +326,19 @@ object AnalyticsExt {
       // decodes to the same ascending comma-joined string AFTER the
       // aggregate — a ≤64-element HOF per OUTPUT row (1.5M), not per
       // input row (15M), outside the hot aggregate path.
+      // Domain guard (r17, advisor): Java shift semantics wrap the shift
+      // amount mod 64, so a year outside [1970, 2033] would fold onto a
+      // WRONG year's bit — plausible output, silent corruption. The old
+      // collect_set form was domain-safe; this one raises instead.
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(
-          expr("bit_or(shiftleft(1L, year(o_orderdate) - 1970))").as("mask"),
+          expr("""bit_or(shiftleft(1L,
+                 CASE WHEN year(o_orderdate) BETWEEN 1970 AND 2033
+                      THEN year(o_orderdate) - 1970
+                      ELSE raise_error(concat(
+                        'q_string_agg: orderdate year outside the [1970,2033] bit-mask domain: ',
+                        cast(year(o_orderdate) AS STRING))) END))""").as("mask"),
           count(lit(1)).as("n_orders"))
         .select(
           col("o_custkey"),

@@ -144,16 +144,21 @@ object Multimodal {
     * points (the video frame-sample / audio chunk pattern — here one byte
     * per "frame" since the container has no codecs; a real decoder would
     * slice frame-sized byte ranges at the same offsets). Pure expression
-    * plumbing: offsets derive from payload length, no shuffle. */
+    * plumbing: offsets derive from payload length, no shuffle.
+    *
+    * The 8 probes are UNROLLED codegen'd Column terms, not
+    * `transform(sequence(0,7), …)` (r16 verdict #3): a higher-order
+    * function is interpreted per row — the repo's own hot-path rule —
+    * and measured 8.4 s / 12.8× DuckDB at sf10 for 8 byte-probes per
+    * document; the fan-out is a constant 8, so unrolling costs nothing
+    * and keeps the whole projection inside whole-stage codegen. */
   val mmFrameSample: QueryDef = QueryDef(
     "mm_frame_sample",
     (s, d) => {
       val len = length(col("text"))
       val stride = greatest(expr("length(text) div 8"), lit(1))
-      val codes = transform(
-        sequence(lit(0), lit(7)),
-        i => ascii(substring(col("text"), (i * stride + 1).cast("int"), lit(1)))
-      )
+      val codes = array((0 to 7).map(i =>
+        ascii(substring(col("text"), (lit(i) * stride + 1).cast("int"), lit(1)))): _*)
       Tables.documents(s, d)
         .filter(len >= 8)
         .select(

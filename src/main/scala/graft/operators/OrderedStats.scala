@@ -441,7 +441,9 @@ object OrderedStats {
     * tasks (11.5 s vs DuckDB's 0.69 s at sf10, the last unguarded
     * low-cardinality ranking window). Guarded like its r12/r15 siblings:
     * above [[Guards.singleSortCap]] rows in any segment it delegates to
-    * [[ScalePatterns.qOrderCadenceDist]]'s two-phase bucketed rank
+    * [[ScalePatterns.qOrderCadenceDist]]'s (segment, gap) COUNT HISTOGRAM
+    * — deliberately NOT bucketedRank, which would read the lag-derived
+    * gap stream 3× (measured 38.8 s; see the twin's scaladoc) —
     * (identical output, same oracle; cap=1 plan-flip spec); the guard
     * stat is one memoized broadcast-join count per (session, dir). */
   val qOrderCadence: QueryDef = QueryDef(

@@ -164,8 +164,14 @@ object StreamEmbDedup {
     * cap only LOSES pairs, never duplicates one: election reads
     * SIGNATURES (the newcomer's prefix vs the member's stored prefix),
     * so at most one shared table emits a pair regardless of which
-    * tables still hold the member; a pair is missed only when the
-    * earlier vector rotated out of every shared table first. One
+    * tables still hold the member; the flip side is that a pair is
+    * missed iff the earlier vector rotated out of the SMALLEST
+    * signature-shared table's ring before the later one arrived —
+    * a higher shared table that still holds it never re-elects,
+    * because sharesBelow sees the smaller shared table in the
+    * signatures (bucket occupancy differs per table, so this is
+    * strictly more misses than "rotated out of every shared table").
+    * One
     * contract narrows: the unbounded gate's `contains` check also
     * deduped a REDELIVERED vec_id forever, while a ring only remembers
     * the newest N — under the cap, feed-level exactly-once (which the
@@ -207,6 +213,19 @@ object StreamEmbDedup {
             ids ++= st.ids
             pre ++= st.pre
             var changed = false
+            // truncate an OVERSIZED restored ring to the cap BEFORE
+            // pairing (r16 advice): a checkpoint written uncapped or at a
+            // larger cap restores more than `bucketCap` members, and the
+            // per-insert one-at-a-time eviction below would keep pairing
+            // work O(old size) for thousands of batches — the knob's
+            // motivating rescue (flip the cap on a stuck drive, restart
+            // from its checkpoint) must bound the FIRST batch already.
+            if (ids.length > bucketCap) {
+              val drop = ids.length - bucketCap
+              ids.remove(0, drop)
+              if (tIdx > 0) pre.remove(0, drop * tIdx)
+              changed = true
+            }
             rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p) =>
               if (!ids.contains(id)) {
                 var j = 0
@@ -218,7 +237,7 @@ object StreamEmbDedup {
                 }
                 ids += id
                 pre ++= p
-                if (ids.length > bucketCap) { // evict the oldest member
+                while (ids.length > bucketCap) { // evict oldest members
                   ids.remove(0)
                   if (tIdx > 0) pre.remove(0, tIdx)
                 }
@@ -365,11 +384,26 @@ object StreamEmbDedup {
     * BEFORE pairing, and an event-time timeout at (newest member + 1 ms)
     * sweeps idle buckets — state is O(vectors inside retention), in the
     * same packed prefix-key layout as the unbounded form (+8 B/member
-    * for the eviction timestamp). */
+    * for the eviction timestamp).
+    *
+    * BUCKET CAP (round 17, r16 verdict #2): retention bounds TOTAL state
+    * but nothing bounds one hot (table, bucket) group inside the window —
+    * the exact skew that ate the r15 sf100 drive recurs here whenever a
+    * bucket's arrival rate × retention exceeds the workable member count.
+    * `spark.graft.embGateBucketCap` > 0 therefore also caps this lane:
+    * each group keeps a ring of its newest N members, with eviction order
+    * respecting the watermark — EXPIRED members leave first (they were
+    * never pair candidates), then oldest-by-arrival until the ring fits.
+    * Same miss condition as the unbounded ring: a pair is missed iff the
+    * earlier vector left the SMALLEST signature-shared table's ring
+    * before the later one arrived. Default 0 keeps the exact
+    * retention-window contract. */
   def candidatesBounded(vecs: DataFrame,
       retention: String): Dataset[TimedVecCandidate] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // read ONCE at stream build; the closure captures the value
+    val bucketCap = graft.Conf.int(spark, graft.Conf.EmbGateBucketCapConf, 0)
     vecs
       .select("vec_id", "embedding", "ts")
       .as[(Long, Array[Float], java.sql.Timestamp)]
@@ -402,10 +436,60 @@ object StreamEmbDedup {
                 keep.map(st0.tsMs(_)).toArray)
             }
           val evicted = st ne st0
+          val out = scala.collection.mutable.ArrayBuffer.empty[TimedVecCandidate]
+          if (bucketCap > 0) {
+            // RING path (r17): expired members are already gone (above —
+            // the watermark-first half of the eviction order); what's
+            // left truncates oldest-by-arrival to the cap BEFORE pairing,
+            // so a restart from an uncapped/larger-cap checkpoint does
+            // O(cap) work from its first batch.
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val pre = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val tsMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+            ids ++= st.ids
+            pre ++= st.pre
+            tsMs ++= st.tsMs
+            var changed = evicted
+            if (ids.length > bucketCap) {
+              val drop = ids.length - bucketCap
+              ids.remove(0, drop)
+              if (tIdx > 0) pre.remove(0, drop * tIdx)
+              tsMs.remove(0, drop)
+              changed = true
+            }
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, pSeq, ts) =>
+              if (!ids.contains(id)) {
+                val p = pSeq.toArray
+                var j = 0
+                while (j < ids.length) {
+                  if (!sharesBelowBuf(p, pre, j, tIdx))
+                    out += TimedVecCandidate(math.min(id, ids(j)),
+                      math.max(id, ids(j)), tIdx, ts)
+                  j += 1
+                }
+                ids += id
+                pre ++= p
+                tsMs += ts.getTime
+                while (ids.length > bucketCap) { // evict oldest members
+                  ids.remove(0)
+                  if (tIdx > 0) pre.remove(0, tIdx)
+                  tsMs.remove(0)
+                }
+                changed = true
+              }
+            }
+            if (ids.isEmpty) state.remove()
+            else {
+              if (changed)
+                state.update(PackedTimedVecMembers(ids.toArray, pre.toArray,
+                  tsMs.toArray))
+              val newest = tsMs.max
+              if (newest + 1L > wmMs) state.setTimeoutTimestamp(newest + 1L)
+            }
+          } else {
           val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
           val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
           val newTs = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val out = scala.collection.mutable.ArrayBuffer.empty[TimedVecCandidate]
           rows.toSeq.sortBy(_._3).foreach { case (_, _, id, pSeq, ts) =>
             if (!st.ids.contains(id) && !newIds.contains(id)) {
               val p = pSeq.toArray // unbox once; the loops below stay primitive
@@ -436,6 +520,7 @@ object StreamEmbDedup {
                 st.tsMs ++ newTs))
             val newest = (st.tsMs.iterator ++ newTs.iterator).max
             if (newest + 1L > wmMs) state.setTimeoutTimestamp(newest + 1L)
+          }
           }
           out.iterator
       }

@@ -1869,6 +1869,174 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(graft.Conf.EmbGateBucketCapConf)
   }
 
+  test("StreamEmbDedup: a restart with a smaller cap truncates an oversized ring BEFORE pairing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the cap's motivating rescue (r16 advice): a drive stuck on a hot
+    // bucket restarts from its UNCAPPED checkpoint with the cap flipped
+    // on — the restored ring must truncate to the cap up front, so the
+    // first batch already does O(cap) pairing, not O(old bucket size)
+    val rnd = new scala.util.Random(5)
+    val base: Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def near(k: Int): Seq[Float] = {
+      val v = base.clone(); v(0) += 0.0001f * k; v.toSeq
+    }
+    val b0 = graft.streaming.StreamEmbDedup.tableBuckets(near(1))
+    (2 to 5).foreach(k =>
+      assert(graft.streaming.StreamEmbDedup.tableBuckets(near(k)).sameElements(b0),
+        s"seed precondition: vector $k left the shared bucket"))
+    val ckpt = java.nio.file.Files.createTempDirectory("embflip_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("embflip_out").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def start() = graft.streaming.StreamEmbDedup.candidates(
+        mem.toDF().toDF("vec_id", "embedding")).toDF()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // batch 1 runs UNCAPPED: the checkpoint holds all 4 members
+    val q1 = start()
+    try {
+      mem.addData((1L to 4L).map(i => (i, near(i.toInt))): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart with cap=2: the ring must pair the newcomer against ONLY
+    // the newest 2 restored members (one-at-a-time eviction would pair
+    // against all 4)
+    spark.conf.set(graft.Conf.EmbGateBucketCapConf, "2")
+    try {
+      val q2 = start()
+      try {
+        mem.addData((5L, near(5)))
+        q2.processAllAvailable()
+        val after = spark.read.parquet(outDir).select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet.filter(_._2 == 5L)
+        assert(after == Set((3L, 5L), (4L, 5L)),
+          s"oversized ring should truncate to {3,4} before pairing: $after")
+      } finally q2.stop()
+    } finally spark.conf.unset(graft.Conf.EmbGateBucketCapConf)
+  }
+
+  test("StreamEmbDedup.candidatesBounded: embGateBucketCap bounds a hot bucket inside retention") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rnd = new scala.util.Random(5)
+    val base: Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def near(k: Int): Seq[Float] = {
+      val v = base.clone(); v(0) += 0.0001f * k; v.toSeq
+    }
+    val b0 = graft.streaming.StreamEmbDedup.tableBuckets(near(1))
+    (2 to 11).foreach(k =>
+      assert(graft.streaming.StreamEmbDedup.tableBuckets(near(k)).sameElements(b0),
+        s"seed precondition: vector $k left the shared bucket"))
+    spark.conf.set(graft.Conf.EmbGateBucketCapConf, "4")
+    try {
+      val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+      val out = graft.streaming.StreamEmbDedup.candidatesBounded(
+        mem.toDF().toDF("vec_id", "embedding", "ts"), retention = "1 hour")
+      val q = out.toDF().writeStream.format("memory").queryName("embcapbounded")
+        .outputMode("append").start()
+      try {
+        // retention alone would keep all 10 members (all inside the
+        // hour); the cap bounds the hot bucket to the newest 4
+        mem.addData((1L to 10L).map(i => (i, near(i.toInt), ts(1000 + i))): _*)
+        q.processAllAvailable()
+        mem.addData((11L, near(11), ts(1011)))
+        q.processAllAvailable()
+        val got = spark.table("embcapbounded").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got.filter(_._2 == 11L) ==
+          Set((7L, 11L), (8L, 11L), (9L, 11L), (10L, 11L)),
+          s"ring should pair 11 with the newest 4 only: ${got.filter(_._2 == 11L)}")
+        val dupCounts = spark.table("embcapbounded").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).filter(_._2.length > 1)
+        assert(dupCounts.isEmpty, s"duplicate elections: ${dupCounts.keys.take(3)}")
+      } finally q.stop()
+    } finally spark.conf.unset(graft.Conf.EmbGateBucketCapConf)
+  }
+
+  test("StreamEmbDedup.candidatesBounded: capped eviction respects the watermark (expired first)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rnd = new scala.util.Random(5)
+    val base: Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def near(k: Int): Seq[Float] = {
+      val v = base.clone(); v(0) += 0.0001f * k; v.toSeq
+    }
+    val b0 = graft.streaming.StreamEmbDedup.tableBuckets(near(1))
+    (2 to 5).foreach(k =>
+      assert(graft.streaming.StreamEmbDedup.tableBuckets(near(k)).sameElements(b0),
+        s"seed precondition: vector $k left the shared bucket"))
+    val far = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat).toSeq
+    spark.conf.set(graft.Conf.EmbGateBucketCapConf, "2")
+    try {
+      val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+      val out = graft.streaming.StreamEmbDedup.candidatesBounded(
+        mem.toDF().toDF("vec_id", "embedding", "ts"), retention = "60 seconds")
+      val q = out.toDF().writeStream.format("memory").queryName("embcapevict")
+        .outputMode("append").start()
+      try {
+        // the hot bucket's ring holds {2, 3} after batch 1 (cap=2)
+        mem.addData((1L, near(1), ts(1000)), (2L, near(2), ts(1001)),
+          (3L, near(3), ts(1002)))
+        q.processAllAvailable()
+        // the far vector advances the watermark past 1-3: retention must
+        // expire the ring members even though the cap would keep them
+        mem.addData((100L, far, ts(2000)))
+        q.processAllAvailable()
+        mem.addData((4L, near(4), ts(2001)), (5L, near(5), ts(2002)))
+        q.processAllAvailable()
+        val got = spark.table("embcapevict").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // 4 pairs with nothing (2-3 expired, NOT "the newest 2"); 5 pairs
+        // with 4 only
+        assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)),
+          s"expired members must leave before arrival-order eviction: $got")
+      } finally q.stop()
+    } finally spark.conf.unset(graft.Conf.EmbGateBucketCapConf)
+  }
+
+  test("StreamEmbDedup.candidatesBounded: the capped ring survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rnd = new scala.util.Random(5)
+    val base: Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def near(k: Int): Seq[Float] = {
+      val v = base.clone(); v(0) += 0.0001f * k; v.toSeq
+    }
+    val b0 = graft.streaming.StreamEmbDedup.tableBuckets(near(1))
+    (2 to 5).foreach(k =>
+      assert(graft.streaming.StreamEmbDedup.tableBuckets(near(k)).sameElements(b0),
+        s"seed precondition: vector $k left the shared bucket"))
+    val ckpt = java.nio.file.Files.createTempDirectory("embcapb_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("embcapb_out").toString
+    spark.conf.set(graft.Conf.EmbGateBucketCapConf, "2")
+    try {
+      val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+      def start() = graft.streaming.StreamEmbDedup.candidatesBounded(
+          mem.toDF().toDF("vec_id", "embedding", "ts"), retention = "1 hour").toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      // batch 1 overflows the cap: the checkpointed ring must hold ONLY
+      // the newest 2 members (3, 4) when the query restarts
+      val q1 = start()
+      try {
+        mem.addData((1L to 4L).map(i => (i, near(i.toInt), ts(1000 + i))): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        mem.addData((5L, near(5), ts(1005)))
+        q2.processAllAvailable()
+        val after = spark.read.parquet(outDir).select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet.filter(_._2 == 5L)
+        assert(after == Set((3L, 5L), (4L, 5L)),
+          s"restarted bounded ring should hold exactly {3,4}: $after")
+      } finally q2.stop()
+    } finally spark.conf.unset(graft.Conf.EmbGateBucketCapConf)
+  }
+
   test("StreamDedup.distinctPairsBounded: retention evicts partners, in-window pairs still fire") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
