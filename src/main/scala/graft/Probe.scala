@@ -4,41 +4,105 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch probe main — current contents change per investigation.
-  * Round 16: q_props_extract extraction-kernel cost —
-  * get_json_object vs from_json(1-field schema) vs variant parse_json,
-  * alternated twice each over the same sf events scan. */
+  * Round 17: A/B the three r16-verdict-#5 tail lanes at sf10 — the
+  * SHIPPED r17 shapes vs inline copies of their r16 shapes, alternated
+  * twice in one session so box noise cancels within the run:
+  *  - q_percentile_disc_dist: full bucketedRank vs target-bucket-pruned
+  *  - q_cov_exact: decimal(38,0) moment sums vs split-long pairs
+  *  - q_skew_join_salted: wide-dim salted join vs keys-only + post-agg
+  *    attribute attach. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/data/sf10")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = Tables.events(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
 
-    def agg(k: org.apache.spark.sql.Column): Long =
-      ev.select(col("event_type"), k.cast("long").as("k"))
-        .groupBy(col("event_type"))
-        .agg(count(col("k")).as("n"), sum(col("k")).as("s"))
-        .agg(sum(col("s"))).head().getLong(0)
+    // --- r16 q_percentile_disc_dist: rank EVERY row (bucketedRank copy) ---
+    def oldPercentileDisc(): Unit = {
+      val nBuckets = 256
+      val data = Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority").as("key"),
+          round(col("o_totalprice") * 100).cast("long").as("v"),
+          col("o_orderkey").as("id"))
+      val bounds = broadcast(data.groupBy("key")
+        .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
+      val bucketed = data.join(bounds, "key")
+        .withColumn("bkt",
+          least(lit(nBuckets - 1),
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
+            .cast("int"))
+      val offsets = broadcast(
+        bucketed.groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(
+            sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("key", "bkt", "off"))
+      val t50 = expr("(c + 1) div 2")
+      val t90 = expr("(9 * c + 9) div 10")
+      bucketed.join(offsets, Seq("key", "bkt"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))) + col("off"))
+        .filter(col("r") === t50 || col("r") === t90)
+        .groupBy(col("key"), col("c"))
+        .agg(max(when(col("r") === t50, col("v"))).as("p50c"),
+          max(when(col("r") === t90, col("v"))).as("p90c"))
+        .collect()
+    }
 
-    val variants: Seq[(String, () => Long)] = Seq(
-      "get_json_object" -> (() => agg(get_json_object(col("props"), "$.k"))),
-      "from_json" -> (() => agg(
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType)))).getField("k"))),
-      "variant_get" -> (() => agg(
-        expr("variant_get(parse_json(props), '$.k', 'long')")))
+    // --- r16 q_cov_exact: decimal(38,0) sums per row ---
+    def oldCovExact(): Unit = {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          expr("(10000 * (n * sxy - sx * sy)) div (n * (n - 1))").as("cov_bp"),
+          expr("(10000 * (n * sxx - sx * sx)) div (n * (n - 1))").as("var_x_bp"),
+          expr("(10000 * (n * syy - sy * sy)) div (n * (n - 1))").as("var_y_bp"))
+        .collect()
+    }
+
+    // --- r16 q_skew_join_salted: wide dim attrs ride the salted join ---
+    def oldSkewJoin(): Unit = {
+      val S = 8
+      val fact = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("value"), col("event_id"))
+        .withColumn("salt", pmod(col("event_id"), lit(S)).cast("int"))
+      val dim = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      fact.join(dim, Seq("user_id", "salt"))
+        .groupBy(col("user_id"), col("c_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("user_id").collect()
+    }
+
+    val variants: Seq[(String, () => Unit)] = Seq(
+      "pdisc_old" -> (() => oldPercentileDisc()),
+      "pdisc_new" -> (() => { graft.operators.ScalePatterns.qPercentileDiscDist.fn(spark, sfDir).collect(); () }),
+      "cov_old" -> (() => oldCovExact()),
+      "cov_new" -> (() => { graft.operators.OrderedStats.qCovExact.fn(spark, sfDir).collect(); () }),
+      "skew_old" -> (() => oldSkewJoin()),
+      "skew_new" -> (() => { graft.operators.ScalePatterns.qSkewJoinSalted.fn(spark, sfDir).collect(); () })
     )
     for (round <- 1 to 2; (name, f) <- variants) {
       val t0 = System.nanoTime()
-      val v = f()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] round $round $name%-16s $secs%7.2f s (sum=$v)")
+      f()
+      println(f"[probe] round=$round $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

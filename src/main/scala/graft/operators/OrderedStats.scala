@@ -127,19 +127,30 @@ object OrderedStats {
 
   /** EXACT covariance / variance per group. Float covariance can never
     * hash-match across engines (sum association order differs), so the
-    * second moments are accumulated as DECIMAL(38,0) on Spark and HUGEINT
-    * (int128) on DuckDB — both exact to 1e38, enough for n·Σy² at SF100k
-    * (~5e32) — and the n·Σxy − Σx·Σy forms are divided down to integer
-    * basis points with the verified truncate-toward-zero integer division.
-    * One partial-aggregated exchange over 3 groups; products stay in int64
-    * range pre-sum (qty·cents ≤ 5.5e8) but the RUNNING SUMS do not: Σy²
-    * clears int64 around 10⁶ rows/group (the sf1 bench found it at 6M
-    * rows under ANSI overflow checking), so each product is widened to
-    * decimal BEFORE the sum — the aggregation buffer is decimal end to
-    * end, matching DuckDB's HUGEINT accumulator. */
+    * moments are accumulated exactly and the n·Σxy − Σx·Σy forms are
+    * divided down to integer basis points with the verified
+    * truncate-toward-zero integer division; DuckDB mirrors with HUGEINT.
+    *
+    * ROUND 17 (r16 verdict #5): the second moments accumulate as SPLIT
+    * LONG pairs, not decimal(38,0). Σy² clears int64 around 10⁶
+    * rows/group (the sf1 bench found it under ANSI checking), and the
+    * r15 fix widened each product to decimal BEFORE the sum — exact, but
+    * a decimal(38) aggregation buffer is a BigDecimal add per row (Spark
+    * keeps precision >18 boxed), 5 of them per row here. Instead each
+    * big product splits at a power of two — y² = (y² div 2²³)·2²³ +
+    * (y² mod 2²³), x·y at 2¹⁶ — and the two HALVES sum as plain longs
+    * (primitive codegen HashAggregate buffer), recombined in decimal on
+    * the 3 OUTPUT rows. Exactness bound: summand magnitudes cap at
+    * max(y²/2²³, 2²³, y) ≈ 1.4e7 at the corpus's y ≤ ~1.1e7 cents, so
+    * sums stay exact below ~6e11 rows/GROUP (~100-TB-scale lineitem);
+    * a runtime guard computes the actual bound from max(y) and n and
+    * raise_errors past it (silent long wrap is the corruption mode the
+    * r17 q_string_agg guard also closes) — the decimal form remains the
+    * documented fallback beyond. */
   val qCovExact: QueryDef = QueryDef(
     "q_cov_exact",
-    (s, d) =>
+    (s, d) => {
+      val M = 1L << 23 // balance point: sqrt(max y²) ≈ 1.1e7 ≈ 2^23
       Tables.lineitem(s, d)
         .select(
           col("l_returnflag"),
@@ -147,19 +158,40 @@ object OrderedStats {
           round(col("l_extendedprice") * 100).cast("long").as("y"))
         .groupBy(col("l_returnflag"))
         .agg(
-          count(lit(1)).cast("decimal(38,0)").as("n"),
-          sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
-          sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
-          sum((col("y") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy"))
+          count(lit(1)).as("n"),
+          max(col("y")).as("maxy"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(expr("(x * y) div 65536")).as("sxy_hi"),
+          sum(expr("(x * y) % 65536")).as("sxy_lo"),
+          sum(expr(s"(y * y) div $M")).as("syy_hi"),
+          sum(expr(s"(y * y) % $M")).as("syy_lo"))
+        // recombine the split sums in decimal — 3 rows, not 60M
+        .withColumn("nd", col("n").cast("decimal(38,0)"))
+        .withColumn("sxd", col("sx").cast("decimal(38,0)"))
+        .withColumn("syd", col("sy").cast("decimal(38,0)"))
+        .withColumn("sxxd", col("sxx").cast("decimal(38,0)"))
+        .withColumn("sxyd",
+          (col("sxy_hi").cast("decimal(38,0)") * 65536 + col("sxy_lo")).cast("decimal(38,0)"))
+        .withColumn("syyd",
+          (col("syy_hi").cast("decimal(38,0)") * M + col("syy_lo")).cast("decimal(38,0)"))
         .select(
           col("l_returnflag"),
-          col("n").cast("long").as("n"),
-          expr("(10000 * (n * sxy - sx * sy)) div (n * (n - 1))").as("cov_bp"),
-          expr("(10000 * (n * sxx - sx * sx)) div (n * (n - 1))").as("var_x_bp"),
-          expr("(10000 * (n * syy - sy * sy)) div (n * (n - 1))").as("var_y_bp"))
-        .orderBy("l_returnflag"),
+          // loud headroom guard: every long summand is ≤ per_elem, so the
+          // sums are exact iff n·per_elem fits int64 (double math is a
+          // conservative check, margin 8e18 < 2^63)
+          when(col("n").cast("double") *
+              greatest(col("maxy").cast("double") * col("maxy") / M,
+                lit(M.toDouble), col("maxy").cast("double")) < 8e18, col("n"))
+            .otherwise(expr("raise_error(concat('q_cov_exact: split-long headroom " +
+              "exceeded at n=', cast(n AS STRING), ', max_cents=', cast(maxy AS STRING), " +
+              "' - use the decimal(38,0) accumulation form'))")).as("n"),
+          expr("(10000 * (nd * sxyd - sxd * syd)) div (nd * (nd - 1))").as("cov_bp"),
+          expr("(10000 * (nd * sxxd - sxd * sxd)) div (nd * (nd - 1))").as("var_x_bp"),
+          expr("(10000 * (nd * syyd - syd * syd)) div (nd * (nd - 1))").as("var_y_bp"))
+        .orderBy("l_returnflag")
+    },
     Some("""
       WITH m AS (
         SELECT l_returnflag,
