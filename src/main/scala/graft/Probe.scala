@@ -91,13 +91,36 @@ object Probe {
         .orderBy("user_id").collect()
     }
 
+    // keys-only salted join, attrs attached by SHUFFLE join (no broadcast
+    // build of the 1.5M-row dim on the driver)
+    def skewShuffleAttach(): Unit = {
+      val S = 8
+      val fact = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("value"), col("event_id"))
+        .withColumn("salt", pmod(col("event_id"), lit(S)).cast("int"))
+      val dimKeys = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("user_id"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      val dimAttrs = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+        .hint("shuffle_hash")
+      fact.join(dimKeys, Seq("user_id", "salt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .join(dimAttrs, "user_id")
+        .select(col("user_id"), col("c_name"), col("c_mktsegment"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id").collect()
+    }
+
     val variants: Seq[(String, () => Unit)] = Seq(
       "pdisc_old" -> (() => oldPercentileDisc()),
       "pdisc_new" -> (() => { graft.operators.ScalePatterns.qPercentileDiscDist.fn(spark, sfDir).collect(); () }),
       "cov_old" -> (() => oldCovExact()),
       "cov_new" -> (() => { graft.operators.OrderedStats.qCovExact.fn(spark, sfDir).collect(); () }),
       "skew_old" -> (() => oldSkewJoin()),
-      "skew_new" -> (() => { graft.operators.ScalePatterns.qSkewJoinSalted.fn(spark, sfDir).collect(); () })
+      "skew_new" -> (() => { graft.operators.ScalePatterns.qSkewJoinSalted.fn(spark, sfDir).collect(); () }),
+      "skew_shuf" -> (() => skewShuffleAttach())
     )
     for (round <- 1 to 2; (name, f) <- variants) {
       val t0 = System.nanoTime()

