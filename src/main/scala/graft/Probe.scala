@@ -113,6 +113,29 @@ object Probe {
         .orderBy("user_id").collect()
     }
 
+    // q_market_share with the revenue product/sum in LONG ten-thousandths
+    // (exact: cents × (100 − disc_pct)) instead of boxed decimal(22,4)
+    def marketShareLong(): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"))
+        .select(col("order_year"), col("n_name"),
+          (expr("(rev_c + 50) div 100").cast("double") / 100.0).as("revenue"),
+          col("rev_c").cast("decimal(38,0)").as("rev_cd"))
+      val w = Window.partitionBy(col("order_year"))
+      rev
+        .withColumn("total_c", sum(col("rev_cd")).over(w))
+        .withColumn("share_ppm", expr("(1000000 * rev_cd) div total_c"))
+        .select(col("order_year"), col("n_name"), col("revenue"), col("share_ppm"))
+        .orderBy("order_year", "n_name").collect()
+    }
+
     val variants: Seq[(String, () => Unit)] = Seq(
       "pdisc_old" -> (() => oldPercentileDisc()),
       "pdisc_new" -> (() => { graft.operators.ScalePatterns.qPercentileDiscDist.fn(spark, sfDir).collect(); () }),
@@ -120,7 +143,9 @@ object Probe {
       "cov_new" -> (() => { graft.operators.OrderedStats.qCovExact.fn(spark, sfDir).collect(); () }),
       "skew_old" -> (() => oldSkewJoin()),
       "skew_new" -> (() => { graft.operators.ScalePatterns.qSkewJoinSalted.fn(spark, sfDir).collect(); () }),
-      "skew_shuf" -> (() => skewShuffleAttach())
+      "skew_shuf" -> (() => skewShuffleAttach()),
+      "mkt_old" -> (() => { graft.operators.AnalyticsExt.qMarketShare.fn(spark, sfDir).collect(); () }),
+      "mkt_long" -> (() => marketShareLong())
     )
     for (round <- 1 to 2; (name, f) <- variants) {
       val t0 = System.nanoTime()

@@ -115,21 +115,34 @@ object AnalyticsExt {
       // here after the sf1 sweep caught it): a double revenue sum agrees
       // with the oracle only until the sums grow enough that association-
       // order ulps cross the 2 dp rounding boundary (2.85 % of groups at
-      // sf1). extendedprice and discount are 2 dp quantities, so the
-      // product is EXACT in decimal(·,4); sums, the 2 dp rounding, and
-      // the integer-ppm share all stay in decimal/int space — bit-equal
-      // across engines at ANY scale.
+      // sf1). extendedprice and discount are 2 dp quantities, so
+      // price·(1−disc) is the exact INTEGER cents·(100−disc_pct) in
+      // ten-thousandths — ROUND 17: summed as a plain LONG (primitive
+      // codegen HashAggregate; the r16 decimal(18,2)×decimal(4,2) form
+      // has product precision 23 > 18, i.e. a boxed BigDecimal
+      // multiply+add per join-output row — in-session A/B 32.7 → 10.4 s
+      // at sf10), recombined in decimal on the ≤years×nations output
+      // rows. round(·,2) HALF_UP on a nonnegative scale-4 integer is
+      // (rev_c + 50) div 100. Headroom: elements ≤ ~1.1e9, so sums are
+      // exact below ~8e9 rows/(year, nation) group (~200-TB lineitem);
+      // guarded loudly like q_cov_exact.
       val rev = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(year(col("o_orderdate")).as("order_year"), col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("rev_d"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_l"),
+          count(lit(1)).as("n"),
+          max(round(col("l_extendedprice") * 100).cast("long")).as("maxc"))
         .select(col("order_year"), col("n_name"),
-          round(col("rev_d"), 2).cast("double").as("revenue"),
-          (col("rev_d") * lit(10000)).cast("decimal(38,0)").as("rev_c"))
+          when(col("n").cast("double") * col("maxc").cast("double") * 100.0 < 8e18,
+            (expr("(rev_l + 50) div 100").cast("double") / 100.0))
+            .otherwise(expr("raise_error('q_market_share: long revenue-sum headroom " +
+              "exceeded - use the decimal accumulation form')")).as("revenue"),
+          col("rev_l").cast("decimal(38,0)").as("rev_c"))
       val w = Window.partitionBy(col("order_year"))
       rev
         .withColumn("total_c", sum(col("rev_c")).over(w))
