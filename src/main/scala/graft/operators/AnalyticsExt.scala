@@ -120,12 +120,17 @@ object AnalyticsExt {
       // ten-thousandths — ROUND 17: summed as a plain LONG (primitive
       // codegen HashAggregate; the r16 decimal(18,2)×decimal(4,2) form
       // has product precision 23 > 18, i.e. a boxed BigDecimal
-      // multiply+add per join-output row — in-session A/B 32.7 → 10.4 s
-      // at sf10), recombined in decimal on the ≤years×nations output
-      // rows. round(·,2) HALF_UP on a nonnegative scale-4 integer is
-      // (rev_c + 50) div 100. Headroom: elements ≤ ~1.1e9, so sums are
-      // exact below ~8e9 rows/(year, nation) group (~200-TB lineitem);
-      // guarded loudly like q_cov_exact.
+      // multiply+add per join-output row), recombined in decimal on the
+      // ≤years×nations output rows. Measured honestly: QUERY-NEUTRAL on
+      // a quiet box (~9.7 s either way at sf10 — the lineitem⨝orders
+      // exchange dominates) but 3× less load-sensitive (in-session A/B
+      // under a concurrent sf100 drive: 32.7 s boxed vs 10.4 s long —
+      // BigDecimal churn amplifies under contention); kept for the
+      // robustness and the primitive buffer. round(·,2) HALF_UP on a
+      // nonnegative scale-4 integer is (rev_c + 50) div 100. Headroom:
+      // elements ≤ ~1.1e9, so sums are exact below ~8e9 rows/(year,
+      // nation) group (~200-TB lineitem); guarded loudly like
+      // q_cov_exact.
       val rev = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
