@@ -52,6 +52,15 @@ object EmbGateDrive {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val order = sys.env.getOrElse("SPARK_GRAFT_FEED_ORDER", "local")
     val killAtBatch = sys.env.getOrElse("SPARK_GRAFT_KILL_AT_BATCH", "0").toInt
+    // non-empty -> drive the RETENTION-BOUNDED lane (candidatesBounded)
+    // instead of the unbounded gate: the feed carries a synthetic
+    // event-time column (one second per vector in feed-file order), and
+    // this value is the lane's retention. A retention wider than the
+    // whole drain (e.g. "30 days" vs ~23 days of synthetic time for 2M
+    // vectors) expires nothing — so the run isolates exactly the r16
+    // verdict-#2 concern: the per-(table, bucket) cap must bound a hot
+    // group INSIDE the retention window.
+    val bounded = sys.env.getOrElse("SPARK_GRAFT_BOUNDED_RETENTION", "")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -91,12 +100,21 @@ object EmbGateDrive {
       while (maxId / m > 4096L) m *= 10
       m
     }
+    // bounded mode: a synthetic event time MONOTONE in the feed's intended
+    // order (derived from the layout key, not a global row_number — no
+    // single-partition window at 2M rows). Span ≤ ~4.1e7 s; pass a
+    // retention wider than that to expire nothing.
+    def withTs(df: org.apache.spark.sql.DataFrame, secs: org.apache.spark.sql.Column) =
+      if (bounded.isEmpty) df
+      else df.withColumn("ts", timestamp_seconds(secs))
     def feed = order match {
-      case "tiled" => vecs.repartition(feedFiles)
+      case "tiled" => withTs(vecs, col("vec_id")).repartition(feedFiles)
       case "local" =>
-        vecs
-          .withColumn("base", pmod(col("vec_id"), lit(baseMod)))
-          .withColumn("hist", (col("vec_id") / lit(baseMod)).cast("long"))
+        withTs(
+          vecs
+            .withColumn("base", pmod(col("vec_id"), lit(baseMod)))
+            .withColumn("hist", (col("vec_id") / lit(baseMod)).cast("long")),
+          col("base") * 4096 + col("hist"))
           .repartitionByRange(feedFiles, col("base"), col("hist"))
           .drop("base", "hist")
       case other => sys.error(s"unknown SPARK_GRAFT_FEED_ORDER: $other")
@@ -119,22 +137,30 @@ object EmbGateDrive {
         feed.write.mode("overwrite").parquet(s"$work/vecs_feed")
     }
 
-    val nVecs = spark.read.parquet(s"$work/vecs_feed").count()
+    val feedDf = spark.read.parquet(s"$work/vecs_feed")
+    val feedSchema = feedDf.schema
+    val nVecs = feedDf.count()
     val embPlanes = graft.streaming.StreamEmbDedup.planesForCorpus(nVecs)
     val cap = Conf.int(spark, Conf.EmbGateBucketCapConf, 0)
     System.err.println(s"[embgate] n=$nVecs planes=$embPlanes cap=$cap " +
-      s"order=$order baseMod=$baseMod gateParts=$gateParts work=$work")
+      s"order=$order baseMod=$baseMod gateParts=$gateParts " +
+      s"bounded=${if (bounded.isEmpty) "no" else bounded} work=$work")
 
     def secsSince(t0: Long): Double =
       math.round((System.nanoTime() - t0) / 1e7) / 100.0
 
     def startGate() = {
       spark.conf.set("spark.sql.shuffle.partitions", gateParts)
-      try graft.streaming.StreamEmbDedup.distinctPairs(
-          spark.readStream.schema(vecs.schema)
-            .option("maxFilesPerTrigger", "4")
-            .option("cleanSource", "delete").parquet(s"$work/vecs_feed"),
-          spark.read.parquet(s"$work/normed_store"), nPlanes = embPlanes)
+      def stream = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "4")
+        .option("cleanSource", "delete").parquet(s"$work/vecs_feed")
+      def store = spark.read.parquet(s"$work/normed_store")
+      try (if (bounded.isEmpty)
+          graft.streaming.StreamEmbDedup.distinctPairs(
+            stream, store, nPlanes = embPlanes)
+        else
+          graft.streaming.StreamEmbDedup.distinctPairsBounded(
+            stream, store, bounded, nPlanes = embPlanes))
         .writeStream
         .format("parquet")
         .option("path", s"$work/emb_pairs")
@@ -179,7 +205,7 @@ object EmbGateDrive {
     val nPairs = spark.read.parquet(s"$work/emb_pairs").count()
     val distinctPairs = spark.read.parquet(s"$work/emb_pairs")
       .select("id1", "id2").distinct().count()
-    println(s"""{"metric":"emb_gate_drive","sf_dir":"$sfDir","order":"$order","cap":$cap,"planes":$embPlanes,"n_vecs":$nVecs,"emb_pairs":$nPairs,"emb_pairs_distinct":$distinctPairs,"killed_at":$killAtBatch,"gate_secs":$gateSecs,"batches":[${batchLog.mkString(",")}],"dir":"$work"}""")
+    println(s"""{"metric":"emb_gate_drive","sf_dir":"$sfDir","order":"$order","cap":$cap,"planes":$embPlanes,"n_vecs":$nVecs,"bounded":"$bounded","emb_pairs":$nPairs,"emb_pairs_distinct":$distinctPairs,"killed_at":$killAtBatch,"gate_secs":$gateSecs,"batches":[${batchLog.mkString(",")}],"dir":"$work"}""")
     Seq("normed_store", "vecs_feed", "emb_pairs", "ckpt_embdedup").foreach { p =>
       try {
         import scala.jdk.CollectionConverters._

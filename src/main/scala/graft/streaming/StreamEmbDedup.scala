@@ -397,9 +397,14 @@ object StreamEmbDedup {
     * Same miss condition as the unbounded ring: a pair is missed iff the
     * earlier vector left the SMALLEST signature-shared table's ring
     * before the later one arrived. Default 0 keeps the exact
-    * retention-window contract. */
+    * retention-window contract.
+    *
+    * `nPlanes` (round 17): the same saturation dial as [[candidates]] —
+    * size with [[planesForCorpus]] for the vectors expected INSIDE one
+    * retention window (the 8-bit default saturates above ~100k members,
+    * the r13 wall). */
   def candidatesBounded(vecs: DataFrame,
-      retention: String): Dataset[TimedVecCandidate] = {
+      retention: String, nPlanes: Int = NPlanes): Dataset[TimedVecCandidate] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     // read ONCE at stream build; the closure captures the value
@@ -408,7 +413,7 @@ object StreamEmbDedup {
       .select("vec_id", "embedding", "ts")
       .as[(Long, Array[Float], java.sql.Timestamp)]
       .flatMap { case (id, v, ts) =>
-        val buckets = tableBuckets(v, NPlanes)
+        val buckets = tableBuckets(v, nPlanes)
         buckets.iterator.zipWithIndex
           .map { case (b, t) => (t, b, id, buckets.take(t).toSeq, ts) }
       }
@@ -529,10 +534,11 @@ object StreamEmbDedup {
   /** Retention-bounded confirmed pairs — [[candidatesBounded]] +
     * the stateless corpus confirm join. */
   def distinctPairsBounded(vecs: DataFrame, corpus: DataFrame,
-      retention: String, tau: Double = 0.9): DataFrame = {
+      retention: String, tau: Double = 0.9,
+      nPlanes: Int = NPlanes): DataFrame = {
     val dot = graft.plans.VectorExpressions.floatDot _
     val (h1, h2) = confirmSides(normedCorpus(corpus))
-    candidatesBounded(vecs, retention).toDF()
+    candidatesBounded(vecs, retention, nPlanes).toDF()
       .join(h1, col("id1") === h1("vec_id")).drop("vec_id")
       .join(h2, col("id2") === h2("vec_id")).drop("vec_id")
       .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
