@@ -1085,7 +1085,139 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
+  /** PERCEPTUAL image near-dup (round 17) — the missing rung between
+    * [[mmDedupBinary]] (exact payload bytes) and [[mmChunkDedup]] (exact
+    * byte chunks): an 8×8 AVERAGE-HASH over the GENUINELY DECODED pixel
+    * grid ([[parsePng]]∘[[synthPng]], the real decode path — CRC-verified
+    * chunks, zlib inflate, filter reconstruction), then banded-Hamming
+    * pairing. A re-encoded/padded image with the same content hashes
+    * within a few bits where byte-level dedup sees nothing.
+    *
+    * Hash: rows map to 8 bands (band = r·8 div h — sizes differ by ≤1),
+    * columns to 8 four-wide bands; bit(cell) = 1 iff the cell's mean
+    * exceeds the global mean, compared in EXACT integers
+    * (cellSum·N > totalSum·cellN — products ≤ ~4e12, long-safe). Docs
+    * under 256 B are skipped (h < 8 would leave empty bands; thumbnails
+    * aren't worth perceptual hashing). Emitted as two 32-bit halves so
+    * the DuckDB mirror never shifts into the sign bit.
+    *
+    * Pairing: 4 bands of 16 bits, bucket self-join per band (the LSH
+    * shape — never all-pairs), distinct, exact Hamming confirm ≤ 3 via
+    * codegen bit_count(xor). Pigeonhole makes banded recall EXACT at
+    * this threshold: 3 flipped bits cannot touch all 4 bands, so some
+    * band matches exactly and the pair is a candidate — the Spark pair
+    * set provably equals the oracle's brute-force all-pairs scan. Scale:
+    * the per-band join is bucket-bounded like the dedup LSH lanes;
+    * pathological band skew (e.g. a corpus of near-blank images sharing
+    * a band value) would need the posting-cap treatment those lanes
+    * already document.
+    *
+    * The hash frame feeds three consumers (bands + both confirm sides) —
+    * cached, per the typed-flatMap non-canonicalization invariant. */
+  val mmPhash: QueryDef = QueryDef(
+    "mm_phash",
+    (s, d) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          if (text.length < 256) Iterator.empty
+          else {
+            val p = parsePng(synthPng(text))
+            val h = p.height
+            val n = h.toLong * 32L
+            val cellSum = new Array[Long](64)
+            val cellN = new Array[Long](64)
+            var r = 0
+            while (r < h) {
+              val rb = r * 8 / h
+              var c = 0
+              while (c < 32) {
+                val cell = rb * 8 + c / 4
+                cellSum(cell) += p.pixels(r * 32 + c)
+                cellN(cell) += 1
+                c += 1
+              }
+              r += 1
+            }
+            var tot = 0L
+            var i = 0
+            while (i < 64) { tot += cellSum(i); i += 1 }
+            var hi = 0L
+            var lo = 0L
+            i = 0
+            while (i < 64) {
+              if (cellSum(i) * n > tot * cellN(i)) {
+                if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+              }
+              i += 1
+            }
+            Iterator((id, hi, lo))
+          }
+        }
+        .toDF("doc_id", "h_hi", "h_lo")
+        .cache()
+      val bands = hashes.select(col("doc_id"), posexplode(array(
+        expr("h_lo & 65535"), expr("shiftright(h_lo, 16) & 65535"),
+        expr("h_hi & 65535"), expr("shiftright(h_hi, 16) & 65535")))
+        .as(Seq("band_idx", "band_val")))
+      bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .filter(col("id1") < col("id2"))
+        .dropDuplicates("id1", "id2")
+        .join(hashes.select(col("doc_id").as("id1"),
+          col("h_hi").as("hi1"), col("h_lo").as("lo1")), "id1")
+        .join(hashes.select(col("doc_id").as("id2"),
+          col("h_hi").as("hi2"), col("h_lo").as("lo2")), "id2")
+        .withColumn("hamming",
+          expr("bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .orderBy("id1", "id2")
+    },
+    // the oracle is the INDEPENDENT brute-force all-pairs scan over
+    // hashes recomputed from the synthesis layout rule (padded 32-wide
+    // ascii grid) — banded recall at hamming ≤ 3 is exact by pigeonhole,
+    // so the pair sets must match
+    Some("""
+      WITH g AS (
+        SELECT doc_id, ((length(text) + 31) // 32) AS h,
+               list_transform(string_split(text, ''), c -> ascii(c)) ||
+                 list_transform(generate_series(1,
+                      ((length(text) + 31) // 32) * 32 - length(text)), i -> 0) AS pp
+        FROM documents
+        WHERE length(text) >= 256
+      ), px AS (
+        SELECT doc_id, h,
+               unnest(list_transform(generate_series(1, h * 32), i ->
+                 {'cell': ((((i - 1) // 32) * 8) // h) * 8 + (((i - 1) % 32) // 4),
+                  'v': pp[i]})) AS u
+        FROM g
+      ), cs AS (
+        SELECT doc_id, h, u.cell AS cell, sum(u.v)::BIGINT AS s, count(*)::BIGINT AS cn
+        FROM px GROUP BY 1, 2, 3
+      ), tt AS (
+        SELECT doc_id, sum(s)::BIGINT AS tot, (h * 32)::BIGINT AS n
+        FROM cs GROUP BY doc_id, h
+      ), hs AS (
+        SELECT cs.doc_id,
+               sum(CASE WHEN cell >= 32 AND s * n > tot * cn
+                   THEN (1::BIGINT << (cell - 32)) ELSE 0 END)::BIGINT AS h_hi,
+               sum(CASE WHEN cell < 32 AND s * n > tot * cn
+                   THEN (1::BIGINT << cell) ELSE 0 END)::BIGINT AS h_lo
+        FROM cs JOIN tt USING (doc_id)
+        GROUP BY 1
+      )
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             (bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)))::BIGINT AS hamming
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+      ORDER BY id1, id2
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureExtract, mmFrameSample, mmResize,
     mmDedupBinary, mmModalityMix, mmChunkDedup, mmWavDecode, mmPngDecode,
-    mmWavResample, mmVideoDecode)
+    mmWavResample, mmVideoDecode, mmPhash)
 }

@@ -1032,6 +1032,49 @@ class PipelineSpec extends SparkSpec {
     assert(gotRes == expRes, s"resize mismatch: ${gotRes.diff(expRes).take(2)}")
   }
 
+  test("mm_phash: banded perceptual pairs equal a brute-force scan of independently recomputed hashes") {
+    import graft.operators.Multimodal
+    // hash recomputed from the synthesis LAYOUT RULE (padded 32-wide
+    // ascii grid) — independent of the operator's decode path, so a
+    // decode or cell-arithmetic bug diverges here
+    def hashOf(text: String): (Long, Long) = {
+      val px = text.getBytes("US-ASCII").map(_ & 0xff)
+      val h = (px.length + 31) / 32
+      val pp = px.padTo(h * 32, 0)
+      val cs = new Array[Long](64)
+      val cn = new Array[Long](64)
+      for (r <- 0 until h; c <- 0 until 32) {
+        val cell = (r * 8 / h) * 8 + c / 4
+        cs(cell) += pp(r * 32 + c)
+        cn(cell) += 1
+      }
+      val tot = cs.sum
+      val n = h.toLong * 32
+      var hi = 0L
+      var lo = 0L
+      for (i <- 0 until 64 if cs(i) * n > tot * cn(i))
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+      (hi, lo)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 256)
+    val hashes = docs.map { case (id, t) => (id, hashOf(t)) }
+    // brute-force all-pairs truth at hamming ≤ 3 — the banded join must
+    // match EXACTLY (pigeonhole: 3 flips can't touch all 4 16-bit bands)
+    val want = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes if i < j
+      d = java.lang.Long.bitCount(hi._1 ^ hj._1) +
+        java.lang.Long.bitCount(hi._2 ^ hj._2)
+      if d <= 3
+    } yield (i, j, d.toLong)).toSet
+    val got = Multimodal.mmPhash.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "corpus has no perceptual near-dups — the spec exercised nothing")
+  }
+
   test("mm_wav_decode: the WAV parser is real — round-trips, walks chunks, rejects junk") {
     import graft.operators.Multimodal
     // round trip: synthesized container parses back to its own fields
