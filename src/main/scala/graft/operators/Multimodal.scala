@@ -1114,6 +1114,45 @@ object Multimodal {
     *
     * The hash frame feeds three consumers (bands + both confirm sides) —
     * cached, per the typed-flatMap non-canonicalization invariant. */
+  /** The [[mmPhash]] 8×8 average-hash over the REAL decode path, shared
+    * with the streaming gate ([[graft.streaming.StreamPhashDedup]]) so
+    * batch and stream hash byte-identically. None for payloads under
+    * 256 B (h < 8 would leave empty row bands). */
+  private[graft] def phash64(text: String): Option[(Long, Long)] =
+    if (text.length < 256) None
+    else {
+      val p = parsePng(synthPng(text))
+      val h = p.height
+      val n = h.toLong * 32L
+      val cellSum = new Array[Long](64)
+      val cellN = new Array[Long](64)
+      var r = 0
+      while (r < h) {
+        val rb = r * 8 / h
+        var c = 0
+        while (c < 32) {
+          val cell = rb * 8 + c / 4
+          cellSum(cell) += p.pixels(r * 32 + c)
+          cellN(cell) += 1
+          c += 1
+        }
+        r += 1
+      }
+      var tot = 0L
+      var i = 0
+      while (i < 64) { tot += cellSum(i); i += 1 }
+      var hi = 0L
+      var lo = 0L
+      i = 0
+      while (i < 64) {
+        if (cellSum(i) * n > tot * cellN(i)) {
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        }
+        i += 1
+      }
+      Some((hi, lo))
+    }
+
   val mmPhash: QueryDef = QueryDef(
     "mm_phash",
     (s, d) => {
@@ -1122,39 +1161,7 @@ object Multimodal {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
-          if (text.length < 256) Iterator.empty
-          else {
-            val p = parsePng(synthPng(text))
-            val h = p.height
-            val n = h.toLong * 32L
-            val cellSum = new Array[Long](64)
-            val cellN = new Array[Long](64)
-            var r = 0
-            while (r < h) {
-              val rb = r * 8 / h
-              var c = 0
-              while (c < 32) {
-                val cell = rb * 8 + c / 4
-                cellSum(cell) += p.pixels(r * 32 + c)
-                cellN(cell) += 1
-                c += 1
-              }
-              r += 1
-            }
-            var tot = 0L
-            var i = 0
-            while (i < 64) { tot += cellSum(i); i += 1 }
-            var hi = 0L
-            var lo = 0L
-            i = 0
-            while (i < 64) {
-              if (cellSum(i) * n > tot * cellN(i)) {
-                if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
-              }
-              i += 1
-            }
-            Iterator((id, hi, lo))
-          }
+          phash64(text).map { case (hi, lo) => (id, hi, lo) }
         }
         .toDF("doc_id", "h_hi", "h_lo")
         .cache()

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** STREAMING perceptual IMAGE near-dup gate — the image analog of
+  * [[StreamDedup]] (text MinHash-LSH) and [[StreamEmbDedup]] (embedding
+  * hyperplane-LSH), completing the modality set of ingest-time dedup
+  * valves: payloads arrive on a stream, each is perceptually hashed
+  * through the REAL decode path ([[graft.operators.Multimodal.phash64]]
+  * — PNG CRC-verified chunks, zlib inflate, filter reconstruction, then
+  * the 8×8 integer average-hash, byte-identical to batch `mm_phash`),
+  * and every newcomer is checked against the corpus seen so far through
+  * 4×16-bit band-bucket state, emitting Hamming ≤ 3 pairs exactly once.
+  *
+  * Topology (the round-9/15 lean-state shape shared with the sibling
+  * gates): a typed flatMap hashes each payload and emits its 4
+  * (band_idx, band_val) rows; `flatMapGroupsWithState` keyed on the
+  * band bucket stores packed primitive arrays of (doc_id, band values
+  * BELOW the group's band, hash halves) and elects each bucket-mate
+  * pair once on the smallest shared band. Unlike the text/vector gates,
+  * the exact confirm runs IN-OP: the full content a Hamming confirm
+  * needs is the 16-byte hash already in state — storing it IS the lean
+  * choice (the text gate moved its confirm downstream because shingle
+  * sets are O(tokens); here a downstream join would cost more than the
+  * 16 B it saves). ~(24 + 4·bIdx) B per member, payload-size
+  * independent.
+  *
+  * Recall contract: Hamming ≤ 3 with 4 bands is EXACT by pigeonhole —
+  * 3 flipped bits cannot touch all 4 bands, so every qualifying pair is
+  * bucket-mates in its smallest shared band and is checked there. The
+  * spec proves stream/batch parity: streamed over the test corpus in
+  * arbitrary chunking, [[distinctPairs]] equals batch `mm_phash` rows
+  * exactly, including a pair split across micro-batches.
+  *
+  * Scale: bucket populations are perceptual-cluster populations, not
+  * corpus populations; a pathological hot band value (near-blank image
+  * corpora) would take the `spark.graft.embGateBucketCap` newest-N ring
+  * treatment, whose recall/locality price r17 measured on the sibling
+  * gate — ported on demand, not speculatively. Retention bounding
+  * composes exactly as in [[StreamDedup.candidatesBounded]] when the
+  * duplicate horizon is bounded. */
+object StreamPhashDedup {
+
+  /** A confirmed perceptual near-dup (Hamming ≤ maxHamming), elected
+    * exactly once on the smallest shared band. */
+  final case class PhashHit(id1: Long, id2: Long, hamming: Long, band_idx: Int)
+
+  /** Packed band-member state ([[StreamDedup.PackedBandMembers]] plus
+    * the 16-byte hash the in-op Hamming confirm reads): `ids(j)` is
+    * member j's doc_id, `pre(j*b .. j*b+b-1)` its band values at bands
+    * 0..b-1 (all the smallest-shared-band election reads), `hi(j)`/
+    * `lo(j)` its hash halves. */
+  final case class PackedPhashMembers(ids: Array[Long], pre: Array[Int],
+      hi: Array[Long], lo: Array[Long])
+
+  private def bandsOf(hi: Long, lo: Long): Array[Int] = Array(
+    (lo & 0xFFFFL).toInt, ((lo >>> 16) & 0xFFFFL).toInt,
+    (hi & 0xFFFFL).toInt, ((hi >>> 16) & 0xFFFFL).toInt)
+
+  private def sharesBelow(p: Array[Int], pre: Array[Int], j: Int, b: Int): Boolean = {
+    var i = 0
+    val base = j * b
+    while (i < b) {
+      if (p(i) == pre(base + i)) return true
+      i += 1
+    }
+    false
+  }
+
+  private def sharesBelowBuf(p: Array[Int],
+      pre: scala.collection.mutable.ArrayBuffer[Int], k: Int, b: Int): Boolean = {
+    var i = 0
+    val base = k * b
+    while (i < b) {
+      if (p(i) == pre(base + i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Confirmed Hamming ≤ `maxHamming` pairs from a streaming
+    * (doc_id, text) frame, each pair emitted exactly once (when its
+    * later payload arrives). `maxHamming` above 3 voids the pigeonhole
+    * recall guarantee (4 bands only cover ≤ 3 flips) — kept a parameter
+    * for recall-tolerant deployments, defaulted to the exact point. */
+  def hits(docs: DataFrame, maxHamming: Int = 3): Dataset[PhashHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.operators.Multimodal.phash64(text).iterator.flatMap { case (hi, lo) =>
+          val bands = bandsOf(hi, lo)
+          bands.iterator.zipWithIndex.map { case (bv, bIdx) =>
+            (bIdx, bv, id, bands.take(bIdx), hi, lo)
+          }
+        }
+      }
+      .groupByKey { case (bIdx, bv, _, _, _, _) => (bIdx, bv) }
+      .flatMapGroupsWithState[PackedPhashMembers, PhashHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((bIdx, _), rows, state) =>
+          val st = state.getOption.getOrElse(PackedPhashMembers(
+            Array.emptyLongArray, Array.emptyIntArray,
+            Array.emptyLongArray, Array.emptyLongArray))
+          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val newHi = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val newLo = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhashHit]
+          // doc_id order: deterministic pairing independent of chunking
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, hi, lo) =>
+            if (!st.ids.contains(id) && !newIds.contains(id)) {
+              var j = 0
+              while (j < st.ids.length) {
+                if (!sharesBelow(p, st.pre, j, bIdx)) {
+                  val d = java.lang.Long.bitCount(hi ^ st.hi(j)) +
+                    java.lang.Long.bitCount(lo ^ st.lo(j))
+                  if (d <= maxHamming)
+                    out += PhashHit(math.min(id, st.ids(j)),
+                      math.max(id, st.ids(j)), d.toLong, bIdx)
+                }
+                j += 1
+              }
+              var k = 0
+              while (k < newIds.length) {
+                if (!sharesBelowBuf(p, newPre, k, bIdx)) {
+                  val d = java.lang.Long.bitCount(hi ^ newHi(k)) +
+                    java.lang.Long.bitCount(lo ^ newLo(k))
+                  if (d <= maxHamming)
+                    out += PhashHit(math.min(id, newIds(k)),
+                      math.max(id, newIds(k)), d.toLong, bIdx)
+                }
+                k += 1
+              }
+              newIds += id
+              newPre ++= p
+              newHi += hi
+              newLo += lo
+            }
+          }
+          if (newIds.nonEmpty)
+            state.update(PackedPhashMembers(st.ids ++ newIds,
+              st.pre ++ newPre, st.hi ++ newHi, st.lo ++ newLo))
+          out.iterator
+      }
+  }
+
+  /** One row per confirmed pair — already distinct by the
+    * smallest-shared-band election; the frame to compare against batch
+    * `mm_phash`. */
+  def distinctPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hits(docs, maxHamming).toDF().drop("band_idx")
+}
