@@ -4,13 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch probe main — current contents change per investigation.
-  * Round 17: A/B the three r16-verdict-#5 tail lanes at sf10 — the
-  * SHIPPED r17 shapes vs inline copies of their r16 shapes, alternated
-  * twice in one session so box noise cancels within the run:
-  *  - q_percentile_disc_dist: full bucketedRank vs target-bucket-pruned
-  *  - q_cov_exact: decimal(38,0) moment sums vs split-long pairs
-  *  - q_skew_join_salted: wide-dim salted join vs keys-only + post-agg
-  *    attribute attach. */
+  * Round 17 (cont.): A/B pipeline_pii_scrub's r16 shape (6 java.util
+  * .regex passes as Column expressions: 3 regexp_count + 3 chained
+  * regexp_replace) vs the shipped r17 PiiScan hand-scanner typed map.
+  * Correctness cross-check runs FIRST on sf0.1 (full row compare incl.
+  * md5 digests), then 3 alternated timing rounds at the arg dir. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/data/sf10")
@@ -21,136 +19,55 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.expressions.Window
 
-    // --- r16 q_percentile_disc_dist: rank EVERY row (bucketedRank copy) ---
-    def oldPercentileDisc(): Unit = {
-      val nBuckets = 256
-      val data = Tables.orders(spark, sfDir)
-        .select(col("o_orderpriority").as("key"),
-          round(col("o_totalprice") * 100).cast("long").as("v"),
-          col("o_orderkey").as("id"))
-      val bounds = broadcast(data.groupBy("key")
-        .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("c")))
-      val bucketed = data.join(bounds, "key")
-        .withColumn("bkt",
-          least(lit(nBuckets - 1),
-            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin") + lit(1e-9)) * nBuckets))
-            .cast("int"))
-      val offsets = broadcast(
-        bucketed.groupBy(col("key"), col("bkt")).agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(
-            sum(col("bn")).over(Window.partitionBy(col("key")).orderBy(col("bkt"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("key", "bkt", "off"))
-      val t50 = expr("(c + 1) div 2")
-      val t90 = expr("(9 * c + 9) div 10")
-      bucketed.join(offsets, Seq("key", "bkt"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("key"), col("bkt")).orderBy(col("v"), col("id"))) + col("off"))
-        .filter(col("r") === t50 || col("r") === t90)
-        .groupBy(col("key"), col("c"))
-        .agg(max(when(col("r") === t50, col("v"))).as("p50c"),
-          max(when(col("r") === t90, col("v"))).as("p90c"))
-        .collect()
+    // --- the r16 regex-chain shape, inlined ---
+    def oldPii(dir: String): org.apache.spark.sql.DataFrame = {
+      val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipRe    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phoneRe = """\b\d{3}-\d{4}\b"""
+      val seeded = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" via 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+        pmod(col("doc_id"), lit(100)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@mail.example.org")))
+          .otherwise(lit("")),
+        lit(" tel 555-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"))
+      val clean = regexp_replace(
+        regexp_replace(
+          regexp_replace(seeded, emailRe, "[EMAIL]"),
+          ipRe, "[IP]"),
+        phoneRe, "[PHONE]")
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          regexp_count(seeded, lit(emailRe)).as("n_emails"),
+          regexp_count(seeded, lit(ipRe)).as("n_ips"),
+          regexp_count(seeded, lit(phoneRe)).as("n_phones"),
+          (length(seeded) - length(clean)).cast("long").as("chars_redacted"),
+          md5(clean).as("clean_md5"))
+        .orderBy("doc_id")
     }
 
-    // --- r16 q_cov_exact: decimal(38,0) sums per row ---
-    def oldCovExact(): Unit = {
-      Tables.lineitem(spark, sfDir)
-        .select(col("l_returnflag"),
-          round(col("l_quantity")).cast("long").as("x"),
-          round(col("l_extendedprice") * 100).cast("long").as("y"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).cast("decimal(38,0)").as("n"),
-          sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
-          sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
-          sum((col("y") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy"))
-        .select(col("l_returnflag"), col("n").cast("long").as("n"),
-          expr("(10000 * (n * sxy - sx * sy)) div (n * (n - 1))").as("cov_bp"),
-          expr("(10000 * (n * sxx - sx * sx)) div (n * (n - 1))").as("var_x_bp"),
-          expr("(10000 * (n * syy - sy * sy)) div (n * (n - 1))").as("var_y_bp"))
-        .collect()
+    // --- correctness first: full-corpus row compare on sf0.1 ---
+    val small = "/root/testdata/sf0.1"
+    val a = oldPii(small).collect()
+    val b = graft.operators.Curation.pipelinePiiScrub.fn(spark, small).collect()
+    require(a.length == b.length, s"row count ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) =>
+      require(x == y, s"MISMATCH: regex=$x scanner=$y")
     }
-
-    // --- r16 q_skew_join_salted: wide dim attrs ride the salted join ---
-    def oldSkewJoin(): Unit = {
-      val S = 8
-      val fact = Tables.events(spark, sfDir)
-        .select(col("user_id"), col("value"), col("event_id"))
-        .withColumn("salt", pmod(col("event_id"), lit(S)).cast("int"))
-      val dim = Tables.customer(spark, sfDir)
-        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
-        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-      fact.join(dim, Seq("user_id", "salt"))
-        .groupBy(col("user_id"), col("c_name"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-        .orderBy("user_id").collect()
-    }
-
-    // keys-only salted join, attrs attached by SHUFFLE join (no broadcast
-    // build of the 1.5M-row dim on the driver)
-    def skewShuffleAttach(): Unit = {
-      val S = 8
-      val fact = Tables.events(spark, sfDir)
-        .select(col("user_id"), col("value"), col("event_id"))
-        .withColumn("salt", pmod(col("event_id"), lit(S)).cast("int"))
-      val dimKeys = Tables.customer(spark, sfDir)
-        .select(col("c_custkey").as("user_id"))
-        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-      val dimAttrs = Tables.customer(spark, sfDir)
-        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
-        .hint("shuffle_hash")
-      fact.join(dimKeys, Seq("user_id", "salt"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-        .join(dimAttrs, "user_id")
-        .select(col("user_id"), col("c_name"), col("c_mktsegment"),
-          col("n_events"), col("total_value"))
-        .orderBy("user_id").collect()
-    }
-
-    // q_market_share with the revenue product/sum in LONG ten-thousandths
-    // (exact: cents × (100 − disc_pct)) instead of boxed decimal(22,4)
-    def marketShareLong(): Unit = {
-      import org.apache.spark.sql.expressions.Window
-      val rev = Tables.lineitem(spark, sfDir)
-        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(year(col("o_orderdate")).as("order_year"), col("n_name"))
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"))
-        .select(col("order_year"), col("n_name"),
-          (expr("(rev_c + 50) div 100").cast("double") / 100.0).as("revenue"),
-          col("rev_c").cast("decimal(38,0)").as("rev_cd"))
-      val w = Window.partitionBy(col("order_year"))
-      rev
-        .withColumn("total_c", sum(col("rev_cd")).over(w))
-        .withColumn("share_ppm", expr("(1000000 * rev_cd) div total_c"))
-        .select(col("order_year"), col("n_name"), col("revenue"), col("share_ppm"))
-        .orderBy("order_year", "n_name").collect()
-    }
+    println(s"[probe] correctness: ${a.length} rows identical on sf0.1")
 
     val variants: Seq[(String, () => Unit)] = Seq(
-      "pdisc_old" -> (() => oldPercentileDisc()),
-      "pdisc_new" -> (() => { graft.operators.ScalePatterns.qPercentileDiscDist.fn(spark, sfDir).collect(); () }),
-      "cov_old" -> (() => oldCovExact()),
-      "cov_new" -> (() => { graft.operators.OrderedStats.qCovExact.fn(spark, sfDir).collect(); () }),
-      "skew_old" -> (() => oldSkewJoin()),
-      "skew_new" -> (() => { graft.operators.ScalePatterns.qSkewJoinSalted.fn(spark, sfDir).collect(); () }),
-      "skew_shuf" -> (() => skewShuffleAttach()),
-      "mkt_old" -> (() => { graft.operators.AnalyticsExt.qMarketShare.fn(spark, sfDir).collect(); () }),
-      "mkt_long" -> (() => marketShareLong())
+      "pii_regex"   -> (() => { oldPii(sfDir).collect(); () }),
+      "pii_scanner" -> (() => { graft.operators.Curation.pipelinePiiScrub.fn(spark, sfDir).collect(); () })
     )
-    for (round <- 1 to 2; (name, f) <- variants) {
+    for (round <- 1 to 3; (name, f) <- variants) {
       val t0 = System.nanoTime()
       f()
-      println(f"[probe] round=$round $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[probe] round=$round $name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

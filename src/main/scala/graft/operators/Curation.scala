@@ -544,41 +544,48 @@ object Curation {
     * redaction byte delta, and the cleaned-text digest.
     *
     * Regex parity: all three patterns avoid lookaround/backrefs, so the
-    * Java regex engine (Spark) and RE2 (DuckDB) match identically; the
-    * oracle passes the 'g' flag since DuckDB's regexp_replace is
-    * first-match-only by default while Spark's always replaces all.
+    * [[PiiScan]] hand scanners (Spark side, r17 — ~4x the regex chain),
+    * java.util.regex (the PropertySpec definitional oracle) and RE2
+    * (DuckDB) match identically; the oracle passes the 'g' flag since
+    * DuckDB's regexp_replace is first-match-only by default while the
+    * scanner always replaces all.
     *
-    * Scale shape: a pure narrow map — codegen'd string expressions, zero
-    * exchanges; at 100 TB this pipelines with the quality filter in one
-    * scan. */
+    * Scale shape: a pure narrow map — one typed pass, zero exchanges; at
+    * 100 TB this pipelines with the quality filter in one scan. */
   val pipelinePiiScrub: QueryDef = QueryDef(
     "pipeline_pii_scrub",
     (s, d) => {
-      val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-      val ipRe    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
-      val phoneRe = """\b\d{3}-\d{4}\b"""
-      val seeded = concat(
-        col("text"),
-        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
-        lit(" via 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
-        pmod(col("doc_id"), lit(100)).cast("string"),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@mail.example.org")))
-          .otherwise(lit("")),
-        lit(" tel 555-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"))
-      val clean = regexp_replace(
-        regexp_replace(
-          regexp_replace(seeded, emailRe, "[EMAIL]"),
-          ipRe, "[IP]"),
-        phoneRe, "[PHONE]")
+      // One typed pass per document through the [[PiiScan]] hand
+      // scanners (round 17) instead of SIX java.util.regex passes (3
+      // regexp_count on the seeded text + 3 chained regexp_replace) —
+      // same leftmost-first/greedy semantics, proven against
+      // java.util.regex directly in PropertySpec and re-attested by the
+      // unchanged DuckDB-regex oracle on every sweep. Counts are on the
+      // SEEDED text; replaces chain (emails, then IPs on that result,
+      // then phones). chars_redacted counts CODE POINTS (Spark length()
+      // semantics) so a non-ASCII corpus can't silently diverge.
+      import s.implicits._
       Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          regexp_count(seeded, lit(emailRe)).as("n_emails"),
-          regexp_count(seeded, lit(ipRe)).as("n_ips"),
-          regexp_count(seeded, lit(phoneRe)).as("n_phones"),
-          (length(seeded) - length(clean)).cast("long").as("chars_redacted"),
-          md5(clean).as("clean_md5"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val sb = new java.lang.StringBuilder(text.length + 96)
+            sb.append(text)
+              .append(" contact user").append(id).append("@example.com")
+              .append(" via 10.").append(id % 256).append(".0.").append(id % 100)
+            if (id % 3 == 0)
+              sb.append(" cc admin").append(id).append("@mail.example.org")
+            sb.append(" tel 555-").append(id % 9000 + 1000)
+            val seeded = sb.toString
+            val (nEmails, nIps, nPhones, clean) = PiiScan.scrub(seeded)
+            (id, nEmails, nIps, nPhones,
+              (seeded.codePointCount(0, seeded.length) -
+                clean.codePointCount(0, clean.length)).toLong,
+              PiiScan.md5Hex(clean))
+          }
+        }
+        .toDF("doc_id", "n_emails", "n_ips", "n_phones", "chars_redacted", "clean_md5")
         .orderBy("doc_id")
     },
     Some("""

@@ -44,40 +44,155 @@ object TextAnalysis {
 
   private def stopArray: Column = array(stopwords.map(lit): _*)
 
+  /** Fused single-pass counter scan over the (already lowercased) text —
+    * the kernel behind [[textTokens]]. Returns
+    * (nTokens, nDistinct, nWords, nBpeChunks) with zero per-token
+    * allocation:
+    *  - nTokens   — `split(" ", -1)` semantics: count(' ') + 1, empties
+    *    included.
+    *  - nDistinct — distinct split tokens via an open-addressing table of
+    *    packed (start << 32 | end) ranges into the text (no token Strings
+    *    materialized; equality is a char compare, hash is String.hashCode
+    *    over the range so equal tokens always collide into one slot).
+    *  - nWords    — matches of `[a-z0-9]+` = transitions into word-char
+    *    runs.
+    *  - nBpeChunks — matches of the GPT-2-ish pre-tokenizer alternation
+    *    `" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"` reduced to its leftmost-first
+    *    state machine: a chunk is an optional single space plus a maximal
+    *    run of ONE class (letter / digit / other-non-space); a space NOT
+    *    followed by a run char matches no alternative and is skipped —
+    *    exactly java.util.regex's behavior on this pattern (runs of one
+    *    class can't backtrack into each other, so greedy = maximal run).
+    *
+    * Replaced the two java.util.regex scans + split + HashSet kernel in
+    * round 17: the regex engine's per-char alternation bookkeeping was
+    * 20x this loop at sf10 (44-60 s vs 1.5-2.8 s, identical counters on
+    * the full corpus — PLANS.md r17). Surrogate pairs are counted per
+    * UTF-16 unit, which agrees with the regex on every counter because
+    * adjacent non-class units merge into the same run either way. */
+  private[graft] def scanCounts(text: String): (Int, Int, Int, Int) = {
+    val n = text.length
+    var nTokens = 1
+    var nWords = 0
+    var nBpe = 0
+    var cap = 64
+    var table = new Array[Long](cap)
+    java.util.Arrays.fill(table, -1L)
+    var used = 0
+    def tokenEquals(s1: Int, e1: Int, s2: Int, e2: Int): Boolean = {
+      if (e1 - s1 != e2 - s2) return false
+      var i = s1; var j = s2
+      while (i < e1) {
+        if (text.charAt(i) != text.charAt(j)) return false
+        i += 1; j += 1
+      }
+      true
+    }
+    def grow(): Unit = {
+      val old = table
+      cap <<= 1
+      table = new Array[Long](cap)
+      java.util.Arrays.fill(table, -1L)
+      var i = 0
+      while (i < old.length) {
+        val p = old(i)
+        if (p != -1L) {
+          val s = (p >>> 32).toInt; val e = (p & 0xffffffffL).toInt
+          var h = 1; var k = s
+          while (k < e) { h = h * 31 + text.charAt(k); k += 1 }
+          var slot = h & (cap - 1)
+          while (table(slot) != -1L) slot = (slot + 1) & (cap - 1)
+          table(slot) = p
+        }
+        i += 1
+      }
+    }
+    def addToken(s: Int, e: Int): Unit = {
+      if ((used + 1) * 2 > cap) grow()
+      var h = 1; var k = s
+      while (k < e) { h = h * 31 + text.charAt(k); k += 1 }
+      var slot = h & (cap - 1)
+      var p = table(slot)
+      while (p != -1L) {
+        val s2 = (p >>> 32).toInt; val e2 = (p & 0xffffffffL).toInt
+        if (tokenEquals(s, e, s2, e2)) return
+        slot = (slot + 1) & (cap - 1)
+        p = table(slot)
+      }
+      table(slot) = (s.toLong << 32) | (e.toLong & 0xffffffffL)
+      used += 1
+    }
+    var tokStart = 0
+    var inWord = false
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ') {
+        nTokens += 1
+        addToken(tokStart, i)
+        tokStart = i + 1
+        inWord = false
+      } else {
+        val w = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (w && !inWord) nWords += 1
+        inWord = w
+      }
+      i += 1
+    }
+    addToken(tokStart, n)
+    // class: 0 = [a-z], 1 = [0-9], 2 = other non-space, 3 = space
+    def cls(c: Char): Int =
+      if (c >= 'a' && c <= 'z') 0
+      else if (c >= '0' && c <= '9') 1
+      else if (c == ' ') 3
+      else 2
+    i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ') {
+        if (i + 1 < n && text.charAt(i + 1) != ' ') {
+          val k = cls(text.charAt(i + 1))
+          var j = i + 2
+          while (j < n && cls(text.charAt(j)) == k) j += 1
+          nBpe += 1
+          i = j
+        } else i += 1
+      } else {
+        val k = cls(c)
+        var j = i + 1
+        while (j < n && cls(text.charAt(j)) == k) j += 1
+        nBpe += 1
+        i = j
+      }
+    }
+    (nTokens, used, nWords, nBpe)
+  }
+
   /** Token counting: whitespace tokens, regex word tokens, distinct tokens. */
   val textTokens: QueryDef = QueryDef(
     "text_tokens",
     (s, d) => {
-      // ONE typed pass per document instead of four independent Column
-      // expressions: each regexp_extract_all/array_distinct/size chain
-      // re-lowered the text and materialized its own intermediate array
-      // (~2 s at sf0.1 — the text_quality lesson). The SAME java.util.regex
-      // patterns run here (Spark's regexp_* are java.util.regex underneath,
-      // and both patterns behave identically under RE2's leftmost-first
-      // matching, which the green DuckDB oracle already attests), compiled
-      // once per partition; counting matches allocates nothing.
-      // n_bpe_chunks counts BPE-ish pre-tokenizer chunks (GPT-2-style:
-      // space-prefixed letter runs, digit runs, punctuation runs) — the
-      // unit LLM token counts are estimated from.
+      // ONE typed pass per document computing all four counters in a
+      // fused char scan ([[scanCounts]]) — the round-17 replacement for
+      // the regex kernel this lane shipped with (two java.util.regex
+      // scans + split + HashSet), which was the #1 covered sf10 lane at
+      // 29 s; the fused scan is ~20x (PLANS.md r17) with counters proven
+      // identical on the full corpus and property-checked against the
+      // regex definition in PropertySpec. The DuckDB oracle still runs
+      // the regexes, so the scanner's equivalence is re-attested by
+      // every sweep. n_bpe_chunks counts BPE-ish pre-tokenizer chunks
+      // (GPT-2-style: space-prefixed letter runs, digit runs,
+      // punctuation runs) — the unit LLM token counts are estimated
+      // from.
       import s.implicits._
       docs(s, d)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
-          val wordPat = java.util.regex.Pattern.compile("[a-z0-9]+")
-          val bpePat = java.util.regex.Pattern.compile(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+")
-          def countMatches(m: java.util.regex.Matcher): Int = {
-            var n = 0
-            while (m.find()) n += 1
-            n
-          }
           it.map { case (id, raw) =>
             val text = raw.toLowerCase(java.util.Locale.ROOT)
-            val toks = text.split(" ", -1)
-            val seen = new java.util.HashSet[String](toks.length * 2)
-            toks.foreach(seen.add)
-            (id, toks.length, seen.size,
-              countMatches(wordPat.matcher(text)), countMatches(bpePat.matcher(text)))
+            val (t, dc, w, b) = scanCounts(text)
+            (id, t, dc, w, b)
           }
         }
         .toDF("doc_id", "n_tokens", "n_distinct", "n_words", "n_bpe_chunks")

@@ -229,6 +229,81 @@ class PropertySpec extends SparkSpec {
     assert(count("a b  c") == 4L)
   }
 
+  test("scanCounts: fused scanner equals the regex/split definition on " +
+    "adversarial and generated strings") {
+    // the regex kernel text_tokens shipped with through r16 — kept here
+    // as the definitional oracle for the r17 fused scanner
+    val wordPat = java.util.regex.Pattern.compile("[a-z0-9]+")
+    val bpePat = java.util.regex.Pattern.compile(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+")
+    def viaRegex(text: String): (Int, Int, Int, Int) = {
+      def countMatches(m: java.util.regex.Matcher): Int = {
+        var n = 0
+        while (m.find()) n += 1
+        n
+      }
+      val toks = text.split(" ", -1)
+      val seen = new java.util.HashSet[String](toks.length * 2)
+      toks.foreach(seen.add)
+      (toks.length, seen.size,
+        countMatches(wordPat.matcher(text)), countMatches(bpePat.matcher(text)))
+    }
+    val fixed = Seq("", " ", "  ", "a", "a b", "a  b", " a", "a ", "  a  ",
+      "a.b,c", "ab12cd", "12 34", "...", ". . .", "a1.b2", "héllo wörld",
+      "a\tb", "\n\n", "mixed 42 bags!! of. tokens tokens 42",
+      "😀 emoji 😀😀 runs")
+    fixed.foreach { t =>
+      val lc = t.toLowerCase(java.util.Locale.ROOT)
+      assert(graft.operators.TextAnalysis.scanCounts(lc) == viaRegex(lc), s"on ${lc.take(40)}")
+    }
+    val gen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 2 -> Gen.numChar,
+      1 -> Gen.oneOf('.', ',', '!', '-', 'é', '中'),
+      1 -> Gen.const(' '))).map(_.mkString)
+    assertProp(Prop.forAll(gen) { t =>
+      val lc = t.toLowerCase(java.util.Locale.ROOT)
+      graft.operators.TextAnalysis.scanCounts(lc) == viaRegex(lc)
+    }, n = 200)
+  }
+
+  test("PiiScan: hand scanners equal the java.util.regex chain on " +
+    "adversarial and generated strings") {
+    import graft.operators.PiiScan
+    val eP = java.util.regex.Pattern.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val ipP = java.util.regex.Pattern.compile("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    val phP = java.util.regex.Pattern.compile("\\b\\d{3}-\\d{4}\\b")
+    def count(p: java.util.regex.Pattern, s: String): Int = {
+      val m = p.matcher(s); var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    def viaRegex(seeded: String): (Int, Int, Int, String) = {
+      val e1 = eP.matcher(seeded).replaceAll("[EMAIL]")
+      val e2 = ipP.matcher(e1).replaceAll("[IP]")
+      val e3 = phP.matcher(e2).replaceAll("[PHONE]")
+      (count(eP, seeded), count(ipP, seeded), count(phP, seeded), e3)
+    }
+    val fixed = Seq(
+      "", "@", "a@b", "a@b.co", "a@b.c", "a@.com", "a@@b.com", "a@b@c.com",
+      "x@y.comab@z.org", "a@b.co-m", "a@b.cd.e-fg", "a@1.2.3.4.com",
+      "user10@example.com via 10.5.0.5 tel 555-1234",
+      "1234.5.6.7", "1.2.3.4", "1.2.3.4a", "a1.2.3.4", "1.2.3.45678",
+      "12.34.56.789", "12.34.56.7890", "1.2.3.4.5", "...", "5555-1234",
+      "555-12345", "x555-1234", "555-1234x", "_555-1234", "555_1234",
+      " 555-1234 10.0.0.1 a.b@c.de ", "a+b_c%d.e-f@g-h.i.jk",
+      "me@sub.do-main.org more", "tel:555-0000.", "ip 010.001.002.003!")
+    fixed.foreach { s =>
+      assert(PiiScan.scrub(s) == viaRegex(s), s"on <$s>")
+    }
+    val frag = Gen.oneOf(
+      "user@example.com", "10.1.2.3", "555-1234", "1234.5.6.7", "a@b",
+      "a@b.cd", "@", ".", "-", "_", "%", "+", " ", "9", "99", "999",
+      "ab", "A", "x@y.co-m", "a@1.2.3.4.com", "9999-99999", "..", "@@")
+    val gen = Gen.listOf(frag).map(_.mkString)
+    assertProp(Prop.forAll(gen) { s =>
+      PiiScan.scrub(s) == viaRegex(s)
+    }, n = 300)
+  }
+
   test("utf8ByteOrder: lawful total order; agrees with String order on ASCII; " +
     "orders supplementary chars by UTF-8 bytes where UTF-16 disagrees") {
     import java.nio.charset.StandardCharsets.UTF_8
