@@ -1056,9 +1056,17 @@ object Similarity {
         .select(col("vec_id"), (-col("best").getField("ncl")).cast("int").as("cluster"),
           col("embedding"), col("nrm"))
       val capW = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
-      val capped = assigned
-        .withColumn("brn", row_number().over(capW))
-        .filter(col("brn") <= blockCap)
+      // boundedCache: the pairwise self-join below consumes this frame
+      // on BOTH sides and Spark re-evaluates the whole scan →
+      // assignment → window subtree per consumer (no exchange-reuse
+      // across the join sides here) — measured 21-25 s vs ~3 s at sf10
+      // (PLANS.md r17). The cache is scale-safe BY CONSTRUCTION:
+      // ≤ clusters × blockCap rows survive the filter, the exact bound
+      // that makes the quadratic stage tractable in the first place.
+      val capped = graft.Registry.boundedCache(s, "dedupSemantic.capped",
+        assigned
+          .withColumn("brn", row_number().over(capW))
+          .filter(col("brn") <= blockCap))
       val a = capped.select(col("cluster"), col("vec_id").as("id1"),
         col("embedding").as("v1"), col("nrm").as("n1"))
       val b = capped.select(col("cluster"), col("vec_id").as("id2"),
@@ -1574,6 +1582,12 @@ object Similarity {
     * vectors for the exact 6-dp rerank. Both legs union into one
     * per-src top-3 window. */
   private[graft] def knnGraphFor(s: SparkSession, base: DataFrame, cap: Int): DataFrame = {
+    // NOT boundedCache'd (r17 null result): caching `base` here — the
+    // embTop3.base precedent — measured 20 → 115 s at sf10 because the
+    // InMemoryRelation hides runtime stats from AQE across the big leg's
+    // join chain; the re-evaluated scans it saves are cheaper than the
+    // join plans it breaks. dedupSemantic.capped caches a ≤ clusters×cap
+    // frame instead, which carries no such risk.
     val small = base.filter(col("label_n") <= cap)
     val a = small.select(col("label"), col("vec_id").as("src"),
       col("embedding").as("av"), col("nrm").as("an"))
