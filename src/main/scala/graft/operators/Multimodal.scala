@@ -1224,7 +1224,131 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
+  // ------------------------------------- perceptual audio fingerprint ----
+
+  /** PERCEPTUAL audio fingerprint over the REAL decode path — the audio
+    * analog of [[phash64]], shared with the streaming gate so batch and
+    * stream hash byte-identically: [[parseWav]]∘[[synthWav]] decodes the
+    * PCM16 stream, the samples split into 64 equal-width frames
+    * (width = ⌈n/64⌉, zero-padded tail — the time-domain counterpart of
+    * the image's padded grid), and bit(k) = 1 iff frame k's ENERGY
+    * (Σ s², exact integers) exceeds the global per-frame average
+    * (e·64 > total — the Haitsma-Kalker-style energy-envelope sign bit,
+    * simplified to the average-hash comparison the image rung uses).
+    * s² ≤ 2³⁰, so frame sums stay long-safe past 2³⁰ samples. None for
+    * payloads under 64 samples (empty frames dominate). Emitted as two
+    * 32-bit halves so the DuckDB mirror never shifts into the sign
+    * bit. */
+  private[graft] def audioFp64(text: String): Option[(Long, Long)] =
+    if (text.length < 64) None
+    else {
+      val w = parseWav(synthWav(text))
+      val smp = w.samples
+      val n = smp.length
+      val fw = (n + 63) / 64
+      val e = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val v = smp(i).toLong
+        e(i / fw) += v * v
+        i += 1
+      }
+      var tot = 0L
+      i = 0
+      while (i < 64) { tot += e(i); i += 1 }
+      var hi = 0L
+      var lo = 0L
+      i = 0
+      while (i < 64) {
+        if (e(i) * 64 > tot) {
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        }
+        i += 1
+      }
+      Some((hi, lo))
+    }
+
+  /** PERCEPTUAL audio near-dup pairs — completes the audio dedup rung
+    * the way [[mmPhash]] completed the image one (exact bytes →
+    * exact chunks → PERCEPTUAL): re-encoded or padded audio with the
+    * same energy envelope hashes within a few bits where byte-level
+    * dedup sees nothing. Same pairing plan as mm_phash: 4×16-bit banded
+    * bucket self-join (LSH shape, never all-pairs) + exact Hamming ≤ 3
+    * confirm via codegen bit_count(xor); pigeonhole makes banded recall
+    * EXACT at this threshold, so the oracle is the INDEPENDENT
+    * brute-force all-pairs scan over hashes recomputed from the
+    * synthesis rule and the sets must match. The hash frame feeds three
+    * consumers (bands + both confirm sides) — cached, per the
+    * typed-flatMap non-canonicalization invariant. */
+  val mmAudioPhash: QueryDef = QueryDef(
+    "mm_audio_phash",
+    (s, d) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          audioFp64(text).map { case (hi, lo) => (id, hi, lo) }
+        }
+        .toDF("doc_id", "h_hi", "h_lo")
+        .cache()
+      val bands = hashes.select(col("doc_id"), posexplode(array(
+        expr("h_lo & 65535"), expr("shiftright(h_lo, 16) & 65535"),
+        expr("h_hi & 65535"), expr("shiftright(h_hi, 16) & 65535")))
+        .as(Seq("band_idx", "band_val")))
+      bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .filter(col("id1") < col("id2"))
+        .dropDuplicates("id1", "id2")
+        .join(hashes.select(col("doc_id").as("id1"),
+          col("h_hi").as("hi1"), col("h_lo").as("lo1")), "id1")
+        .join(hashes.select(col("doc_id").as("id2"),
+          col("h_hi").as("hi2"), col("h_lo").as("lo2")), "id2")
+        .withColumn("hamming",
+          expr("bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .orderBy("id1", "id2")
+    },
+    // independent brute-force all-pairs oracle over hashes recomputed
+    // from the synthesis rule (samples = (ascii − 128)·256, 64 frames of
+    // width ⌈n/64⌉) — banded recall at hamming ≤ 3 is exact by
+    // pigeonhole, so the pair sets must match
+    Some("""
+      WITH g AS (
+        SELECT doc_id, length(text) AS n,
+               ((length(text) + 63) // 64) AS fw,
+               list_transform(string_split(text, ''), c -> (ascii(c) - 128) * 256) AS smp
+        FROM documents
+        WHERE length(text) >= 64
+      ), px AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, n), i ->
+                 {'frame': (i - 1) // fw, 'v': smp[i]::BIGINT * smp[i]})) AS u
+        FROM g
+      ), fe AS (
+        SELECT doc_id, u.frame AS frame, sum(u.v)::BIGINT AS e
+        FROM px GROUP BY 1, 2
+      ), tt AS (
+        SELECT doc_id, sum(e)::BIGINT AS tot FROM fe GROUP BY 1
+      ), hs AS (
+        SELECT fe.doc_id,
+               sum(CASE WHEN frame >= 32 AND e * 64 > tot
+                   THEN (1::BIGINT << (frame - 32)) ELSE 0 END)::BIGINT AS h_hi,
+               sum(CASE WHEN frame < 32 AND e * 64 > tot
+                   THEN (1::BIGINT << frame) ELSE 0 END)::BIGINT AS h_lo
+        FROM fe JOIN tt USING (doc_id)
+        GROUP BY 1
+      )
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             (bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)))::BIGINT AS hamming
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+      ORDER BY id1, id2
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureExtract, mmFrameSample, mmResize,
     mmDedupBinary, mmModalityMix, mmChunkDedup, mmWavDecode, mmPngDecode,
-    mmWavResample, mmVideoDecode, mmPhash)
+    mmWavResample, mmVideoDecode, mmPhash, mmAudioPhash)
 }

@@ -84,14 +84,26 @@ object StreamPhashDedup {
     * later payload arrives). `maxHamming` above 3 voids the pigeonhole
     * recall guarantee (4 bands only cover ≤ 3 flips) — kept a parameter
     * for recall-tolerant deployments, defaulted to the exact point. */
-  def hits(docs: DataFrame, maxHamming: Int = 3): Dataset[PhashHit] = {
+  def hits(docs: DataFrame, maxHamming: Int = 3): Dataset[PhashHit] =
+    hitsWith(docs, graft.operators.Multimodal.phash64, maxHamming)
+
+  /** The AUDIO lane: same gate over [[graft.operators.Multimodal
+    * .audioFp64]] (the energy-envelope fingerprint through the real WAV
+    * decode path) — batch parity target is `mm_audio_phash`. */
+  def audioHits(docs: DataFrame, maxHamming: Int = 3): Dataset[PhashHit] =
+    hitsWith(docs, graft.operators.Multimodal.audioFp64, maxHamming)
+
+  /** Shared gate machinery: any 64-bit perceptual hash rides the same
+    * 4×16-bit band-bucket state and smallest-shared-band election. */
+  private def hitsWith(docs: DataFrame, hashFn: String => Option[(Long, Long)],
+      maxHamming: Int): Dataset[PhashHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .select("doc_id", "text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        graft.operators.Multimodal.phash64(text).iterator.flatMap { case (hi, lo) =>
+        hashFn(text).iterator.flatMap { case (hi, lo) =>
           val bands = bandsOf(hi, lo)
           bands.iterator.zipWithIndex.map { case (bv, bIdx) =>
             (bIdx, bv, id, bands.take(bIdx), hi, lo)
@@ -153,4 +165,9 @@ object StreamPhashDedup {
     * `mm_phash`. */
   def distinctPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     hits(docs, maxHamming).toDF().drop("band_idx")
+
+  /** Audio-lane twin of [[distinctPairs]] — compares against batch
+    * `mm_audio_phash`. */
+  def distinctAudioPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    audioHits(docs, maxHamming).toDF().drop("band_idx")
 }

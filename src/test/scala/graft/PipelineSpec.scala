@@ -1075,6 +1075,42 @@ class PipelineSpec extends SparkSpec {
     assert(want.nonEmpty, "corpus has no perceptual near-dups — the spec exercised nothing")
   }
 
+  test("mm_audio_phash: banded perceptual pairs equal a brute-force scan of independently recomputed fingerprints") {
+    import graft.operators.Multimodal
+    // fingerprint recomputed from the synthesis RULE (samples =
+    // (ascii − 128)·256, 64 frames of width ⌈n/64⌉) — independent of the
+    // operator's decode path, so a parse or frame-arithmetic bug
+    // diverges here
+    def fpOf(text: String): (Long, Long) = {
+      val smp = text.getBytes("US-ASCII").map(b => ((b & 0xff) - 128) * 256)
+      val n = smp.length
+      val fw = (n + 63) / 64
+      val e = new Array[Long](64)
+      for (i <- 0 until n) e(i / fw) += smp(i).toLong * smp(i)
+      val tot = e.sum
+      var hi = 0L
+      var lo = 0L
+      for (i <- 0 until 64 if e(i) * 64 > tot)
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+      (hi, lo)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 64)
+    val hashes = docs.map { case (id, t) => (id, fpOf(t)) }
+    val want = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes if i < j
+      d = java.lang.Long.bitCount(hi._1 ^ hj._1) +
+        java.lang.Long.bitCount(hi._2 ^ hj._2)
+      if d <= 3
+    } yield (i, j, d.toLong)).toSet
+    val got = Multimodal.mmAudioPhash.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "corpus has no perceptual audio near-dups — the spec exercised nothing")
+  }
+
   test("mm_wav_decode: the WAV parser is real — round-trips, walks chunks, rejects junk") {
     import graft.operators.Multimodal
     // round trip: synthesized container parses back to its own fields
