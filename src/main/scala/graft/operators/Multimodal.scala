@@ -1348,7 +1348,126 @@ object Multimodal {
     """.stripMargin.trim)
   )
 
+  // ------------------------------------ perceptual video near-dup ----
+
+  /** Per-frame 64-bit average-hash over the REAL video decode path —
+    * one hash per genuinely decoded 8×8 frame ([[parseAvi]]∘
+    * [[synthAvi]]: RIFF walk, verified idx1, per-frame pixel grids):
+    * bit(i) = 1 iff pixel i exceeds the frame mean (px·64 > frameSum,
+    * exact integers — px ≤ 255, sums ≤ 2¹⁴). Degenerate frames (all
+    * pixels equal — including the zero-padded tail frame) hash to
+    * (0, 0) and are dropped so no universal bucket forms. Returns the
+    * DISTINCT frame-hash set. */
+  private[graft] def videoFrameHashes(text: String): Array[(Long, Long)] = {
+    if (text.length < 64) return Array.empty
+    val v = parseAvi(synthAvi(text))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    var f = 0
+    while (f < v.frames.length) {
+      val px = v.frames(f)
+      var sum = 0L
+      var i = 0
+      while (i < 64) { sum += px(i); i += 1 }
+      var hi = 0L
+      var lo = 0L
+      i = 0
+      while (i < 64) {
+        if (px(i) * 64L > sum) {
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        }
+        i += 1
+      }
+      if (hi != 0L || lo != 0L) seen += ((hi, lo))
+      f += 1
+    }
+    seen.toArray
+  }
+
+  /** PERCEPTUAL video near-dup — the third decoded modality's rung
+    * (image [[mmPhash]], audio [[mmAudioPhash]], video HERE), and the
+    * standard shot-level shape: fingerprint every decoded frame, index
+    * pairs through an inverted frame-hash join (LSH shape — docs meet
+    * only inside shared-hash buckets, never all-pairs), and keep pairs
+    * where the shared distinct-hash count covers at least HALF the
+    * shorter video's distinct hashes (a containment coefficient in
+    * frames — a clip re-encoded, re-muxed or embedded in a longer reel
+    * shares most of its frame hashes where byte/chunk dedup sees
+    * nothing) with an absolute floor of 2 shared hashes against
+    * single-frame coincidences. Exact arithmetic end-to-end, so the
+    * oracle recomputes the same pairs from the synthesis rule. */
+  val mmVideoPhash: QueryDef = QueryDef(
+    "mm_video_phash",
+    (s, d) => {
+      import s.implicits._
+      val nd = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          videoFrameHashes(text).iterator.map { case (hi, lo) => (id, hi, lo) }
+        }
+        .toDF("doc_id", "f_hi", "f_lo")
+        .cache()
+      val cnt = nd.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+      nd.as("a").join(nd.as("b"), Seq("f_hi", "f_lo"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(cnt.select(col("doc_id").as("id1"), col("nh").as("nh1")), "id1")
+        .join(cnt.select(col("doc_id").as("id2"), col("nh").as("nh2")), "id2")
+        .filter(col("n_shared") >= 2 &&
+          col("n_shared") * 2 >= least(col("nh1"), col("nh2")))
+        .select(col("id1"), col("id2"), col("n_shared"),
+          expr("(100 * n_shared) div least(nh1, nh2)").as("containment_pct"))
+        .orderBy("id1", "id2")
+    },
+    // independent recomputation from the synthesis rule (8×8 frames of
+    // ascii pixels, zero-padded tail): per-frame average-hash, distinct
+    // non-degenerate hashes, inverted-index join, same containment rule
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> ascii(c)) AS px,
+               length(text) AS len
+        FROM documents
+        WHERE length(text) >= 64
+      ), f AS (
+        SELECT doc_id, ((len + 63) // 64) AS nf,
+               px || list_transform(generate_series(1, ((len + 63) // 64) * 64 - len), i -> 0) AS pp
+        FROM s
+      ), fr AS (
+        SELECT doc_id, u.f AS f,
+               list_transform(generate_series(1, 64), i -> pp[u.f * 64 + i]) AS fpx
+        FROM f, unnest(generate_series(0, nf - 1)) AS u(f)
+      ), fh AS (
+        SELECT doc_id, f,
+               list_sum(list_transform(generate_series(1, 32), i ->
+                 CASE WHEN fpx[i + 32] * 64 > list_sum(fpx)
+                 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS f_hi,
+               list_sum(list_transform(generate_series(1, 32), i ->
+                 CASE WHEN fpx[i] * 64 > list_sum(fpx)
+                 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS f_lo
+        FROM fr
+      ), nd AS (
+        SELECT DISTINCT doc_id, f_hi, f_lo FROM fh WHERE f_hi != 0 OR f_lo != 0
+      ), cnt AS (
+        SELECT doc_id, count(*) AS nh FROM nd GROUP BY 1
+      ), shared AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        FROM nd a JOIN nd b ON a.f_hi = b.f_hi AND a.f_lo = b.f_lo AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id1, id2, n_shared::BIGINT AS n_shared,
+             ((100 * n_shared) // least(c1.nh, c2.nh))::BIGINT AS containment_pct
+      FROM shared s
+      JOIN cnt c1 ON s.id1 = c1.doc_id
+      JOIN cnt c2 ON s.id2 = c2.doc_id
+      WHERE n_shared >= 2 AND 2 * n_shared >= least(c1.nh, c2.nh)
+      ORDER BY id1, id2
+    """.stripMargin.trim)
+  )
+
   val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmFeatureExtract, mmFrameSample, mmResize,
     mmDedupBinary, mmModalityMix, mmChunkDedup, mmWavDecode, mmPngDecode,
-    mmWavResample, mmVideoDecode, mmPhash, mmAudioPhash)
+    mmWavResample, mmVideoDecode, mmPhash, mmAudioPhash, mmVideoPhash)
 }

@@ -1111,6 +1111,41 @@ class PipelineSpec extends SparkSpec {
     assert(want.nonEmpty, "corpus has no perceptual audio near-dups — the spec exercised nothing")
   }
 
+  test("mm_video_phash: inverted frame-hash pairs equal a brute-force scan of independently recomputed frame-hash sets") {
+    import graft.operators.Multimodal
+    // frame hashes recomputed from the synthesis RULE (64-px frames of
+    // ascii pixels, zero-padded tail) — independent of parseAvi
+    def hashesOf(text: String): Set[(Long, Long)] = {
+      val px = text.getBytes("US-ASCII").map(_ & 0xff)
+      val nf = (px.length + 63) / 64
+      val pp = px.padTo(nf * 64, 0)
+      (0 until nf).flatMap { f =>
+        val fpx = pp.slice(f * 64, f * 64 + 64)
+        val sum = fpx.map(_.toLong).sum
+        var hi = 0L
+        var lo = 0L
+        for (i <- 0 until 64 if fpx(i) * 64L > sum)
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        if (hi != 0L || lo != 0L) Some((hi, lo)) else None
+      }.toSet
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 64)
+    val sets = docs.map { case (id, t) => (id, hashesOf(t)) }
+    val want = (for {
+      (i, hi) <- sets; (j, hj) <- sets if i < j
+      shared = (hi intersect hj).size
+      if shared >= 2 && 2 * shared >= math.min(hi.size, hj.size)
+    } yield (i, j, shared.toLong,
+      (100L * shared) / math.min(hi.size, hj.size))).toSet
+    val got = Multimodal.mmVideoPhash.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "corpus has no perceptual video near-dups — the spec exercised nothing")
+  }
+
   test("mm_wav_decode: the WAV parser is real — round-trips, walks chunks, rejects junk") {
     import graft.operators.Multimodal
     // round trip: synthesized container parses back to its own fields
