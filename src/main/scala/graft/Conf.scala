@@ -109,6 +109,27 @@ object Conf {
     * matter how many queries arrive. */
   val AnnQueryBatchConf = "spark.graft.annQueryBatch"
 
+  /** df window cap on the perceptual-hash BAND buckets (mm_phash /
+    * mm_audio_phash candidate join, r17): band values shared by more
+    * than this many docs are stop-bands — excluded from candidate
+    * generation, so the banded join is Σ min(df, cap)·df-bounded instead
+    * of Σ df². Below the cap the pigeonhole guarantee is intact; above
+    * it a Hamming ≤ 3 pair is missed only if EVERY band it shares is
+    * over-window (measured at sf10: cap=1024 loses 5,895 of 13,854,526
+    * image pairs — recall 0.9996). Oracle-gated SFs sit entirely under
+    * the default (max band df ≈ 330 at sf0.1), so sweeps stay exact. */
+  val PhashBandMaxDfConf = "spark.graft.phashBandMaxDf"
+
+  /** df window cap on the video frame-hash buckets (mm_video_phash
+    * candidate join, r17): frame hashes shared by more than this many
+    * videos are stop-frames (blank/common content) — excluded from
+    * candidate generation; the n_shared confirm recomputes EXACTLY from
+    * the full per-doc sorted hash sets, so windowing affects only which
+    * pairs are FOUND, never their reported counts. A qualifying pair is
+    * missed only if every hash it shares is over-window. Oracle-gated
+    * SFs sit under the default (max df 13 at sf0.01). */
+  val VideoMaxDfConf = "spark.graft.videoMaxDf"
+
   def long(s: SparkSession, key: String, default: Long): Long =
     s.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
 

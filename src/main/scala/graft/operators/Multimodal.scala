@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -1153,36 +1154,59 @@ object Multimodal {
       Some((hi, lo))
     }
 
+  /** The shared banded-Hamming pairing engine of [[mmPhash]] and
+    * [[mmAudioPhash]], df-window-parameterized for the specs (r17): a
+    * band value shared by more than `maxDf` docs is a STOP-BAND — family
+    * structure in the corpus makes band buckets duplication-sized
+    * (Σ df² = 410M candidate rows at sf10 for the image hash), and a
+    * stop-band's candidates are overwhelmingly Hamming-failures. The
+    * window bounds the self-join at Σ min(df, cap)·df; the Hamming
+    * confirm is unchanged (exact, from the full 64-bit hashes), so a
+    * pair is missed only if EVERY band it shares is over-window —
+    * measured at sf10: the default 1024 loses 5,895 of 13,854,526 image
+    * pairs (recall 0.9996). All oracle-gated SFs sit entirely under the
+    * default (max band df ≈ 330 at sf0.1), so the pigeonhole guarantee
+    * — and the brute-force-oracle hash match — is intact there. */
+  private[graft] def bandedHammingPairs(s: SparkSession, d: String,
+      hashFn: String => Option[(Long, Long)], maxDf: Int): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        hashFn(text).map { case (hi, lo) => (id, hi, lo) }
+      }
+      .toDF("doc_id", "h_hi", "h_lo")
+      .cache()
+    val bands = hashes.select(col("doc_id"), posexplode(array(
+      expr("h_lo & 65535"), expr("shiftright(h_lo, 16) & 65535"),
+      expr("h_hi & 65535"), expr("shiftright(h_hi, 16) & 65535")))
+      .as(Seq("band_idx", "band_val")))
+    val windowed = bands.join(
+      bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, maxDf))
+        .select("band_idx", "band_val"),
+      Seq("band_idx", "band_val"))
+    windowed.as("a").join(windowed.as("b"), Seq("band_idx", "band_val"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .join(hashes.select(col("doc_id").as("id1"),
+        col("h_hi").as("hi1"), col("h_lo").as("lo1")), "id1")
+      .join(hashes.select(col("doc_id").as("id2"),
+        col("h_hi").as("hi2"), col("h_lo").as("lo2")), "id2")
+      .withColumn("hamming",
+        expr("bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy("id1", "id2")
+  }
+
   val mmPhash: QueryDef = QueryDef(
     "mm_phash",
-    (s, d) => {
-      import s.implicits._
-      val hashes = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          phash64(text).map { case (hi, lo) => (id, hi, lo) }
-        }
-        .toDF("doc_id", "h_hi", "h_lo")
-        .cache()
-      val bands = hashes.select(col("doc_id"), posexplode(array(
-        expr("h_lo & 65535"), expr("shiftright(h_lo, 16) & 65535"),
-        expr("h_hi & 65535"), expr("shiftright(h_hi, 16) & 65535")))
-        .as(Seq("band_idx", "band_val")))
-      bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .filter(col("id1") < col("id2"))
-        .dropDuplicates("id1", "id2")
-        .join(hashes.select(col("doc_id").as("id1"),
-          col("h_hi").as("hi1"), col("h_lo").as("lo1")), "id1")
-        .join(hashes.select(col("doc_id").as("id2"),
-          col("h_hi").as("hi2"), col("h_lo").as("lo2")), "id2")
-        .withColumn("hamming",
-          expr("bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2)").cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("id1"), col("id2"), col("hamming"))
-        .orderBy("id1", "id2")
-    },
+    (s, d) => bandedHammingPairs(s, d, phash64,
+      graft.Conf.int(s, graft.Conf.PhashBandMaxDfConf, 1024)),
     // the oracle is the INDEPENDENT brute-force all-pairs scan over
     // hashes recomputed from the synthesis layout rule (padded 32-wide
     // ascii grid) — banded recall at hamming ≤ 3 is exact by pigeonhole,
@@ -1282,34 +1306,8 @@ object Multimodal {
     * typed-flatMap non-canonicalization invariant. */
   val mmAudioPhash: QueryDef = QueryDef(
     "mm_audio_phash",
-    (s, d) => {
-      import s.implicits._
-      val hashes = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          audioFp64(text).map { case (hi, lo) => (id, hi, lo) }
-        }
-        .toDF("doc_id", "h_hi", "h_lo")
-        .cache()
-      val bands = hashes.select(col("doc_id"), posexplode(array(
-        expr("h_lo & 65535"), expr("shiftright(h_lo, 16) & 65535"),
-        expr("h_hi & 65535"), expr("shiftright(h_hi, 16) & 65535")))
-        .as(Seq("band_idx", "band_val")))
-      bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .filter(col("id1") < col("id2"))
-        .dropDuplicates("id1", "id2")
-        .join(hashes.select(col("doc_id").as("id1"),
-          col("h_hi").as("hi1"), col("h_lo").as("lo1")), "id1")
-        .join(hashes.select(col("doc_id").as("id2"),
-          col("h_hi").as("hi2"), col("h_lo").as("lo2")), "id2")
-        .withColumn("hamming",
-          expr("bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2)").cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("id1"), col("id2"), col("hamming"))
-        .orderBy("id1", "id2")
-    },
+    (s, d) => bandedHammingPairs(s, d, audioFp64,
+      graft.Conf.int(s, graft.Conf.PhashBandMaxDfConf, 1024)),
     // independent brute-force all-pairs oracle over hashes recomputed
     // from the synthesis rule (samples = (ascii − 128)·256, 64 frames of
     // width ⌈n/64⌉) — banded recall at hamming ≤ 3 is exact by
@@ -1358,10 +1356,10 @@ object Multimodal {
     * pixels equal — including the zero-padded tail frame) hash to
     * (0, 0) and are dropped so no universal bucket forms. Returns the
     * DISTINCT frame-hash set. */
-  private[graft] def videoFrameHashes(text: String): Array[(Long, Long)] = {
-    if (text.length < 64) return Array.empty
+  private[graft] def videoFrameHashes(text: String): Array[Long] = {
+    if (text.length < 64) return Array.emptyLongArray
     val v = parseAvi(synthAvi(text))
-    val seen = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
     var f = 0
     while (f < v.frames.length) {
       val px = v.frames(f)
@@ -1377,10 +1375,15 @@ object Multimodal {
         }
         i += 1
       }
-      if (hi != 0L || lo != 0L) seen += ((hi, lo))
+      // pack the two 32-bit halves into one sortable long (hi in the
+      // upper word): exact — both halves are < 2³²; the signed sort
+      // order only has to be CONSISTENT, both intersect sides use it
+      if (hi != 0L || lo != 0L) seen += (hi << 32) | lo
       f += 1
     }
-    seen.toArray
+    val out = seen.toArray
+    java.util.Arrays.sort(out)
+    out
   }
 
   /** PERCEPTUAL video near-dup — the third decoded modality's rung
@@ -1395,32 +1398,55 @@ object Multimodal {
     * nothing) with an absolute floor of 2 shared hashes against
     * single-frame coincidences. Exact arithmetic end-to-end, so the
     * oracle recomputes the same pairs from the synthesis rule. */
+  /** [[mmVideoPhash]]'s engine, df-window-parameterized for the spec
+    * (r17): candidates come from an inverted frame-hash join restricted
+    * to hashes with df ∈ [2, maxDf] — a frame shared by more than maxDf
+    * videos is a STOP-FRAME (blank/common content; the 22 over-2048
+    * buckets at sf10 carried 72% of the 1.73e9 candidate rows) — and
+    * `n_shared` is recomputed EXACTLY from the full per-doc sorted hash
+    * sets ([[graft.plans.VectorExpressions.sortedIntersectCount]], one
+    * codegen merge pass over ≤ frame-count longs), so windowing affects
+    * only which pairs are FOUND, never their reported counts. A
+    * qualifying pair is missed only if every hash it shares is
+    * over-window. */
+  private[graft] def videoPhashPairs(s: SparkSession, d: String, maxDf: Int): DataFrame = {
+    import s.implicits._
+    val docsHs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = videoFrameHashes(text)
+        if (hs.isEmpty) None else Some((id, hs, hs.length))
+      }
+      .toDF("doc_id", "hs", "nh")
+      .cache()
+    val posts = docsHs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val winPosts = posts.join(
+      posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, maxDf))
+        .select("h"),
+      Seq("h"))
+    winPosts.as("a").join(winPosts.as("b"), Seq("h"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .join(docsHs.select(col("doc_id").as("id1"), col("hs").as("hs1"),
+        col("nh").as("nh1")), "id1")
+      .join(docsHs.select(col("doc_id").as("id2"), col("hs").as("hs2"),
+        col("nh").as("nh2")), "id2")
+      .withColumn("n_shared",
+        graft.plans.VectorExpressions.sortedIntersectCount(col("hs1"), col("hs2")))
+      .filter(col("n_shared") >= 2 &&
+        col("n_shared") * 2 >= least(col("nh1"), col("nh2")))
+      .select(col("id1"), col("id2"), col("n_shared"),
+        expr("(100 * n_shared) div least(nh1, nh2)").as("containment_pct"))
+      .orderBy("id1", "id2")
+  }
+
   val mmVideoPhash: QueryDef = QueryDef(
     "mm_video_phash",
-    (s, d) => {
-      import s.implicits._
-      val nd = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          videoFrameHashes(text).iterator.map { case (hi, lo) => (id, hi, lo) }
-        }
-        .toDF("doc_id", "f_hi", "f_lo")
-        .cache()
-      val cnt = nd.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
-      nd.as("a").join(nd.as("b"), Seq("f_hi", "f_lo"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2"))
-        .agg(count(lit(1)).as("n_shared"))
-        .join(cnt.select(col("doc_id").as("id1"), col("nh").as("nh1")), "id1")
-        .join(cnt.select(col("doc_id").as("id2"), col("nh").as("nh2")), "id2")
-        .filter(col("n_shared") >= 2 &&
-          col("n_shared") * 2 >= least(col("nh1"), col("nh2")))
-        .select(col("id1"), col("id2"), col("n_shared"),
-          expr("(100 * n_shared) div least(nh1, nh2)").as("containment_pct"))
-        .orderBy("id1", "id2")
-    },
+    (s, d) => videoPhashPairs(s, d,
+      graft.Conf.int(s, graft.Conf.VideoMaxDfConf, 2048)),
     // independent recomputation from the synthesis rule (8×8 frames of
     // ascii pixels, zero-padded tail): per-frame average-hash, distinct
     // non-degenerate hashes, inverted-index join, same containment rule

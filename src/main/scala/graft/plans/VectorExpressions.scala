@@ -776,6 +776,68 @@ case class SortedContainment(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd |a ∩ b| over two SORTED array<long> sets (one merge pass,
+  * the [[SortedContainment]] walk returning the raw COUNT) — the exact
+  * confirm of the perceptual video lane: candidates come from a
+  * df-windowed inverted frame-hash join, so the shared-hash count must
+  * be recomputed from the FULL per-doc hash sets, not from join-row
+  * counting (r17). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongVec(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongVec(left.dataType) && isLongVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect_count expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var both = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { both += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    both
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val both = ctx.freshName("both")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $both = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $both++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $both;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Product-quantization ENCODER (Jégou et al., "Product Quantization for
   * Nearest Neighbor Search", TPAMI 2011): the L2-normalized input vector is
   * split into `M = books.length` contiguous subvectors and each subvector
@@ -1269,6 +1331,10 @@ object VectorExpressions {
     * array<long> sets. */
   def sortedContainment(a: Column, b: Column): Column =
     Bridge.column(SortedContainment(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-API entry point: |∩| of two sorted array<long> sets. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column-API entry point: top-N nearest (normalized) centroids by
     * cosine — array<struct<cell, cos>>, cosine desc, low index on ties.

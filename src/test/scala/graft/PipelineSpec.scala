@@ -1146,6 +1146,132 @@ class PipelineSpec extends SparkSpec {
     assert(want.nonEmpty, "corpus has no perceptual video near-dups — the spec exercised nothing")
   }
 
+  // Crafted stop-frame corpus for the df-window specs: a 6-doc family of
+  // IDENTICAL videos (every shared hash reaches family df), a rare
+  // identical pair, and a mixed pair sharing one family (hot) chunk plus
+  // three chunks of their own — the case that proves the exact confirm:
+  // the pair must be FOUND via its in-window hashes and its n_shared
+  // must still COUNT the over-window one.
+  private def phashWindowCorpus(tmp: String): Unit = {
+    def chunk(k: Int): String =
+      (0 until 64).map(i => ('a' + (i * (k + 3) + k) % 26).toChar).mkString
+    val fam = chunk(1) + chunk(2) + chunk(3) + chunk(4)
+    val rare = chunk(5) + chunk(6) + chunk(7) + chunk(8)
+    val mixed = chunk(9) + chunk(1) + chunk(10) + chunk(11)
+    val rows = (1L to 6L).map(i => (i, fam)) ++
+      Seq((7L, rare), (8L, rare), (9L, mixed), (10L, mixed))
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+  }
+
+  test("mm_video_phash df window: windowed candidates match the rule-side prediction; n_shared stays exact") {
+    import graft.operators.Multimodal
+    val tmp = java.nio.file.Files.createTempDirectory("vid_window").toString
+    phashWindowCorpus(tmp)
+    def hashesOf(text: String): Set[Long] = {
+      val px = text.getBytes("US-ASCII").map(_ & 0xff)
+      val nf = (px.length + 63) / 64
+      val pp = px.padTo(nf * 64, 0)
+      (0 until nf).flatMap { f =>
+        val fpx = pp.slice(f * 64, f * 64 + 64)
+        val sum = fpx.map(_.toLong).sum
+        var hi = 0L
+        var lo = 0L
+        for (i <- 0 until 64 if fpx(i) * 64L > sum)
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        if (hi != 0L || lo != 0L) Some((hi << 32) | lo) else None
+      }.toSet
+    }
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sets = docs.map { case (id, t) => (id, hashesOf(t)) }
+    val df = sets.toSeq.flatMap(_._2).groupBy(identity).map { case (h, v) => (h, v.size) }
+    val maxDf = 4 // family hashes sit at df 6 (7 for the mixed-shared one)
+    def truthAt(window: Option[Int]): Set[(Long, Long, Long, Long)] = (for {
+      (i, hi) <- sets; (j, hj) <- sets if i < j
+      inter = hi intersect hj
+      shared = inter.size
+      if shared >= 2 && 2 * shared >= math.min(hi.size, hj.size)
+      if window.forall(w => inter.exists(h => df(h) >= 2 && df(h) <= w))
+    } yield (i, j, shared.toLong,
+      (100L * shared) / math.min(hi.size, hj.size))).toSet
+    val full = truthAt(None)
+    val expect = truthAt(Some(maxDf))
+    assert(expect.nonEmpty, "window kept nothing — corpus reshaped?")
+    assert(expect.size < full.size,
+      s"window at $maxDf dropped nothing — corpus reshaped?")
+    // the mixed pair must be in: found via its 3 rare chunks, n_shared=4
+    // counting the over-window family chunk (the exact-confirm claim)
+    assert(expect.contains((9L, 10L, 4L, 100L)),
+      s"mixed pair miscounted — got ${expect.filter(p => p._1 == 9L)}")
+    val got = Multimodal.videoPhashPairs(spark, tmp, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    val gotFull = Multimodal.videoPhashPairs(spark, tmp, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotFull == full, "unwindowed engine must equal the brute-force truth")
+  }
+
+  test("mm_phash df window: a stop-band window drops only pairs with every shared band over-window") {
+    import graft.operators.Multimodal
+    val tmp = java.nio.file.Files.createTempDirectory("img_window").toString
+    phashWindowCorpus(tmp)
+    def hashOf(text: String): (Long, Long) = {
+      val px = text.getBytes("US-ASCII").map(_ & 0xff)
+      val h = (px.length + 31) / 32
+      val pp = px.padTo(h * 32, 0)
+      val cs = new Array[Long](64)
+      val cn = new Array[Long](64)
+      for (r <- 0 until h; c <- 0 until 32) {
+        val cell = (r * 8 / h) * 8 + c / 4
+        cs(cell) += pp(r * 32 + c)
+        cn(cell) += 1
+      }
+      val tot = cs.sum
+      val n = h.toLong * 32
+      var hi = 0L
+      var lo = 0L
+      for (i <- 0 until 64 if cs(i) * n > tot * cn(i))
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+      (hi, lo)
+    }
+    def bandsOf(hl: (Long, Long)): Set[(Int, Long)] = Set(
+      (0, hl._2 & 0xffffL), (1, (hl._2 >>> 16) & 0xffffL),
+      (2, hl._1 & 0xffffL), (3, (hl._1 >>> 16) & 0xffffL))
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 256)
+    val hashes = docs.map { case (id, t) => (id, hashOf(t)) }
+    val df = hashes.toSeq.flatMap(h => bandsOf(h._2)).groupBy(identity)
+      .map { case (b, v) => (b, v.size) }
+    val maxDf = 4
+    def truthAt(window: Option[Int]): Set[(Long, Long, Long)] = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes if i < j
+      d = java.lang.Long.bitCount(hi._1 ^ hj._1) +
+        java.lang.Long.bitCount(hi._2 ^ hj._2)
+      if d <= 3
+      sharedBands = bandsOf(hi) intersect bandsOf(hj)
+      if window.forall(w => sharedBands.exists(b => df(b) >= 2 && df(b) <= w))
+    } yield (i, j, d.toLong)).toSet
+    val full = truthAt(None)
+    val expect = truthAt(Some(maxDf))
+    assert(expect.nonEmpty, "window kept nothing — corpus reshaped?")
+    assert(expect.size < full.size,
+      s"window at $maxDf dropped nothing — corpus reshaped?")
+    val got = Multimodal.bandedHammingPairs(spark, tmp,
+        graft.operators.Multimodal.phash64, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(full == Multimodal.bandedHammingPairs(spark, tmp,
+        graft.operators.Multimodal.phash64, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "unwindowed engine must equal the brute-force truth")
+  }
+
   test("mm_wav_decode: the WAV parser is real — round-trips, walks chunks, rejects junk") {
     import graft.operators.Multimodal
     // round trip: synthesized container parses back to its own fields
