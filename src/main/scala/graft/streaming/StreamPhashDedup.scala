@@ -170,4 +170,118 @@ object StreamPhashDedup {
     * `mm_audio_phash`. */
   def distinctAudioPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     audioHits(docs, maxHamming).toDF().drop("band_idx")
+
+  /** A confirmed streaming video near-dup: shared distinct frame hashes
+    * cover ≥ half the shorter video's hashes (floor 2) — batch parity
+    * target is `mm_video_phash` (unwindowed). */
+  final case class VideoHit(id1: Long, id2: Long, n_shared: Long,
+      containment_pct: Long)
+
+  /** Per-frame-hash bucket state for the VIDEO lane: member doc_ids plus
+    * their FULL sorted hash sets, flattened ([[offs]](j) is the end
+    * offset of member j's hashes in [[hsFlat]]). Sets are ≤ frame-count
+    * longs, so storing them IS the lean choice — the containment confirm
+    * needs the whole set, and it is payload-size independent
+    * (~8+4+8·frames B per member). */
+  final case class PackedVideoMembers(ids: Array[Long], offs: Array[Int],
+      hsFlat: Array[Long])
+
+  /** Smallest shared packed hash of two SORTED sets, or None — the
+    * election key of the video lane (emit a pair only in the bucket of
+    * its smallest shared hash → exactly one emission). */
+  private def minShared(a: Array[Long], bFlat: Array[Long], bFrom: Int,
+      bTo: Int): Option[Long] = {
+    var i = 0
+    var j = bFrom
+    while (i < a.length && j < bTo) {
+      if (a(i) == bFlat(j)) return Some(a(i))
+      else if (a(i) < bFlat(j)) i += 1
+      else j += 1
+    }
+    None
+  }
+
+  private def intersectCount(a: Array[Long], bFlat: Array[Long], bFrom: Int,
+      bTo: Int): Int = {
+    var i = 0
+    var j = bFrom
+    var n = 0
+    while (i < a.length && j < bTo) {
+      if (a(i) == bFlat(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < bFlat(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** STREAMING video near-dup gate — the fifth ingest-gate modality
+    * (text / embedding / image / audio / VIDEO): payloads decode through
+    * the real AVI path ([[graft.operators.Multimodal.videoFrameHashes]],
+    * byte-identical to batch `mm_video_phash`), every newcomer meets the
+    * corpus so far inside its frame-hash buckets, and the containment
+    * confirm runs IN-OP on the full hash sets both sides already carry —
+    * n_shared is EXACT (no df window in the stream; a hot bucket takes
+    * the `embGateBucketCap` ring treatment on demand, as the sibling
+    * gates document). A pair is elected exactly once: only the bucket of
+    * the pair's SMALLEST shared hash emits it (both hash sets are known
+    * at confirm time, so the smallest shared hash is computable
+    * wherever the pair meets). */
+  def videoHits(docs: DataFrame): Dataset[VideoHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = graft.operators.Multimodal.videoFrameHashes(text)
+        hs.iterator.map(h => (h, id, hs))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackedVideoMembers, VideoHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (h, rows, state) =>
+          val st = state.getOption.getOrElse(PackedVideoMembers(
+            Array.emptyLongArray, Array.emptyIntArray, Array.emptyLongArray))
+          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val newSets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          val out = scala.collection.mutable.ArrayBuffer.empty[VideoHit]
+          def confirm(id: Long, hs: Array[Long], mid: Long,
+              mFlat: Array[Long], mFrom: Int, mTo: Int): Unit = {
+            val shared = intersectCount(hs, mFlat, mFrom, mTo)
+            val mn = math.min(hs.length, mTo - mFrom)
+            if (shared >= 2 && 2 * shared >= mn &&
+                minShared(hs, mFlat, mFrom, mTo).contains(h))
+              out += VideoHit(math.min(id, mid), math.max(id, mid),
+                shared.toLong, (100L * shared) / mn)
+          }
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, hs) =>
+            if (!st.ids.contains(id) && !newIds.contains(id)) {
+              var j = 0
+              while (j < st.ids.length) {
+                val from = if (j == 0) 0 else st.offs(j - 1)
+                confirm(id, hs, st.ids(j), st.hsFlat, from, st.offs(j))
+                j += 1
+              }
+              var k = 0
+              while (k < newIds.length) {
+                confirm(id, hs, newIds(k), newSets(k), 0, newSets(k).length)
+                k += 1
+              }
+              newIds += id
+              newSets += hs
+            }
+          }
+          if (newIds.nonEmpty) {
+            val flat = st.hsFlat ++ newSets.flatten
+            var off = if (st.offs.isEmpty) 0 else st.offs.last
+            val offs = st.offs ++ newSets.map { s => off += s.length; off }
+            state.update(PackedVideoMembers(st.ids ++ newIds.toArray, offs, flat))
+          }
+          out.iterator
+      }
+  }
+
+  /** One row per confirmed video pair — the frame to compare against
+    * batch `mm_video_phash` (unwindowed). */
+  def distinctVideoPairs(docs: DataFrame): DataFrame = videoHits(docs).toDF()
 }

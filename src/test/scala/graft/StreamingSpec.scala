@@ -1523,6 +1523,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPhashDedup.videoHits: streamed video pairs equal batch mm_video_phash across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamPhashDedup.distinctVideoPairs(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("streamvideofp")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("streamvideofp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // unwindowed batch: the stream holds full per-bucket state, so its
+      // parity target is the exact pair set
+      val want = graft.operators.Multimodal.videoPhashPairs(spark, sfDir, Int.MaxValue)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(want.nonEmpty, "corpus has no video near-dups — spec is vacuous")
+      assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      val cut = docs(docs.length / 2)._1
+      assert(want.exists(p => p._1 < cut && p._2 >= cut),
+        "no pair straddles the batch split — reshape the split")
+      val n = spark.table("streamvideofp").count()
+      assert(n == got.size, s"duplicate elections: $n rows for ${got.size} pairs")
+    } finally q.stop()
+  }
+
   test("StreamDedup: a MATERIALIZED shingled archive (hsh column) serves the confirm — same hits, no corpus re-shingle in the plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
