@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch probe main — current contents change per investigation.
-  * Round 17 (cont.): emb_knn_graph variance — filtered cold runs at
-  * sf10 swing 70-343 s vs the committed warm-bench 20.15 s. Run the
-  * lane 3x in one JVM to split cold-start from steady-state. */
+  * Round 17 (cont.): sf10 recall of the perceptual df windows for the
+  * audio and video lanes (image was measured rule-side in DuckDB:
+  * 0.9996 at the default 1024). Windowed output is a strict subset
+  * with exactly-reported counts, so recall = windowed count / full
+  * count. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/data/sf10")
@@ -18,11 +20,29 @@ object Probe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (rnd <- 1 to 3) {
+
+    def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      graft.operators.Similarity.embKnnGraph.fn(spark, sfDir).collect()
-      println(f"[probe] run=$rnd emb_knn_graph ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.catalog.clearCache()
+      val n = f
+      println(f"[probe] $name%-22s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    time("video_windowed_2048") {
+      graft.operators.Multimodal.videoPhashPairs(spark, sfDir, 2048).count()
+    }
+    spark.catalog.clearCache()
+    time("video_full") {
+      graft.operators.Multimodal.videoPhashPairs(spark, sfDir, Int.MaxValue).count()
+    }
+    spark.catalog.clearCache()
+    time("audio_windowed_1024") {
+      graft.operators.Multimodal.bandedHammingPairs(spark, sfDir,
+        graft.operators.Multimodal.audioFp64, 1024).count()
+    }
+    spark.catalog.clearCache()
+    time("audio_full") {
+      graft.operators.Multimodal.bandedHammingPairs(spark, sfDir,
+        graft.operators.Multimodal.audioFp64, Int.MaxValue).count()
     }
     spark.stop()
   }

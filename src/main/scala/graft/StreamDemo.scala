@@ -284,6 +284,44 @@ object StreamDemo {
     dropDir(s"$work/normed_store", "normed_store")
     dropDir(s"$work/vecs_feed", "vecs_feed")
     dropDir(s"$work/ckpt_embdedup", "ckpt_embdedup")
+    // perceptual gates (round 17): the image and video lanes of
+    // StreamPhashDedup over their own bounded feeds, each checked
+    // pair-for-pair against its batch twin (mm_phash / unwindowed
+    // mm_video_phash) — the same drain shape as the sibling gates
+    docsTbl.repartition(feedFiles).write.mode("overwrite").parquet(s"$work/phash_feed")
+    val phashQ = withGateParts {
+      graft.streaming.StreamPhashDedup.distinctPairs(
+          spark.readStream.schema(docsTbl.schema)
+            .option("maxFilesPerTrigger", filesPerTrigger)
+            .option("cleanSource", "delete").parquet(s"$work/phash_feed"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/phash_pairs")
+        .option("checkpointLocation", s"$work/ckpt_phash")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    phashQ.awaitTermination()
+    dropDir(s"$work/phash_feed", "phash_feed")
+    dropDir(s"$work/ckpt_phash", "ckpt_phash")
+    docsTbl.repartition(feedFiles).write.mode("overwrite").parquet(s"$work/video_feed")
+    val videoQ = withGateParts {
+      graft.streaming.StreamPhashDedup.distinctVideoPairs(
+          spark.readStream.schema(docsTbl.schema)
+            .option("maxFilesPerTrigger", filesPerTrigger)
+            .option("cleanSource", "delete").parquet(s"$work/video_feed"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/video_pairs")
+        .option("checkpointLocation", s"$work/ckpt_video")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    videoQ.awaitTermination()
+    dropDir(s"$work/video_feed", "video_feed")
+    dropDir(s"$work/ckpt_video", "ckpt_video")
     val gatesSecs = secsSince(tGates)
     val dedupState = stateStats(dedupQ)
     val embState = stateStats(embQ)
@@ -327,9 +365,19 @@ object StreamDemo {
     val batchHits = graft.operators.Similarity.annIndexSearch.fn(spark, sfDir)
       .collect().map(hitKey).toSet
     val annParity = servedHits == batchHits
+    val phashPairs = spark.read.parquet(s"$work/phash_pairs")
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val phashBatch = graft.operators.Multimodal.mmPhash.fn(spark, sfDir)
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val phashParity = phashPairs == phashBatch
+    val videoPairs = spark.read.parquet(s"$work/video_pairs")
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val videoBatch = graft.operators.Multimodal.videoPhashPairs(spark, sfDir, Int.MaxValue)
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val videoParity = videoPairs == videoBatch
     val evPerSec = if (drainSecs > 0) math.round(nArchive / drainSecs) else 0L
     println(
-      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"emb_planes":$embPlanes,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"render_secs":$renderSecs,"drain_secs":$drainSecs,"events_per_sec":$evPerSec,"gates_secs":$gatesSecs,"ann_secs":$annSecs,"replica_state_rows":${replicaState._1},"replica_state_mb":${replicaState._2 / 1048576},"dedup_state_rows":${dedupState._1},"dedup_state_mb":${dedupState._2 / 1048576},"emb_state_rows":${embState._1},"emb_state_mb":${embState._2 / 1048576},"dir":"$work"}""")
+      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"emb_planes":$embPlanes,"phash_pairs":${phashPairs.size},"phash_batch_parity":$phashParity,"video_pairs":${videoPairs.size},"video_batch_parity":$videoParity,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"render_secs":$renderSecs,"drain_secs":$drainSecs,"events_per_sec":$evPerSec,"gates_secs":$gatesSecs,"ann_secs":$annSecs,"replica_state_rows":${replicaState._1},"replica_state_mb":${replicaState._2 / 1048576},"dedup_state_rows":${dedupState._1},"dedup_state_mb":${dedupState._2 / 1048576},"emb_state_rows":${embState._1},"emb_state_mb":${embState._2 / 1048576},"dir":"$work"}""")
     spark.stop()
   }
 }
