@@ -133,7 +133,9 @@ object AnalyticsExt {
       // q_cov_exact.
       val rev = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        // customer scales with SF — no broadcast hint (AQE broadcasts it at
+        // runtime while it fits; above the ceiling it must shuffle).
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(year(col("o_orderdate")).as("order_year"), col("n_name"))
@@ -394,16 +396,21 @@ object AnalyticsExt {
 
   /** Statistical outlier filter: events whose value is >= 2 rounded
     * standard deviations from their user's mean — the data-quality
-    * filtering shape (both sides compare the same rounded z). */
+    * filtering shape (both sides compare the same rounded z).
+    *
+    * Per-user mu/sigma/n ride whole-partition window frames over ONE
+    * user_id exchange — no self-join and no broadcast of a per-user
+    * stats frame (which scales with the user population and would
+    * hard-fail the 8 GB broadcast ceiling on a billion-user corpus). */
   val qZscoreOutliers: QueryDef = QueryDef(
     "q_zscore_outliers",
     (s, d) => {
-      val stats = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"), count(lit(1)).as("n"))
-        .filter(col("n") >= 3 && col("sigma") > 0)
+      val w = Window.partitionBy(col("user_id"))
       Tables.events(s, d)
-        .join(broadcast(stats), "user_id")
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sigma", stddev_samp(col("value")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") >= 3 && col("sigma") > 0)
         .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 3))
         .filter(abs(col("z")) >= 2.0)
         .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"), col("z"))

@@ -820,7 +820,9 @@ object Cdc {
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           round(col("value") * 100).cast("long").as("cents"))
         .join(broadcast(frontier))
-        .join(broadcast(erased), Seq("user_id"), "left")
+        // the erasure registry scales with the user population (a 5% slice
+        // here) — no broadcast hint; AQE decides at runtime.
+        .join(erased, Seq("user_id"), "left")
         .filter(col("er").isNotNull || col("us") < col("f") - horizonUs)
         .groupBy(col("user_id"))
         .agg(

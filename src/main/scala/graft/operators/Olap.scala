@@ -69,8 +69,10 @@ object Olap {
       val l = li(s, d)
         .filter(col("l_shipdate") > lit("1998-03-15"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
+      // cust is a filtered slice of a SF-scaling table — no broadcast hint;
+      // AQE broadcasts it at runtime while it fits, shuffles above the cap.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .select(
@@ -114,8 +116,9 @@ object Olap {
       li(s, d)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        // supp/cust scale with SF — hint only the nation⨝region dim frame.
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))

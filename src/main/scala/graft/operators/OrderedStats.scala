@@ -438,7 +438,8 @@ object OrderedStats {
 
   /** The order-cadence gap stream shared by [[qOrderCadence]] and
     * [[ScalePatterns.qOrderCadenceDist]]: per-customer consecutive-order
-    * day gaps, labelled with the (broadcast) customer market segment.
+    * day gaps, labelled with the customer market segment (AQE-joined —
+    * customer scales with SF, so the hint is the planner's call).
     * Columns (key = c_mktsegment, v = gap_days, id = o_orderkey) — the
     * bucketedRank input contract; id is unique (one gap per non-first
     * order row). The lag runs over the o_custkey exchange —
@@ -454,8 +455,9 @@ object OrderedStats {
       .filter(col("prev").isNotNull)
       .select(col("o_custkey"), col("o_orderkey"),
         datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
+    // customer scales with SF — no broadcast hint (AQE decides at runtime).
     val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-    gaps.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+    gaps.join(seg, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("key"), col("gap_days").as("v"),
         col("o_orderkey").as("id"))
   }
@@ -483,8 +485,8 @@ object OrderedStats {
     (s, d) => {
       if (Guards.maxGroupRows(s, d, "orders_mktsegment") {
         Tables.orders(s, d).select(col("o_custkey"))
-          .join(broadcast(
-            Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+          .join(
+            Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
           .agg(max(col("n"))).first().getLong(0)

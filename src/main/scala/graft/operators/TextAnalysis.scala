@@ -594,7 +594,8 @@ object TextAnalysis {
   )
 
   /** TF-IDF feature extraction: top-3 tokens per document by
-    * tf * ln(N/df). The doc-frequency table is broadcast (vocabulary-sized);
+    * tf * ln(N/df). The doc-frequency table is vocabulary-sized (unbounded
+    * under Heaps' law), so its join is AQE's call — broadcast while small;
     * term frequencies come off the token stream with one shuffle. */
   val textTfidf: QueryDef = QueryDef(
     "text_tfidf",
@@ -616,7 +617,9 @@ object TextAnalysis {
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
-      tf.join(broadcast(df), "token")
+      // df is vocabulary-sized (grows with the corpus by Heaps' law) — no
+      // broadcast hint; AQE broadcasts it while it fits, shuffles beyond.
+      tf.join(df, "token")
         .crossJoin(n)
         .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("doc_freq")), 4))
         .withColumn("rn", row_number().over(w))

@@ -24,7 +24,8 @@ object TpchMore {
     * lowest line price. Rank-1 window over l_partkey after a broadcast
     * semi-reduction to the small-part subset — the fact table shuffles
     * once on partkey, WindowGroupLimit prunes each group to its first row
-    * before the full sort, and all three name dims broadcast. */
+    * before the full sort; nation is the only force-broadcast dim (part
+    * and supplier scale with SF, so their join sides are AQE's call). */
   val qMinCostSupplier: QueryDef = QueryDef(
     "q_min_cost_supplier",
     (s, d) => {
@@ -33,10 +34,13 @@ object TpchMore {
       val w = Window.partitionBy(col("l_partkey")).orderBy(col("cents"), col("l_suppkey"))
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"), cents("l_extendedprice").as("cents"))
-        .join(broadcast(sp), col("l_partkey") === col("p_partkey"))
+        // sp (part slice) and supplier scale with SF — no hints; only the
+        // 25-row nation dim is force-broadcast. AQE broadcasts the others
+        // at runtime while they fit.
+        .join(sp, col("l_partkey") === col("p_partkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
           (col("cents") / 100.0).as("best_price"))
@@ -78,9 +82,13 @@ object TpchMore {
         .agg(sum(col("c")).as("v"))
         .withColumn("g", sum(col("v")).over(
           Window.partitionBy(graft.Registry.wholeFrameKey(col("v")))))
+      // The filtered frame is provably ≤100 rows (each survivor holds >1%
+      // of a total that sums to 100%) — supplier scales, so the hint goes
+      // on the BOUNDED side, not the dim.
       perSup
         .filter(col("v") * 100 > col("g"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .hint("broadcast")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           (col("v") / 100.0).as("value"),
           expr("(10000 * v) div g").as("share_bp"))
@@ -199,7 +207,8 @@ object TpchMore {
         .filter(col("slow") && col("n_supp") > 1 && col("n_slow_supp") === 1)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF — no broadcast hint (AQE's call).
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
     },
@@ -229,7 +238,7 @@ object TpchMore {
     * form correlates a per-part scalar subquery; decorrelated here as a
     * window average over the SAME l_partkey partition the filter reads —
     * one fact scan, one exchange of only the brand-filtered lines (the
-    * broadcast part filter prunes first). Quantities are integer-valued
+    * part filter prunes first; AQE broadcasts it while it fits). Quantities are integer-valued
     * doubles, so the average is IEEE-exact and the threshold comparison
     * cannot diverge between engines; revenue stays in integer cents with
     * truncating div (both engines truncate toward zero on positives —
@@ -242,7 +251,8 @@ object TpchMore {
       val w = Window.partitionBy(col("l_partkey"))
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity"), cents("l_extendedprice").as("c"))
-        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        // brandParts is a fixed FRACTION of part, not a fixed size — no hint.
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
         .withColumn("avg_qty", avg(col("l_quantity")).over(w))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_small_lines"))

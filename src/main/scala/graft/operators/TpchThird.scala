@@ -100,7 +100,8 @@ object TpchThird {
 
   /** TPC-H Q14: share of a month's line revenue coming from PROMO-type
     * parts — the conditional-share scalar. One fact scan month-pruned at
-    * the parquet level, the part type broadcasts, and the share is exact
+    * the parquet level, the part-type join is AQE's call (part scales
+    * with SF — no forced broadcast), and the share is exact
     * integer basis points ((10000·promo) div total) beside the two exact
     * cent sums — no float ratio to diverge between engines. */
   val qPromoRevenue: QueryDef = QueryDef(
@@ -110,7 +111,8 @@ object TpchThird {
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("date") &&
           col("l_shipdate") < lit("1996-04-01").cast("date"))
         .select(col("l_partkey"), cents("l_extendedprice").as("c"))
-        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        // part scales with SF — no broadcast hint (AQE's call at runtime).
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO", col("c")).otherwise(0L)).as("promo_cents"),
@@ -140,7 +142,8 @@ object TpchThird {
     * (negative balance — the NOT IN subquery). The testdata has no
     * partsupp, so the part↔supplier association is the distinct
     * (l_partkey, l_suppkey) pairs actually shipped — same shape, one extra
-    * distinct. The exclusion set is tiny → broadcast LEFT ANTI; the
+    * distinct. Both filter frames are SF-scaling slices of part/supplier,
+    * so the join strategy is AQE's call (broadcast while small); the
     * distinct + count-distinct both key on partkey-derived groups. */
   val qSupplierVariety: QueryDef = QueryDef(
     "q_supplier_variety",
@@ -151,13 +154,13 @@ object TpchThird {
         .filter(col("p_brand") =!= "Brand#1" &&
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
-      // broadcast filters run BEFORE the distinct, so the only fact-scaled
+      // the join filters run BEFORE the distinct, so the only fact-scaled
       // exchange carries just the matching-part pairs (~16% here), partially
       // aggregated map-side; the count after it reuses a tiny exchange
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
         .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
         .distinct()
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -178,7 +181,7 @@ object TpchThird {
 
   /** TPC-H Q19: revenue from three disjunctive brand×size×quantity
     * channels — the OR-of-ANDs predicate probe. The per-branch part
-    * predicates OR together into one broadcast-side filter (so only parts
+    * predicates OR together into one build-side filter (so only parts
     * matching SOME branch ship to the join at all), and the full
     * disjunction evaluates in the join condition; the quantity bounds
     * cover all branches (1..30), pushed to the fact scan. */
@@ -196,9 +199,11 @@ object TpchThird {
       Tables.lineitem(s, d)
         .filter(col("l_quantity").between(1, 30))
         .select(col("l_partkey"), col("l_quantity"), cents("l_extendedprice").as("c"))
-        .join(broadcast(Tables.part(s, d)
+        // the branch filter keeps a fixed FRACTION of part (SF-scaling) —
+        // no hint; AQE broadcasts it at runtime while it fits.
+        .join(Tables.part(s, d)
             .filter(anyBrand && col("p_size").between(1, 15))
-            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey") && disj)
         .agg((sum(col("c")) / 100.0).as("revenue"), count(lit(1)).as("n_lines"))
     },
@@ -234,7 +239,7 @@ object TpchThird {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
           col("l_shipdate") < lit("1998-01-01").cast("date"))
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("sq"))
       pairQty
@@ -242,7 +247,8 @@ object TpchThird {
         .filter(col("sq") * 2 > col("total"))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_parts_dominated"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF — no hint on any SF-scaling frame here.
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
         .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
     },
@@ -267,8 +273,9 @@ object TpchThird {
 
   /** TPC-H Q7: trade volume between nation PAIRS — supplier nation on the
     * line side, customer nation through orders, grouped by (pair, year).
-    * Both nation dims broadcast twice under different aliases; the only
-    * fact-scaled exchange is the lineitem↔orders orderkey join; the
+    * The 25-row nation dim broadcasts twice under different aliases; the
+    * supplier/customer name maps are AQE's call (they scale with SF); the
+    * only fact-scaled exchange is the lineitem↔orders orderkey join; the
     * (pair, year) rollup is partially aggregated map-side. */
   val qNationTrade: QueryDef = QueryDef(
     "q_nation_trade",
@@ -286,8 +293,9 @@ object TpchThird {
           year(col("l_shipdate")).as("l_year"), cents("l_extendedprice").as("c"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        // supNation/custNation scale with supplier/customer — no hints.
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg((sum(col("c")) / 100.0).as("revenue"), count(lit(1)).as("n_lines"))
@@ -372,8 +380,11 @@ object TpchThird {
       rev
         .withColumn("mx", max(col("rc")).over(
           Window.partitionBy(graft.Registry.wholeFrameKey(col("rc")))))
+        // the max-filtered frame is tie-sized (≈1 row) — hint THAT side;
+        // supplier scales with SF.
         .filter(col("rc") === col("mx"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .hint("broadcast")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), (col("rc") / 100.0).as("total_revenue"))
         .orderBy("s_suppkey")
     },
@@ -396,9 +407,9 @@ object TpchThird {
   /** TPC-H Q9 shape: product-line profit by supplier nation and order
     * year (the testdata carries no ps_supplycost, so "profit" is the
     * revenue-minus-10%-of-retail proxy — same 5-table star + 3-key rollup
-    * shape: part type × nation × year). All three dims broadcast; the
-    * fact pays only the lineitem↔orders orderkey exchange; exact cents
-    * throughout. */
+    * shape: part type × nation × year). Only the 25-row nation dim is
+    * force-broadcast (part/supplier scale with SF); the fact pays only
+    * the lineitem↔orders orderkey exchange; exact cents throughout. */
   val qProductProfit: QueryDef = QueryDef(
     "q_product_profit",
     (s, d) => {
@@ -412,8 +423,9 @@ object TpchThird {
           col("l_quantity"), cents("l_extendedprice").as("c"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        // parts/supNation scale with SF — no hints (AQE's call at runtime).
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
         // profit proxy: line revenue minus 10% of retail per unit, exact
         // cents (qty is an integral double → the product is exact; `div`,
         // not `/`, which would be double division)

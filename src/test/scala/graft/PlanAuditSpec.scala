@@ -729,6 +729,92 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("no broadcast hint on a corpus-scaling frame (the ~sf2000 broadcast cliff rule)") {
+    // Spark honors an explicit broadcast hint regardless of runtime size and
+    // hard-fails broadcasts >8 GB. TPC-H customer/supplier/part — and any
+    // frame keyed per user/doc/vector — grow linearly with SF, so a forced
+    // hint on one is a guaranteed failure around sf2000 (~4 TB of lineitem),
+    // far short of the 100 TB design point. Rule (r17 verdict #1): a hint is
+    // legal only on a PROVABLY bounded frame —
+    //   * a 1-row (global) aggregate, e.g. watermarks/frontiers/corpus stats;
+    //   * a top-k (any Limit in the subtree), e.g. query samples, top-10;
+    //   * an aggregate grouped ONLY by bounded-domain columns (the 256-bucket
+    //     rank summaries' (key, bkt), event_type, repair buckets, τ grids);
+    //   * a fixed id-range cut (vec_id < 8 query sets — 8 rows at any SF);
+    //   * a frame reading only nation/region/local/range leaves.
+    // Everything else must leave the strategy to AQE, which broadcasts small
+    // sides at runtime and falls back to shuffle above the threshold.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, LessThan, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter,
+      GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, ResolvedHint}
+    // Bounded by an argument the plan can't see — each justified here:
+    //   q_group_share: hint sits on the >1%-of-total filter — at most 100
+    //     suppliers can each hold >1% of a share sum, at any SF.
+    //   q_top_supplier: hint sits on the rc === max(rc) tie filter — the
+    //     frame is tie-sized (≈1 row) by construction.
+    val allowBoundedByFilter = Set("q_group_share", "q_top_supplier")
+    // Grouping domains that do not grow with the corpus: the bucketed-rank
+    // summaries' (key, bkt) — callers pass bounded keys (event_type,
+    // c_mktsegment) and B=256 buckets — event types, repair buckets
+    // (fixed modulus), the 5-row τ grid, and the 25-value nation key.
+    val boundedGroupCols =
+      Set("key", "bkt", "event_type", "bucket", "tau_pct", "c_nationkey")
+    def leafNames(p: LogicalPlan): Seq[String] = p.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName).mkString(",")
+          case _ => "relation"
+        }
+      case _: LocalRelation => "local"
+      case _: OneRowRelation => "onerow"
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => "range"
+      case other => other.nodeName
+    }
+    def bounded(p: LogicalPlan): Boolean = {
+      val hasGlobalAgg =
+        p.collectFirst { case a: Aggregate if a.groupingExpressions.isEmpty => a }.isDefined
+      val hasLimit =
+        p.collectFirst { case l: GlobalLimit => l; case l: LocalLimit => l }.isDefined
+      val hasBoundedAgg = p.collect { case a: Aggregate => a }.exists { a =>
+        a.groupingExpressions.nonEmpty && a.groupingExpressions.forall { g =>
+          val names = (g match {
+            case al: Alias => Set(al.name)
+            case at: Attribute => Set(at.name)
+            case _ => Set.empty[String]
+          }) ++ g.references.map(_.name).toSet
+          names.nonEmpty && names.subsetOf(boundedGroupCols)
+        }
+      }
+      // `vec_id < 8`-style fixed id-range cuts (the analyzer wraps the
+      // literal in a Cast, so match any foldable right side)
+      val hasIdRangeCut = p.collectFirst {
+        case f: LFilter if f.condition.find {
+          case LessThan(a: Attribute, r) if a.name.endsWith("_id") && r.foldable => true
+          case _ => false
+        }.isDefined => f
+      }.isDefined
+      val leaves = leafNames(p)
+      val onlyDims = leaves.nonEmpty && leaves.forall(l =>
+        l == "local" || l == "onerow" || l == "range" ||
+          l.contains("nation") || l.contains("region"))
+      hasGlobalAgg || hasLimit || hasBoundedAgg || hasIdRangeCut || onlyDims
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowBoundedByFilter(name)) Nil
+      else {
+        val plan = fn(spark, sfDir).queryExecution.analyzed
+        plan.collect {
+          case h: ResolvedHint if h.hints.strategy.exists(
+              _.toString.toUpperCase.contains("BROADCAST")) && !bounded(h.child) =>
+            s"$name: broadcast hint on a frame over [${leafNames(h.child).mkString(", ")}]"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} corpus-scaling broadcast hint(s):\n${offenders.mkString("\n")}")
+  }
+
   test("every registered query resolves against sfDir (analysis-only schema-drift alarm)") {
     // A testdata refresh that changes a column's type (round 8: events.ts
     // int64-ns → timestamp[us]/NTZ) must produce ONE red spec naming the
