@@ -103,6 +103,21 @@ object Conf {
     * oldest-by-arrival. */
   val EmbGateBucketCapConf = "spark.graft.embGateBucketCap"
 
+  /** Newest-N ring cap on the PERCEPTUAL streaming gates' state buckets
+    * (image/audio band buckets, video frame-hash buckets —
+    * [[graft.streaming.StreamPhashDedup]]), the [[EmbGateBucketCapConf]]
+    * treatment ported to the stop-frame modalities (r17 verdict #2: at
+    * sf10 perceptual buckets went duplication-sized — band df 3291,
+    * frame df 8622, 22 buckets carrying 72% of 1.7e9 candidate rows —
+    * so an unbounded gate bucket is a state/CPU wall at ingest scale).
+    * 0 (default) keeps the exact contract; > 0 bounds every bucket to
+    * its newest N members — a pair is MISSED iff the earlier payload
+    * rotated out of the electing bucket's ring (smallest shared band /
+    * smallest shared frame hash) before the later one arrived; never
+    * duplicated, because election reads signatures/full hash sets, not
+    * ring membership. */
+  val PhashGateBucketCapConf = "spark.graft.phashGateBucketCap"
+
   /** Query rows per broadcast batch in the distributed (segment-serving)
     * ANN path: query streams past this loop over disjoint pmod batches —
     * one corpus pass each — so the broadcast stays ≤ ~cap × 90 B no

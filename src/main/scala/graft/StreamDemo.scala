@@ -367,7 +367,13 @@ object StreamDemo {
     val annParity = servedHits == batchHits
     val phashPairs = spark.read.parquet(s"$work/phash_pairs")
       .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val phashBatch = graft.operators.Multimodal.mmPhash.fn(spark, sfDir)
+    // UNWINDOWED batch twin (r17 advice): the stream gate holds full
+    // per-bucket state, so its parity target must not carry the default
+    // phashBandMaxDf window (which provably drops pairs at sf10+ —
+    // 5,895 of 13.9M — and would report false spuriously); mirrors the
+    // video lane's Int.MaxValue target below
+    val phashBatch = graft.operators.Multimodal.bandedHammingPairs(
+        spark, sfDir, graft.operators.Multimodal.phash64, Int.MaxValue)
       .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val phashParity = phashPairs == phashBatch
     val videoPairs = spark.read.parquet(s"$work/video_pairs")

@@ -1168,16 +1168,21 @@ object Multimodal {
     * default (max band df ≈ 330 at sf0.1), so the pigeonhole guarantee
     * — and the brute-force-oracle hash match — is intact there. */
   private[graft] def bandedHammingPairs(s: SparkSession, d: String,
-      hashFn: String => Option[(Long, Long)], maxDf: Int): DataFrame = {
+      hashFn: String => Option[(Long, Long)], maxDf: Int,
+      cacheTag: String = "phash"): DataFrame = {
     import s.implicits._
-    val hashes = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        hashFn(text).map { case (hi, lo) => (id, hi, lo) }
-      }
-      .toDF("doc_id", "h_hi", "h_lo")
-      .cache()
+    // per-doc (id, 2 longs) — bounded; routed through boundedCache so
+    // repeated invocations in one session (Bench, StreamDemo parity,
+    // specs) hold ONE frame per (lane, dir) instead of leaking a handle
+    // per call (r17 advice)
+    val hashes = graft.Registry.boundedCache(s, s"mm_banded|$cacheTag|$d",
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          hashFn(text).map { case (hi, lo) => (id, hi, lo) }
+        }
+        .toDF("doc_id", "h_hi", "h_lo"))
     val bands = hashes.select(col("doc_id"), posexplode(array(
       expr("h_lo & 65535"), expr("shiftright(h_lo, 16) & 65535"),
       expr("h_hi & 65535"), expr("shiftright(h_hi, 16) & 65535")))
@@ -1307,7 +1312,7 @@ object Multimodal {
   val mmAudioPhash: QueryDef = QueryDef(
     "mm_audio_phash",
     (s, d) => bandedHammingPairs(s, d, audioFp64,
-      graft.Conf.int(s, graft.Conf.PhashBandMaxDfConf, 1024)),
+      graft.Conf.int(s, graft.Conf.PhashBandMaxDfConf, 1024), cacheTag = "audio"),
     // independent brute-force all-pairs oracle over hashes recomputed
     // from the synthesis rule (samples = (ascii − 128)·256, 64 frames of
     // width ⌈n/64⌉) — banded recall at hamming ≤ 3 is exact by
@@ -1411,15 +1416,17 @@ object Multimodal {
     * over-window. */
   private[graft] def videoPhashPairs(s: SparkSession, d: String, maxDf: Int): DataFrame = {
     import s.implicits._
-    val docsHs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val hs = videoFrameHashes(text)
-        if (hs.isEmpty) None else Some((id, hs, hs.length))
-      }
-      .toDF("doc_id", "hs", "nh")
-      .cache()
+    // per-doc (id, frame hashes) — bounded; boundedCache keeps ONE handle
+    // per (session, dir) across repeated invocations (r17 advice)
+    val docsHs = graft.Registry.boundedCache(s, s"mm_video_hashes|$d",
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val hs = videoFrameHashes(text)
+          if (hs.isEmpty) None else Some((id, hs, hs.length))
+        }
+        .toDF("doc_id", "hs", "nh"))
     val posts = docsHs.select(col("doc_id"), explode(col("hs")).as("h"))
     val winPosts = posts.join(
       posts.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -34,12 +34,14 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * exactly, including a pair split across micro-batches.
   *
   * Scale: bucket populations are perceptual-cluster populations, not
-  * corpus populations; a pathological hot band value (near-blank image
-  * corpora) would take the `spark.graft.embGateBucketCap` newest-N ring
-  * treatment, whose recall/locality price r17 measured on the sibling
-  * gate — ported on demand, not speculatively. Retention bounding
-  * composes exactly as in [[StreamDedup.candidatesBounded]] when the
-  * duplicate horizon is bounded. */
+  * corpus populations — but stop-frame corpora make them
+  * duplication-sized (sf10: 22 buckets carried 72% of all candidate
+  * rows), so all three lanes take the newest-N ring bound via
+  * `spark.graft.phashGateBucketCap` (round 18 — the
+  * `embGateBucketCap` treatment, same recall trade, spec-pinned).
+  * Retention bounding composes exactly as in
+  * [[StreamDedup.candidatesBounded]] when the duplicate horizon is
+  * bounded. */
 object StreamPhashDedup {
 
   /** A confirmed perceptual near-dup (Hamming ≤ maxHamming), elected
@@ -94,11 +96,26 @@ object StreamPhashDedup {
     hitsWith(docs, graft.operators.Multimodal.audioFp64, maxHamming)
 
   /** Shared gate machinery: any 64-bit perceptual hash rides the same
-    * 4×16-bit band-bucket state and smallest-shared-band election. */
+    * 4×16-bit band-bucket state and smallest-shared-band election.
+    *
+    * BUCKET CAP (round 18, r17 verdict #2): perceptual band buckets go
+    * duplication-sized on stop-frame corpora (sf10 measured band df 3291
+    * with 22 buckets carrying 72% of all candidate rows), so
+    * [[graft.Conf.PhashGateBucketCapConf]] > 0 bounds every (band_idx,
+    * band_val) group to a newest-N ring — the [[StreamEmbDedup]] cap
+    * ported verbatim. Election stays signature-based (the newcomer's
+    * band prefix vs the member's stored prefix), so a capped gate never
+    * DUPLICATES a pair; it misses one iff the earlier image rotated out
+    * of the smallest-shared-band ring before the later arrived. Under
+    * the cap, redelivery idempotence narrows to the ring window — feed
+    * exactly-once is the boundary, as in the emb gate. Default 0 keeps
+    * the exact pigeonhole contract. */
   private def hitsWith(docs: DataFrame, hashFn: String => Option[(Long, Long)],
       maxHamming: Int): Dataset[PhashHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // read ONCE at stream build; the closure captures the value
+    val bucketCap = graft.Conf.int(spark, graft.Conf.PhashGateBucketCapConf, 0)
     docs
       .select("doc_id", "text")
       .as[(Long, String)]
@@ -117,45 +134,90 @@ object StreamPhashDedup {
           val st = state.getOption.getOrElse(PackedPhashMembers(
             Array.emptyLongArray, Array.emptyIntArray,
             Array.emptyLongArray, Array.emptyLongArray))
-          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
-          val newHi = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val newLo = scala.collection.mutable.ArrayBuffer.empty[Long]
           val out = scala.collection.mutable.ArrayBuffer.empty[PhashHit]
-          // doc_id order: deterministic pairing independent of chunking
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, hi, lo) =>
-            if (!st.ids.contains(id) && !newIds.contains(id)) {
-              var j = 0
-              while (j < st.ids.length) {
-                if (!sharesBelow(p, st.pre, j, bIdx)) {
-                  val d = java.lang.Long.bitCount(hi ^ st.hi(j)) +
-                    java.lang.Long.bitCount(lo ^ st.lo(j))
-                  if (d <= maxHamming)
-                    out += PhashHit(math.min(id, st.ids(j)),
-                      math.max(id, st.ids(j)), d.toLong, bIdx)
-                }
-                j += 1
-              }
-              var k = 0
-              while (k < newIds.length) {
-                if (!sharesBelowBuf(p, newPre, k, bIdx)) {
-                  val d = java.lang.Long.bitCount(hi ^ newHi(k)) +
-                    java.lang.Long.bitCount(lo ^ newLo(k))
-                  if (d <= maxHamming)
-                    out += PhashHit(math.min(id, newIds(k)),
-                      math.max(id, newIds(k)), d.toLong, bIdx)
-                }
-                k += 1
-              }
-              newIds += id
-              newPre ++= p
-              newHi += hi
-              newLo += lo
+          if (bucketCap > 0) {
+            // RING path: every loop is cap-bounded, so buffer boxing is
+            // fine (the unbounded path keeps primitive arrays because
+            // nothing bounds it) — the StreamEmbDedup.candidates shape.
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val pre = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val his = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val los = scala.collection.mutable.ArrayBuffer.empty[Long]
+            ids ++= st.ids; pre ++= st.pre; his ++= st.hi; los ++= st.lo
+            var changed = false
+            // truncate an OVERSIZED restored ring BEFORE pairing (the r16
+            // emb-gate rescue: flip the cap on a stuck drive, restart from
+            // its uncapped checkpoint — the FIRST batch must already be
+            // cap-bounded)
+            if (ids.length > bucketCap) {
+              val drop = ids.length - bucketCap
+              ids.remove(0, drop); his.remove(0, drop); los.remove(0, drop)
+              if (bIdx > 0) pre.remove(0, drop * bIdx)
+              changed = true
             }
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, hi, lo) =>
+              if (!ids.contains(id)) {
+                var j = 0
+                while (j < ids.length) {
+                  if (!sharesBelowBuf(p, pre, j, bIdx)) {
+                    val d = java.lang.Long.bitCount(hi ^ his(j)) +
+                      java.lang.Long.bitCount(lo ^ los(j))
+                    if (d <= maxHamming)
+                      out += PhashHit(math.min(id, ids(j)),
+                        math.max(id, ids(j)), d.toLong, bIdx)
+                  }
+                  j += 1
+                }
+                ids += id; pre ++= p; his += hi; los += lo
+                while (ids.length > bucketCap) { // evict oldest members
+                  ids.remove(0); his.remove(0); los.remove(0)
+                  if (bIdx > 0) pre.remove(0, bIdx)
+                }
+                changed = true
+              }
+            }
+            if (changed) state.update(PackedPhashMembers(
+              ids.toArray, pre.toArray, his.toArray, los.toArray))
+          } else {
+            val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val newHi = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val newLo = scala.collection.mutable.ArrayBuffer.empty[Long]
+            // doc_id order: deterministic pairing independent of chunking
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, hi, lo) =>
+              if (!st.ids.contains(id) && !newIds.contains(id)) {
+                var j = 0
+                while (j < st.ids.length) {
+                  if (!sharesBelow(p, st.pre, j, bIdx)) {
+                    val d = java.lang.Long.bitCount(hi ^ st.hi(j)) +
+                      java.lang.Long.bitCount(lo ^ st.lo(j))
+                    if (d <= maxHamming)
+                      out += PhashHit(math.min(id, st.ids(j)),
+                        math.max(id, st.ids(j)), d.toLong, bIdx)
+                  }
+                  j += 1
+                }
+                var k = 0
+                while (k < newIds.length) {
+                  if (!sharesBelowBuf(p, newPre, k, bIdx)) {
+                    val d = java.lang.Long.bitCount(hi ^ newHi(k)) +
+                      java.lang.Long.bitCount(lo ^ newLo(k))
+                    if (d <= maxHamming)
+                      out += PhashHit(math.min(id, newIds(k)),
+                        math.max(id, newIds(k)), d.toLong, bIdx)
+                  }
+                  k += 1
+                }
+                newIds += id
+                newPre ++= p
+                newHi += hi
+                newLo += lo
+              }
+            }
+            if (newIds.nonEmpty)
+              state.update(PackedPhashMembers(st.ids ++ newIds,
+                st.pre ++ newPre, st.hi ++ newHi, st.lo ++ newLo))
           }
-          if (newIds.nonEmpty)
-            state.update(PackedPhashMembers(st.ids ++ newIds,
-              st.pre ++ newPre, st.hi ++ newHi, st.lo ++ newLo))
           out.iterator
       }
   }
@@ -220,15 +282,25 @@ object StreamPhashDedup {
     * byte-identical to batch `mm_video_phash`), every newcomer meets the
     * corpus so far inside its frame-hash buckets, and the containment
     * confirm runs IN-OP on the full hash sets both sides already carry —
-    * n_shared is EXACT (no df window in the stream; a hot bucket takes
-    * the `embGateBucketCap` ring treatment on demand, as the sibling
-    * gates document). A pair is elected exactly once: only the bucket of
-    * the pair's SMALLEST shared hash emits it (both hash sets are known
-    * at confirm time, so the smallest shared hash is computable
-    * wherever the pair meets). */
+    * n_shared is EXACT. A pair is elected exactly once: only the bucket
+    * of the pair's SMALLEST shared hash emits it (both hash sets are
+    * known at confirm time, so the smallest shared hash is computable
+    * wherever the pair meets).
+    *
+    * BUCKET CAP (round 18, r17 verdict #2): stop-frame buckets (black
+    * frames, title cards) carried 72% of 1.73e9 candidate rows at sf10
+    * — [[graft.Conf.PhashGateBucketCapConf]] > 0 bounds every
+    * frame-hash bucket to its newest N members. The election key is the
+    * smallest shared hash over the FULL sets, so a capped gate never
+    * double-emits: if the earlier video rotated out of the electing
+    * bucket's ring, a higher shared bucket still fails the
+    * `minShared == h` check — the pair is purely missed, the same
+    * recall trade as the emb/image rings. Default 0 keeps exact. */
   def videoHits(docs: DataFrame): Dataset[VideoHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // read ONCE at stream build; the closure captures the value
+    val bucketCap = graft.Conf.int(spark, graft.Conf.PhashGateBucketCapConf, 0)
     docs
       .select("doc_id", "text")
       .as[(Long, String)]
@@ -242,10 +314,8 @@ object StreamPhashDedup {
         case (h, rows, state) =>
           val st = state.getOption.getOrElse(PackedVideoMembers(
             Array.emptyLongArray, Array.emptyIntArray, Array.emptyLongArray))
-          val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val newSets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
           val out = scala.collection.mutable.ArrayBuffer.empty[VideoHit]
-          def confirm(id: Long, hs: Array[Long], mid: Long,
+          def confirmInto(id: Long, hs: Array[Long], mid: Long,
               mFlat: Array[Long], mFrom: Int, mTo: Int): Unit = {
             val shared = intersectCount(hs, mFlat, mFrom, mTo)
             val mn = math.min(hs.length, mTo - mFrom)
@@ -254,28 +324,73 @@ object StreamPhashDedup {
               out += VideoHit(math.min(id, mid), math.max(id, mid),
                 shared.toLong, (100L * shared) / mn)
           }
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, hs) =>
-            if (!st.ids.contains(id) && !newIds.contains(id)) {
-              var j = 0
-              while (j < st.ids.length) {
-                val from = if (j == 0) 0 else st.offs(j - 1)
-                confirm(id, hs, st.ids(j), st.hsFlat, from, st.offs(j))
-                j += 1
-              }
-              var k = 0
-              while (k < newIds.length) {
-                confirm(id, hs, newIds(k), newSets(k), 0, newSets(k).length)
-                k += 1
-              }
-              newIds += id
-              newSets += hs
+          if (bucketCap > 0) {
+            // RING path: ≤ cap members per bucket; buffers hold each
+            // member's set unflattened (cap-bounded boxing, the
+            // StreamEmbDedup ring shape); repacked on update.
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+            var j0 = 0
+            while (j0 < st.ids.length) {
+              val from = if (j0 == 0) 0 else st.offs(j0 - 1)
+              ids += st.ids(j0)
+              sets += java.util.Arrays.copyOfRange(st.hsFlat, from, st.offs(j0))
+              j0 += 1
             }
-          }
-          if (newIds.nonEmpty) {
-            val flat = st.hsFlat ++ newSets.flatten
-            var off = if (st.offs.isEmpty) 0 else st.offs.last
-            val offs = st.offs ++ newSets.map { s => off += s.length; off }
-            state.update(PackedVideoMembers(st.ids ++ newIds.toArray, offs, flat))
+            var changed = false
+            // truncate an OVERSIZED restored ring BEFORE pairing
+            if (ids.length > bucketCap) {
+              val drop = ids.length - bucketCap
+              ids.remove(0, drop); sets.remove(0, drop)
+              changed = true
+            }
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, hs) =>
+              if (!ids.contains(id)) {
+                var j = 0
+                while (j < ids.length) {
+                  confirmInto(id, hs, ids(j), sets(j), 0, sets(j).length)
+                  j += 1
+                }
+                ids += id
+                sets += hs
+                while (ids.length > bucketCap) { // evict oldest members
+                  ids.remove(0); sets.remove(0)
+                }
+                changed = true
+              }
+            }
+            if (changed) {
+              var off = 0
+              val offs = sets.map { s => off += s.length; off }.toArray
+              state.update(PackedVideoMembers(
+                ids.toArray, offs, sets.toArray.flatten))
+            }
+          } else {
+            val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val newSets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, hs) =>
+              if (!st.ids.contains(id) && !newIds.contains(id)) {
+                var j = 0
+                while (j < st.ids.length) {
+                  val from = if (j == 0) 0 else st.offs(j - 1)
+                  confirmInto(id, hs, st.ids(j), st.hsFlat, from, st.offs(j))
+                  j += 1
+                }
+                var k = 0
+                while (k < newIds.length) {
+                  confirmInto(id, hs, newIds(k), newSets(k), 0, newSets(k).length)
+                  k += 1
+                }
+                newIds += id
+                newSets += hs
+              }
+            }
+            if (newIds.nonEmpty) {
+              val flat = st.hsFlat ++ newSets.flatten
+              var off = if (st.offs.isEmpty) 0 else st.offs.last
+              val offs = st.offs ++ newSets.map { s => off += s.length; off }
+              state.update(PackedVideoMembers(st.ids ++ newIds.toArray, offs, flat))
+            }
           }
           out.iterator
       }

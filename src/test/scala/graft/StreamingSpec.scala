@@ -1556,6 +1556,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamPhashDedup: phashGateBucketCap bounds a stop-band bucket to the newest ring") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stop-band corpus: IDENTICAL payloads — every doc lands in the same
+    // bucket of all 4 bands (the near-blank-image pathological shape)
+    val text = Array.tabulate(300)(i => ('a' + (i * 7 + i / 13) % 26).toChar).mkString
+    assert(graft.operators.Multimodal.phash64(text).isDefined,
+      "crafted payload must hash (≥256 B)")
+    spark.conf.set(graft.Conf.PhashGateBucketCapConf, "4")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamPhashDedup.distinctPairs(
+        mem.toDF().toDF("doc_id", "text"))
+      val q = out.writeStream.format("memory").queryName("phashcap")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L to 10L).map(i => (i, text)): _*)
+        q.processAllAvailable()
+        mem.addData((11L, text))
+        q.processAllAvailable()
+        val got = spark.table("phashcap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // the newcomer pairs with exactly the ring (newest 4), elected
+        // once each on the smallest shared band — O(bands × cap) work
+        assert(got.filter(_._2 == 11L) ==
+          Set((7L, 11L), (8L, 11L), (9L, 11L), (10L, 11L)),
+          s"ring should pair 11 with the newest 4 only: ${got.filter(_._2 == 11L)}")
+        // rotated-out members are the recall trade, never duplicates
+        assert(!got.contains((1L, 11L)))
+        val dupCounts = spark.table("phashcap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).filter(_._2.length > 1)
+        assert(dupCounts.isEmpty, s"duplicate elections: ${dupCounts.keys.take(3)}")
+      } finally q.stop()
+    } finally spark.conf.unset(graft.Conf.PhashGateBucketCapConf)
+  }
+
+  test("StreamPhashDedup.videoHits: phashGateBucketCap bounds a stop-frame bucket to the newest ring") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stop-frame corpus: IDENTICAL clips — every doc shares every
+    // frame-hash bucket (black-frame/title-card pathology)
+    val text = Array.tabulate(400)(i => ('a' + (i * 11 + i / 7) % 26).toChar).mkString
+    assert(graft.operators.Multimodal.videoFrameHashes(text).length >= 2,
+      "crafted clip needs ≥2 distinct frame hashes for the containment floor")
+    spark.conf.set(graft.Conf.PhashGateBucketCapConf, "4")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamPhashDedup.distinctVideoPairs(
+        mem.toDF().toDF("doc_id", "text"))
+      val q = out.writeStream.format("memory").queryName("videocap")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L to 10L).map(i => (i, text)): _*)
+        q.processAllAvailable()
+        mem.addData((11L, text))
+        q.processAllAvailable()
+        val got = spark.table("videocap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // the newcomer pairs with exactly the ring (newest 4), elected
+        // once each in its smallest-shared-hash bucket
+        assert(got.filter(_._2 == 11L) ==
+          Set((7L, 11L), (8L, 11L), (9L, 11L), (10L, 11L)),
+          s"ring should pair 11 with the newest 4 only: ${got.filter(_._2 == 11L)}")
+        assert(!got.contains((1L, 11L)))
+        val dupCounts = spark.table("videocap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).filter(_._2.length > 1)
+        assert(dupCounts.isEmpty, s"duplicate elections: ${dupCounts.keys.take(3)}")
+        // identical clips: containment is exactly 100
+        assert(spark.table("videocap").collect().forall(_.getLong(3) == 100L))
+      } finally q.stop()
+    } finally spark.conf.unset(graft.Conf.PhashGateBucketCapConf)
+  }
+
   test("StreamDedup: a MATERIALIZED shingled archive (hsh column) serves the confirm — same hits, no corpus re-shingle in the plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
