@@ -125,6 +125,9 @@ object Bench {
       // read 2-3x slower in-sequence than in isolated JVMs (30.5 s vs
       // ~18-22 s for the same five queries, identical Dedup.scala).
       spark.catalog.clearCache()
+      // broadcast debris (ANN serving indexes) is invisible to clearCache —
+      // unpersist it too, or every query after ann_* pays the pressure
+      Registry.releaseTransientBroadcasts(spark)
       name -> t
     }
     // The driver keeps only the last ~2000 chars of stdout (minus sbt's

@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch probe main — current contents change per investigation.
-  * Round 17 (cont.): sf10 recall of the perceptual df windows for the
-  * audio and video lanes (image was measured rule-side in DuckDB:
-  * 0.9996 at the default 1024). Windowed output is a strict subset
-  * with exactly-reported counts, so recall = windowed count / full
-  * count. */
+  * Round 18 (r17 verdict #4, part 3): is ann_lsh's 30 s serving map
+  * candidate-volume-bound? Compute Σ_b c_b² per table (total visits
+  * when every corpus vector queries) from the real sig kernel at the
+  * real nPlanes (corpusN=200k → 13), and the hottest buckets. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/data/sf10")
@@ -17,33 +17,56 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.io.compression.codec", "zstd")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $name%-22s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpusN = emb.count()
+    val nTables = 16
+    val b8 = math.max(6, math.min(8,
+      math.ceil(math.log(corpusN / 8.0) / math.log(2)).toInt))
+    val bScale = math.min(18,
+      math.ceil(math.log(corpusN / 32.0) / math.log(2)).toInt)
+    val nPlanes = math.max(b8, bScale)
+    println(s"[probe] corpusN=$corpusN nPlanes=$nPlanes buckets/table=${1 << nPlanes}")
+    def w(t: Int, p: Int, i: Int): Double =
+      ((((t * 7919L + p * 131L + i * 31L + 7L) * 2654435761L) % 1000003L + 1000003L) % 1000003L)
+        .toDouble / 1000003.0 - 0.5
+    val planes: Array[Array[Double]] =
+      (for { t <- 0 until nTables; p <- 0 until nPlanes } yield
+        Array.tabulate(64)(i => w(t, p, i))).toArray
+    val nWords = (nTables * nPlanes + 63) / 64
+    val laneMask = (1L << nPlanes) - 1
 
-    time("video_windowed_2048") {
-      graft.operators.Multimodal.videoPhashPairs(spark, sfDir, 2048).count()
+    import spark.implicits._
+    val sigs = emb.select(
+      graft.plans.VectorExpressions.hyperplaneSig(col("embedding"), planes).as("sig"))
+      .as[Seq[Long]].collect()
+    var total = 0L
+    val perTable = new Array[Long](nTables)
+    var hottest = 0L
+    for (t <- 0 until nTables) {
+      val counts = new java.util.HashMap[Integer, Long]()
+      sigs.foreach { words =>
+        val start = t * nPlanes
+        val i0 = start >>> 6
+        val sh = start & 63
+        val low = words(i0) >>> sh
+        val v = if (sh + nPlanes > 64 && i0 + 1 < nWords)
+          low | (words(i0 + 1) << (64 - sh))
+        else low
+        val b = (v & laneMask).toInt
+        counts.merge(b, 1L, (a, x) => a + x)
+      }
+      var s2 = 0L
+      counts.forEach { (_, c) => s2 += c * c; if (c > hottest) hottest = c }
+      perTable(t) = s2
+      total += s2
     }
-    spark.catalog.clearCache()
-    time("video_full") {
-      graft.operators.Multimodal.videoPhashPairs(spark, sfDir, Int.MaxValue).count()
-    }
-    spark.catalog.clearCache()
-    time("audio_windowed_1024") {
-      graft.operators.Multimodal.bandedHammingPairs(spark, sfDir,
-        graft.operators.Multimodal.audioFp64, 1024).count()
-    }
-    spark.catalog.clearCache()
-    time("audio_full") {
-      graft.operators.Multimodal.bandedHammingPairs(spark, sfDir,
-        graft.operators.Multimodal.audioFp64, Int.MaxValue).count()
-    }
+    println(s"[probe] total_visits=$total avg_per_query=${total / corpusN} " +
+      s"hottest_bucket=$hottest uniform_visits=${nTables.toLong * corpusN * corpusN / (1L << nPlanes)}")
+    println(s"[probe] per_table_s2=${perTable.mkString(",")}")
     spark.stop()
   }
 }

@@ -80,6 +80,40 @@ object Registry {
     df.cache()
   }
 
+  /** TRANSIENT sc.broadcast tracking (round 18, found at the r17
+    * verdict-#3 probe): the ANN serving paths broadcast the index
+    * (flat SQ8/sig arrays + a boxed id→pos map — hundreds of MB at
+    * sf10's 2M vectors), and those broadcasts outlive the query that
+    * made them: `spark.catalog.clearCache()` does not touch broadcast
+    * blocks, and the ContextCleaner only reclaims them on a driver GC
+    * of the (unreachable) handles. In a 226-query sequence that is pure
+    * session pressure on every query after ann_* — measured on one box
+    * as dedup_containment at 164 s in-sequence vs 29.5 s isolated.
+    * Producers register each serving broadcast here; the sequential
+    * harnesses (Bench, Verify) call [[releaseTransientBroadcasts]]
+    * after fully executing each query. unpersist, NEVER destroy: a
+    * frame re-executed later re-broadcasts from the driver-held value
+    * transparently, so correctness is unaffected. */
+  private val transientBcs =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.broadcast.Broadcast[_]]]()
+
+  def registerTransientBroadcast(s: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
+    val buf = transientBcs.computeIfAbsent(sessionToken(s),
+      _ => scala.collection.mutable.ArrayBuffer.empty)
+    buf.synchronized { buf += bc }
+  }
+
+  def releaseTransientBroadcasts(s: SparkSession): Unit = {
+    val buf = transientBcs.remove(sessionToken(s))
+    if (buf != null) buf.synchronized {
+      buf.foreach(bc =>
+        try bc.unpersist(false) catch { case _: Throwable => () })
+      buf.clear()
+    }
+  }
+
   /** Cheap STALENESS fingerprint for a local data dir, mixed into the
     * (session, dir)-keyed memos (Guards stats, Dedup pair/label frames,
     * BPE merge tables): file count + max mtime over the dir, its table

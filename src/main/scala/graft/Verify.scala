@@ -36,6 +36,8 @@ object Verify {
         failures += name -> msg
         System.err.println(s"[verify] $name failed: $msg")
       }
+      // drop ANN-serving broadcast debris between queries (see Bench)
+      Registry.releaseTransientBroadcasts(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

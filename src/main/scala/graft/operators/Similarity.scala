@@ -430,6 +430,14 @@ object Similarity {
     * query stream narrows). None = every corpus vector queries, the
     * ann_lsh surface. */
   private[graft] def lshTopK(s: SparkSession, d: String, distributed: Boolean,
+      queryIds: Option[Set[Long]] = None): DataFrame =
+    lshRerank(s, d, lshShortlist(s, d, distributed, queryIds))
+
+  /** The SQ8 shortlist stage of [[lshTopK]] — (query_id, neighbor_id)
+    * candidates, topM per query by quantized dot. Factored from lshTopK
+    * (round 18, r17 verdict #4) so the profiling harness can time the
+    * shortlist and the exact rerank separately; plans are unchanged. */
+  private[graft] def lshShortlist(s: SparkSession, d: String, distributed: Boolean,
       queryIds: Option[Set[Long]] = None): DataFrame = {
     {
       import s.implicits._
@@ -576,6 +584,11 @@ object Similarity {
           val sigFB = s.sparkContext.broadcast(sigFlat)
           val posIdsB = s.sparkContext.broadcast(posIds)
           val idToPosB = s.sparkContext.broadcast(idToPos)
+          // hundreds of MB at serve-cap corpora; registered so sequential
+          // harnesses unpersist them after the query executes (r18 —
+          // in-sequence session pressure; Registry scaladoc has numbers)
+          Seq(dirB, q8FB, sigFB, posIdsB, idToPosB)
+            .foreach(graft.Registry.registerTransientBroadcast(s, _))
           // Parallelize the query id list evenly: P narrow tasks, no shuffle.
           val qids = queryIds match {
             case Some(ids) => side.map(_._1).filter(ids.contains).toIndexedSeq
@@ -691,6 +704,9 @@ object Similarity {
             }).filter(r => java.lang.Math.floorMod(r._1, nBatches.toLong) == b.toLong)
               .collect() // bounded: ≤ ~batchCap rows × ~90 B
             val qB = s.sparkContext.broadcast(qBatch)
+            // multi-batch destroys qB eagerly below; only the lazy
+            // single-batch plan leaves it for the harness release
+            if (nBatches == 1) graft.Registry.registerTransientBroadcast(s, qB)
             val nT = nTables; val nP = nPlanes; val nW = nWords
             val lMask = laneMask; val tM = topM; val masks = probeMasks
             val local = sideD.mapPartitions { segIt =>
@@ -802,18 +818,24 @@ object Similarity {
           }
           batchResults.reduce(_ union _)
         }
-
-      val vecs = withNorm(s, d)
-      val win = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
       shortlist
-        .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn")), "query_id")
-        .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn")), "neighbor_id")
-        .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
-        .withColumn("rank", row_number().over(win))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-        .orderBy("query_id", "rank")
     }
+  }
+
+  /** The exact-rerank tail of [[lshTopK]]: fetch full-precision vectors
+    * for both shortlist sides, exact cosine, top-3 per query. */
+  private[graft] def lshRerank(s: SparkSession, d: String,
+      shortlist: DataFrame): DataFrame = {
+    val vecs = withNorm(s, d)
+    val win = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn")), "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn")), "neighbor_id")
+      .withColumn("cos", round(cosPre(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
   }
 
   /** IVF-style ANN: a coarse quantizer (centroids computed as per-label

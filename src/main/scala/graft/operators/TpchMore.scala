@@ -403,29 +403,69 @@ object TpchMore {
     * (distinct parts per order, so a double-shipped part can't inflate
     * its pairs). The classic co-purchase/recommendation seed query.
     *
-    * Scale: NOT a self-join — each order's distinct parts collapse to one
-    * sorted set (orderkey exchange), pairs stream out of a typed flatMap
-    * (order sizes are bounded — ≤13 here, so ≤78 pairs/order), and the
-    * pair aggregate is the second exchange; top-20 is TakeOrdered
-    * (per-partition heaps + driver merge), never a whole-frame rank.
-    * Ties at the cut break deterministically by (p1, p2). */
+    * Scale (ROUND 18, r17 verdict #3 probe): ONE full-corpus exchange.
+    * The r17 distinct + equi-self-join form paid two — the (ok, pk)
+    * distinct exchange (which removed almost nothing: 59.99M of 60M
+    * rows survived at sf10) and the orderkey join exchange. Here the
+    * fact repartitions by orderkey once, sorts within partitions, and a
+    * streaming typed pass dedups consecutive (ok, pk) AND emits each
+    * order's pairs in place (order sizes are bounded — ≤13 parts, so
+    * ≤78 pairs and a ≤13-slot buffer; no collect_set object aggregate,
+    * whose external-sort fallback under session pressure killed the r12
+    * form). Pair counts partially aggregate map-side before their own
+    * exchange; top-20 folds to TakeOrdered (per-partition heaps +
+    * driver merge), never a whole-frame rank. Ties at the cut break
+    * deterministically by (p1, p2). Measured (sf10, alternated twice
+    * in-session): shipped 44.2/25.6 s vs this form 28.9/19.7 s —
+    * parity-exact, ~1.4x, and one fewer corpus exchange at any scale. */
   val qCopurchasePairs: QueryDef = QueryDef(
     "q_copurchase_pairs",
     (s, d) => {
-      // basket self-join, not collect_set + typed flatMap: the object
-      // hash aggregate building 1.5M part arrays fell back to external
-      // sort under session memory pressure (105 s at sf1 in-sequence vs
-      // 20 s isolated); the distinct + equi-self-join stays inside
-      // whole-stage codegen end-to-end, pair volume is identically
-      // basket-bounded (≤ k² per order), and orderBy+limit folds to
-      // TakeOrdered — no full sort of the pair counts.
-      val items = Tables.lineitem(s, d)
+      import s.implicits._
+      val sorted = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = items.select(col("ok"), col("pk").as("p1"))
-      val b = items.select(col("ok"), col("pk").as("p2"))
-      a.join(b, Seq("ok"))
-        .filter(col("p1") < col("p2"))
+        .repartition(col("ok"))
+        .sortWithinPartitions("ok", "pk")
+        .as[(Long, Long)]
+      sorted.mapPartitions { it =>
+        val pks = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var curOk = Long.MinValue
+        var started = false
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        def flush(): Array[(Long, Long)] = {
+          out.clear()
+          var i = 0
+          while (i < pks.length) {
+            var j = i + 1
+            while (j < pks.length) { out += ((pks(i), pks(j))); j += 1 }
+            i += 1
+          }
+          pks.clear()
+          out.toArray
+        }
+        new Iterator[(Long, Long)] {
+          private var pending: Iterator[(Long, Long)] = Iterator.empty
+          private def advance(): Unit = {
+            while (!pending.hasNext && it.hasNext) {
+              val (ok, pk) = it.next()
+              if (!started || ok == curOk) {
+                started = true; curOk = ok
+                // sorted within order: consecutive dups collapse
+                if (pks.isEmpty || pks.last != pk) pks += pk
+              } else {
+                val fl = flush()
+                curOk = ok
+                pks += pk
+                pending = fl.iterator
+              }
+            }
+            if (!pending.hasNext && !it.hasNext && pks.nonEmpty)
+              pending = flush().iterator
+          }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): (Long, Long) = { advance(); pending.next() }
+        }
+      }.toDF("p1", "p2")
         .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))
