@@ -305,6 +305,25 @@ object StreamDemo {
     phashQ.awaitTermination()
     dropDir(s"$work/phash_feed", "phash_feed")
     dropDir(s"$work/ckpt_phash", "ckpt_phash")
+    // audio lane (round 18): the fifth modality gate in the drive —
+    // same drain shape, parity vs the unwindowed batch audio pair set
+    docsTbl.repartition(feedFiles).write.mode("overwrite").parquet(s"$work/audio_feed")
+    val audioQ = withGateParts {
+      graft.streaming.StreamPhashDedup.distinctAudioPairs(
+          spark.readStream.schema(docsTbl.schema)
+            .option("maxFilesPerTrigger", filesPerTrigger)
+            .option("cleanSource", "delete").parquet(s"$work/audio_feed"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/audio_pairs")
+        .option("checkpointLocation", s"$work/ckpt_audio")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    audioQ.awaitTermination()
+    dropDir(s"$work/audio_feed", "audio_feed")
+    dropDir(s"$work/ckpt_audio", "ckpt_audio")
     docsTbl.repartition(feedFiles).write.mode("overwrite").parquet(s"$work/video_feed")
     val videoQ = withGateParts {
       graft.streaming.StreamPhashDedup.distinctVideoPairs(
@@ -376,6 +395,12 @@ object StreamDemo {
         spark, sfDir, graft.operators.Multimodal.phash64, Int.MaxValue)
       .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val phashParity = phashPairs == phashBatch
+    val audioPairs = spark.read.parquet(s"$work/audio_pairs")
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audioBatch = graft.operators.Multimodal.bandedHammingPairs(
+        spark, sfDir, graft.operators.Multimodal.audioFp64, Int.MaxValue, cacheTag = "audio")
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audioParity = audioPairs == audioBatch
     val videoPairs = spark.read.parquet(s"$work/video_pairs")
       .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val videoBatch = graft.operators.Multimodal.videoPhashPairs(spark, sfDir, Int.MaxValue)
@@ -383,7 +408,7 @@ object StreamDemo {
     val videoParity = videoPairs == videoBatch
     val evPerSec = if (drainSecs > 0) math.round(nArchive / drainSecs) else 0L
     println(
-      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"emb_planes":$embPlanes,"phash_pairs":${phashPairs.size},"phash_batch_parity":$phashParity,"video_pairs":${videoPairs.size},"video_batch_parity":$videoParity,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"render_secs":$renderSecs,"drain_secs":$drainSecs,"events_per_sec":$evPerSec,"gates_secs":$gatesSecs,"ann_secs":$annSecs,"replica_state_rows":${replicaState._1},"replica_state_mb":${replicaState._2 / 1048576},"dedup_state_rows":${dedupState._1},"dedup_state_mb":${dedupState._2 / 1048576},"emb_state_rows":${embState._1},"emb_state_mb":${embState._2 / 1048576},"dir":"$work"}""")
+      s"""{"metric":"stream_demo","archived":$nArchive,"replica_rows":$nReplica,"rejected":$nRejects,"archive_months":$months,"dup_pairs":${streamedPairs.size},"dedup_batch_parity":$dedupParity,"emb_pairs":${embPairs.size},"emb_planted_found":$plantedFound,"emb_planes":$embPlanes,"phash_pairs":${phashPairs.size},"phash_batch_parity":$phashParity,"audio_pairs":${audioPairs.size},"audio_batch_parity":$audioParity,"video_pairs":${videoPairs.size},"video_batch_parity":$videoParity,"ann_hits":${servedHits.size},"ann_index_parity":$annParity,"render_secs":$renderSecs,"drain_secs":$drainSecs,"events_per_sec":$evPerSec,"gates_secs":$gatesSecs,"ann_secs":$annSecs,"replica_state_rows":${replicaState._1},"replica_state_mb":${replicaState._2 / 1048576},"dedup_state_rows":${dedupState._1},"dedup_state_mb":${dedupState._2 / 1048576},"emb_state_rows":${embState._1},"emb_state_mb":${embState._2 / 1048576},"dir":"$work"}""")
     spark.stop()
   }
 }
