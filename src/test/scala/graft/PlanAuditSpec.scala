@@ -624,6 +624,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_copurchase_pairs: one corpus exchange + pair agg; top-20 is TakeOrdered") {
+    import graft.operators.TpchMore
+    // r18 splice: repartition(ok) + sortWithinPartitions + streaming typed
+    // pair pass replaced the distinct + self-join (which paid TWO corpus
+    // exchanges); the only hash exchanges left are the orderkey
+    // repartition and the (p1, p2) count aggregate
+    val plan = planOf(TpchMore.qCopurchasePairs)
+    assert(hashExchanges(plan) == 2,
+      s"copurchase: orderkey repartition + pair agg only:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"pair counts must never globally sort:\n$plan")
+  }
+
+  test("q_zscore_outliers: window aggregates over one user_id exchange, no join") {
+    import graft.operators.AnalyticsExt
+    // r18 rewrite (r17 verdict #1): the per-user stats frame is gone from
+    // the plan entirely — no join of any kind, one user_id exchange
+    // shared by the whole-partition windows
+    val plan = planOf(AnalyticsExt.qZscoreOutliers)
+    assert(!plan.contains("Join"), s"zscore must not plan any join:\n$plan")
+    assert(hashExchanges(plan) == 1, s"one user_id exchange expected:\n$plan")
+  }
+
   test("q_interval_overlap: sweep window and aggregate share one (type, day) exchange") {
     import graft.operators.OrderedStats
     val plan = planOf(OrderedStats.qIntervalOverlap)
