@@ -135,7 +135,17 @@ object StreamPhashDedup {
             Array.emptyLongArray, Array.emptyIntArray,
             Array.emptyLongArray, Array.emptyLongArray))
           val out = scala.collection.mutable.ArrayBuffer.empty[PhashHit]
-          if (bucketCap > 0) {
+          // doc_id order: deterministic pairing independent of chunking
+          val rs = rows.toSeq.sortBy(_._3)
+          // Ring mechanics ONLY when this batch could overflow the cap:
+          // a ring that never evicts is state-identical to plain append,
+          // and the append path skips the per-bucket unpack/repack that
+          // made a blanket ring path SLOWER than uncapped on the sf10
+          // drive (56 vs 28 s — most buckets are far under cap; only the
+          // stop-frame hot buckets should pay ring costs). rs.length
+          // over-counts distinct newcomers, which only errs toward the
+          // (correct) ring path.
+          if (bucketCap > 0 && st.ids.length + rs.length > bucketCap) {
             // RING path: every loop is cap-bounded, so buffer boxing is
             // fine (the unbounded path keeps primitive arrays because
             // nothing bounds it) — the StreamEmbDedup.candidates shape.
@@ -155,7 +165,7 @@ object StreamPhashDedup {
               if (bIdx > 0) pre.remove(0, drop * bIdx)
               changed = true
             }
-            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, hi, lo) =>
+            rs.foreach { case (_, _, id, p, hi, lo) =>
               if (!ids.contains(id)) {
                 var j = 0
                 while (j < ids.length) {
@@ -183,8 +193,7 @@ object StreamPhashDedup {
             val newPre = scala.collection.mutable.ArrayBuffer.empty[Int]
             val newHi = scala.collection.mutable.ArrayBuffer.empty[Long]
             val newLo = scala.collection.mutable.ArrayBuffer.empty[Long]
-            // doc_id order: deterministic pairing independent of chunking
-            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, p, hi, lo) =>
+            rs.foreach { case (_, _, id, p, hi, lo) =>
               if (!st.ids.contains(id) && !newIds.contains(id)) {
                 var j = 0
                 while (j < st.ids.length) {
@@ -324,7 +333,13 @@ object StreamPhashDedup {
               out += VideoHit(math.min(id, mid), math.max(id, mid),
                 shared.toLong, (100L * shared) / mn)
           }
-          if (bucketCap > 0) {
+          // vec order: deterministic pairing independent of chunking
+          val rs = rows.toSeq.sortBy(_._2)
+          // ring mechanics only when the batch could overflow the cap —
+          // see hitsWith: a never-evicting ring equals plain append, and
+          // the unpack/repack of full hash sets per touched bucket is
+          // exactly what must stay confined to the hot buckets
+          if (bucketCap > 0 && st.ids.length + rs.length > bucketCap) {
             // RING path: ≤ cap members per bucket; buffers hold each
             // member's set unflattened (cap-bounded boxing, the
             // StreamEmbDedup ring shape); repacked on update.
@@ -344,7 +359,7 @@ object StreamPhashDedup {
               ids.remove(0, drop); sets.remove(0, drop)
               changed = true
             }
-            rows.toSeq.sortBy(_._2).foreach { case (_, id, hs) =>
+            rs.foreach { case (_, id, hs) =>
               if (!ids.contains(id)) {
                 var j = 0
                 while (j < ids.length) {
@@ -368,7 +383,7 @@ object StreamPhashDedup {
           } else {
             val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
             val newSets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-            rows.toSeq.sortBy(_._2).foreach { case (_, id, hs) =>
+            rs.foreach { case (_, id, hs) =>
               if (!st.ids.contains(id) && !newIds.contains(id)) {
                 var j = 0
                 while (j < st.ids.length) {
