@@ -133,9 +133,10 @@ object AnalyticsExt {
       // q_cov_exact.
       val rev = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        // customer scales with SF — no broadcast hint (AQE broadcasts it at
-        // runtime while it fits; above the ceiling it must shuffle).
-        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        // customer scales with SF — size-guarded hint (Guards.dimHint:
+        // broadcast while the table's bytes prove it small, AQE beyond).
+        .join(Guards.dimHint(s, d, "customer",
+            Tables.customer(s, d).select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(year(col("o_orderdate")).as("order_year"), col("n_name"))

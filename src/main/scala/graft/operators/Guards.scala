@@ -100,6 +100,36 @@ object Guards {
 
   /** Memoized guard statistic: computes (once per session/dir/tag) the
     * caller's max-group-size aggregate. */
+  /** Broadcast-hint `df` iff the TABLE it slices is provably small ON
+    * DISK — the cliff-free replacement for the r17 forced hints on
+    * SF-scaling dims (see [[graft.Conf.DimHintCapConf]]). The guard
+    * statistic is the table's total parquet bytes: ground truth (not a
+    * plan estimate), memoized with the staleness fingerprint, and
+    * monotone in SF — so the hint RELEASES itself as the deployment
+    * grows, three orders of magnitude before the 8 GB broadcast
+    * hard-fail. A missing/unlistable path (e.g. an hdfs:// URI this
+    * local walk can't see) counts as unbounded → no hint; AQE decides,
+    * which is always the safe default. */
+  def dimHint(s: SparkSession, d: String, table: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cap = graft.Conf.long(s, graft.Conf.DimHintCapConf, 268435456L)
+    if (cap > 0 && tableBytes(s, d, table) <= cap)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
+  private[graft] def tableBytes(s: SparkSession, d: String, table: String): Long =
+    maxGroupRows(s, d, s"dim_bytes_$table") {
+      def sizeOf(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else if (f.isDirectory) {
+          val kids = f.listFiles()
+          if (kids == null) 0L else kids.foldLeft(0L)(_ + sizeOf(_))
+        } else 0L
+      val root = new java.io.File(s"$d/$table.parquet")
+      if (!root.exists()) Long.MaxValue else sizeOf(root)
+    }
+
   def maxGroupRows(s: SparkSession, d: String, tag: String)(compute: => Long): Long = {
     // dirFingerprint (round 13): data regenerated/appended under the same
     // path invalidates the stat, so the guard re-counts and can FLIP the

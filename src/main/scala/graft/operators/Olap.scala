@@ -69,10 +69,11 @@ object Olap {
       val l = li(s, d)
         .filter(col("l_shipdate") > lit("1998-03-15"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
-      // cust is a filtered slice of a SF-scaling table — no broadcast hint;
-      // AQE broadcasts it at runtime while it fits, shuffles above the cap.
+      // cust is a filtered slice of an SF-scaling table: hinted only while
+      // customer's on-disk bytes prove it small (Guards.dimHint — the
+      // guard releases as SF grows, AQE decides beyond).
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(Guards.dimHint(s, d, "customer", cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .select(
@@ -116,9 +117,11 @@ object Olap {
       li(s, d)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        // supp/cust scale with SF — hint only the nation⨝region dim frame.
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .join(cust, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        // supp/cust scale with SF — size-guarded hints (release at scale);
+        // the nation⨝region dim frame stays force-broadcast.
+        .join(Guards.dimHint(s, d, "supplier", supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Guards.dimHint(s, d, "customer", cust),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))

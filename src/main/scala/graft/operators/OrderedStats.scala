@@ -455,8 +455,9 @@ object OrderedStats {
       .filter(col("prev").isNotNull)
       .select(col("o_custkey"), col("o_orderkey"),
         datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
-    // customer scales with SF — no broadcast hint (AQE decides at runtime).
-    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    // customer scales with SF — size-guarded hint (releases at scale).
+    val seg = Guards.dimHint(s, d, "customer",
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
     gaps.join(seg, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("key"), col("gap_days").as("v"),
         col("o_orderkey").as("id"))

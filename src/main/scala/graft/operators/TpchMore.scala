@@ -34,13 +34,13 @@ object TpchMore {
       val w = Window.partitionBy(col("l_partkey")).orderBy(col("cents"), col("l_suppkey"))
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"), cents("l_extendedprice").as("cents"))
-        // sp (part slice) and supplier scale with SF — no hints; only the
-        // 25-row nation dim is force-broadcast. AQE broadcasts the others
-        // at runtime while they fit.
-        .join(sp, col("l_partkey") === col("p_partkey"))
+        // sp (part slice) and supplier scale with SF — size-guarded hints
+        // (release at scale); only the 25-row nation dim is force-broadcast.
+        .join(Guards.dimHint(s, d, "part", sp), col("l_partkey") === col("p_partkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Guards.dimHint(s, d, "supplier", Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
           (col("cents") / 100.0).as("best_price"))
@@ -207,8 +207,9 @@ object TpchMore {
         .filter(col("slow") && col("n_supp") > 1 && col("n_slow_supp") === 1)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
-        // supplier scales with SF — no broadcast hint (AQE's call).
-        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF — size-guarded hint (releases at scale).
+        .join(Guards.dimHint(s, d, "supplier", Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
     },
@@ -251,8 +252,9 @@ object TpchMore {
       val w = Window.partitionBy(col("l_partkey"))
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity"), cents("l_extendedprice").as("c"))
-        // brandParts is a fixed FRACTION of part, not a fixed size — no hint.
-        .join(brandParts, col("l_partkey") === col("p_partkey"))
+        // brandParts is a fixed FRACTION of part — size-guarded hint only.
+        .join(Guards.dimHint(s, d, "part", brandParts),
+          col("l_partkey") === col("p_partkey"))
         .withColumn("avg_qty", avg(col("l_quantity")).over(w))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_small_lines"))

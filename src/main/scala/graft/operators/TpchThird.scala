@@ -111,8 +111,9 @@ object TpchThird {
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("date") &&
           col("l_shipdate") < lit("1996-04-01").cast("date"))
         .select(col("l_partkey"), cents("l_extendedprice").as("c"))
-        // part scales with SF — no broadcast hint (AQE's call at runtime).
-        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+        // part scales with SF — size-guarded hint (releases at scale).
+        .join(Guards.dimHint(s, d, "part",
+            Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
           col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO", col("c")).otherwise(0L)).as("promo_cents"),
@@ -159,8 +160,9 @@ object TpchThird {
       // aggregated map-side; the count after it reuses a tiny exchange
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"))
-        .join(parts, col("l_partkey") === col("p_partkey"))
-        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Guards.dimHint(s, d, "part", parts), col("l_partkey") === col("p_partkey"))
+        .join(Guards.dimHint(s, d, "supplier", badSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
         .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
         .distinct()
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -200,10 +202,10 @@ object TpchThird {
         .filter(col("l_quantity").between(1, 30))
         .select(col("l_partkey"), col("l_quantity"), cents("l_extendedprice").as("c"))
         // the branch filter keeps a fixed FRACTION of part (SF-scaling) —
-        // no hint; AQE broadcasts it at runtime while it fits.
-        .join(Tables.part(s, d)
+        // size-guarded hint (releases at scale, AQE beyond).
+        .join(Guards.dimHint(s, d, "part", Tables.part(s, d)
             .filter(anyBrand && col("p_size").between(1, 15))
-            .select(col("p_partkey"), col("p_brand"), col("p_size")),
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
           col("l_partkey") === col("p_partkey") && disj)
         .agg((sum(col("c")) / 100.0).as("revenue"), count(lit(1)).as("n_lines"))
     },
@@ -239,7 +241,8 @@ object TpchThird {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
           col("l_shipdate") < lit("1998-01-01").cast("date"))
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-        .join(smallParts, col("l_partkey") === col("p_partkey"))
+        .join(Guards.dimHint(s, d, "part", smallParts),
+          col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("sq"))
       pairQty
@@ -247,8 +250,9 @@ object TpchThird {
         .filter(col("sq") * 2 > col("total"))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_parts_dominated"))
-        // supplier scales with SF — no hint on any SF-scaling frame here.
-        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF — size-guarded hint (releases at scale).
+        .join(Guards.dimHint(s, d, "supplier", Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
         .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
     },
@@ -293,9 +297,13 @@ object TpchThird {
           year(col("l_shipdate")).as("l_year"), cents("l_extendedprice").as("c"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        // supNation/custNation scale with supplier/customer — no hints.
-        .join(supNation, col("l_suppkey") === col("s_suppkey"))
-        .join(custNation, col("o_custkey") === col("c_custkey"))
+        // supNation/custNation scale with supplier/customer — size-guarded
+        // hints keyed on the BASE tables' bytes (the nation join adds 25
+        // rows of names, not scale).
+        .join(Guards.dimHint(s, d, "supplier", supNation),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Guards.dimHint(s, d, "customer", custNation),
+          col("o_custkey") === col("c_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg((sum(col("c")) / 100.0).as("revenue"), count(lit(1)).as("n_lines"))
@@ -423,9 +431,10 @@ object TpchThird {
           col("l_quantity"), cents("l_extendedprice").as("c"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
           col("l_orderkey") === col("o_orderkey"))
-        // parts/supNation scale with SF — no hints (AQE's call at runtime).
-        .join(parts, col("l_partkey") === col("p_partkey"))
-        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        // parts/supNation scale with SF — size-guarded hints.
+        .join(Guards.dimHint(s, d, "part", parts), col("l_partkey") === col("p_partkey"))
+        .join(Guards.dimHint(s, d, "supplier", supNation),
+          col("l_suppkey") === col("s_suppkey"))
         // profit proxy: line revenue minus 10% of retail per unit, exact
         // cents (qty is an integral double → the product is exact; `div`,
         // not `/`, which would be double division)

@@ -824,19 +824,48 @@ class PlanAuditSpec extends SparkSpec {
           l.contains("nation") || l.contains("region"))
       hasGlobalAgg || hasLimit || hasBoundedAgg || hasIdRangeCut || onlyDims
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (allowBoundedByFilter(name)) Nil
-      else {
-        val plan = fn(spark, sfDir).queryExecution.analyzed
-        plan.collect {
-          case h: ResolvedHint if h.hints.strategy.exists(
-              _.toString.toUpperCase.contains("BROADCAST")) && !bounded(h.child) =>
-            s"$name: broadcast hint on a frame over [${leafNames(h.child).mkString(", ")}]"
+    // Guards.dimHint applies size-GUARDED hints (legal: the guard reads
+    // the table's actual bytes and releases as SF grows). The audit runs
+    // with the guard cap at 0 so those hints vanish from the analyzed
+    // plans and only RAW unbounded hints get flagged; the companion
+    // "dimHintCap=0 releases" spec proves the guard actually obeys the
+    // conf.
+    val offenders = try {
+      spark.conf.set(graft.Conf.DimHintCapConf, "0")
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        if (allowBoundedByFilter(name)) Nil
+        else {
+          val plan = fn(spark, sfDir).queryExecution.analyzed
+          plan.collect {
+            case h: ResolvedHint if h.hints.strategy.exists(
+                _.toString.toUpperCase.contains("BROADCAST")) && !bounded(h.child) =>
+              s"$name: broadcast hint on a frame over [${leafNames(h.child).mkString(", ")}]"
+          }
         }
       }
-    }
+    } finally spark.conf.unset(graft.Conf.DimHintCapConf)
     assert(offenders.isEmpty,
       s"${offenders.size} corpus-scaling broadcast hint(s):\n${offenders.mkString("\n")}")
+  }
+
+  test("spark.graft.dimHintCap: guarded dim hints release at 0, identical answers") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import graft.operators.TpchThird
+    def hintsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    // default cap: the tiny sfDir tables are provably small → hints present
+    val hinted = TpchThird.qSupplierVariety.fn(spark, sfDir)
+    assert(hintsOf(hinted) >= 2,
+      "default cap should hint the part slice and the supplier exclusion set")
+    try {
+      spark.conf.set(graft.Conf.DimHintCapConf, "0")
+      val released = TpchThird.qSupplierVariety.fn(spark, sfDir)
+      assert(hintsOf(released) == 0,
+        "cap=0 must release every guarded hint (the audit relies on this)")
+      assert(released.exceptAll(hinted).count() == 0 &&
+        hinted.exceptAll(released).count() == 0,
+        "guarded hint must never change the answer")
+    } finally spark.conf.unset(graft.Conf.DimHintCapConf)
   }
 
   test("every registered query resolves against sfDir (analysis-only schema-drift alarm)") {
